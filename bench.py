@@ -1,0 +1,87 @@
+"""Headline benchmark: u64 key/payload sort throughput per chip.
+
+Reproduces the reference's measurement protocol (src/main.rs:101-127): N
+runs over uniform-random (u64,u64) key/payload rows, mean wall-clock of the
+full sort, reported as keys/s against the BASELINE.md north-star target of
+1e9 u64 keys/s/chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+64-bit keys are processed as (hi, lo) uint32 limb pairs end to end -- TPU
+vector lanes are 32-bit and the axon x64 rewriter rejects 64-bit bitcasts,
+so the framework never materializes 64-bit words on device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_KEYS_PER_S = 1e9  # BASELINE.md north-star target per chip
+
+
+def _gen_limbs(key, n):
+    """Uniform u64 keys as (hi, lo) u32 limbs + u64 payload limbs (zeros),
+    mirroring KeyUniform (distr.rs:46-51): uniform key, payload 0."""
+    khi, klo = jax.random.split(key)
+    hi = jax.random.bits(khi, (n,), jnp.uint32)
+    lo = jax.random.bits(klo, (n,), jnp.uint32)
+    vhi = jnp.zeros((n,), jnp.uint32)
+    vlo = jnp.zeros((n,), jnp.uint32)
+    return hi, lo, vhi, vlo
+
+
+def _make_sort_fn():
+    from radix_sort_tpu.ops import pallas_sort
+
+    def sort_pairs_limbs(hi, lo, vhi, vlo):
+        return pallas_sort.sort_pairs_limbs(hi, lo, vhi, vlo)
+
+    return jax.jit(sort_pairs_limbs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 24, help="number of u64 rows")
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args()
+
+    from radix_sort_tpu.utils.timing import sync
+
+    sort_fn = _make_sort_fn()
+    key = jax.random.PRNGKey(0)
+
+    # compile + warmup (excluded from timing, like the reference's per-run
+    # fresh-data protocol which times only the sort call, main.rs:32-34)
+    data = _gen_limbs(key, args.n)
+    sync(sort_fn(*data))
+
+    times = []
+    for r in range(args.runs):
+        key, sub = jax.random.split(key)
+        data = sync(_gen_limbs(sub, args.n))
+        t0 = time.perf_counter()
+        sync(sort_fn(*data))
+        times.append(time.perf_counter() - t0)
+
+    mean_t = float(np.mean(times))
+    keys_per_s = args.n / mean_t
+    print(
+        json.dumps(
+            {
+                "metric": "u64_pair_sort_throughput_per_chip",
+                "value": round(keys_per_s, 1),
+                "unit": "keys/s",
+                "vs_baseline": round(keys_per_s / BASELINE_KEYS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

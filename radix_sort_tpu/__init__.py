@@ -1,0 +1,29 @@
+"""radix_sort_tpu — TPU-native vectorized query-execution engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference Rust crate jgrodzki/radix_sort (stable LSD radix sort over the
+full numeric type matrix), extended per the north star with distributed
+shuffle over device meshes and the query-operator set (filter, hash join,
+hash aggregate). See SURVEY.md for the layer map this package mirrors.
+"""
+
+from radix_sort_tpu import keys
+from radix_sort_tpu.ops.sort import (
+    sort,
+    argsort,
+    sort_pairs,
+    counting_sort,
+    IMPLEMENTATIONS,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "keys",
+    "sort",
+    "argsort",
+    "sort_pairs",
+    "counting_sort",
+    "IMPLEMENTATIONS",
+    "__version__",
+]

@@ -1,0 +1,144 @@
+"""Order-preserving key bit-transforms (the L1 "key abstraction" layer).
+
+This is the TPU-native equivalent of the reference's ``RadixDigits`` trait
+(reference: src/radix_sort/radix_digits.rs:1-136). Where the reference maps
+(element, byte-index) -> u8 digit one scalar at a time, we map whole arrays
+into an unsigned "rank space" with a single vectorized bit transform, so that
+
+    unsigned_compare(encode(a), encode(b))  ==  total_order_compare(a, b)
+
+for every supported dtype. Digits are then extracted from the encoded words
+by shift/mask inside the sort engine.
+
+Transforms (all exactly mirror the reference semantics):
+  * unsigned ints  -- identity                 (radix_digits.rs:7-53)
+  * signed ints    -- flip sign bit (x ^ MIN)  (radix_digits.rs:55-101)
+  * floats         -- stereopsis total-order transform: negative values flip
+                      all bits, positives flip only the sign bit
+                      (radix_digits.rs:103-124); yields IEEE total_cmp order
+                      including -0.0 < +0.0 and NaN ordered by payload/sign.
+
+64-bit dtypes require ``jax.config.update("jax_enable_x64", True)`` at the
+API boundary; the on-chip kernels never touch 64-bit lanes -- use
+:func:`split64` / :func:`merge64` to move between one 64-bit word and two
+32-bit limbs (TPU vector units are 32-bit).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "encode",
+    "decode",
+    "encoded_dtype",
+    "num_digit_bits",
+    "split64",
+    "merge64",
+    "SUPPORTED_DTYPES",
+]
+
+# dtype -> (unsigned container dtype, bit width)
+_UNSIGNED = {
+    np.dtype(np.uint8): (np.uint8, 8),
+    np.dtype(np.uint16): (np.uint16, 16),
+    np.dtype(np.uint32): (np.uint32, 32),
+    np.dtype(np.uint64): (np.uint64, 64),
+}
+_SIGNED = {
+    np.dtype(np.int8): (np.uint8, 8),
+    np.dtype(np.int16): (np.uint16, 16),
+    np.dtype(np.int32): (np.uint32, 32),
+    np.dtype(np.int64): (np.uint64, 64),
+}
+_FLOAT = {
+    np.dtype(np.float32): (np.uint32, 32),
+    np.dtype(np.float64): (np.uint64, 64),
+}
+
+SUPPORTED_DTYPES = tuple(_UNSIGNED) + tuple(_SIGNED) + tuple(_FLOAT)
+
+
+def _signed_of(bits: int):
+    return {8: np.int8, 16: np.int16, 32: np.int32, 64: np.int64}[bits]
+
+
+def encoded_dtype(dtype) -> np.dtype:
+    """Unsigned container dtype that ``encode`` produces for ``dtype``."""
+    dtype = np.dtype(dtype)
+    for table in (_UNSIGNED, _SIGNED, _FLOAT):
+        if dtype in table:
+            return np.dtype(table[dtype][0])
+    raise TypeError(f"unsupported key dtype: {dtype}")
+
+
+def num_digit_bits(dtype) -> int:
+    """Total key width in bits (8 * reference NUMBER_OF_DIGITS)."""
+    dtype = np.dtype(dtype)
+    for table in (_UNSIGNED, _SIGNED, _FLOAT):
+        if dtype in table:
+            return table[dtype][1]
+    raise TypeError(f"unsupported key dtype: {dtype}")
+
+
+def encode(keys: jnp.ndarray) -> jnp.ndarray:
+    """Map keys to unsigned words whose unsigned order is the keys' total order.
+
+    Vectorized equivalent of the reference's per-type ``get_digit`` bit
+    transforms (radix_digits.rs:7-124), applied to the whole word at once.
+    """
+    dtype = np.dtype(keys.dtype)
+    if dtype in _UNSIGNED:
+        return keys
+    if dtype in _SIGNED:
+        udt, bits = _SIGNED[dtype]
+        # x ^ MIN flips the sign bit (radix_digits.rs:59 etc).
+        sign = dtype.type(np.iinfo(dtype).min)
+        return (keys ^ sign).view(udt)
+    if dtype in _FLOAT:
+        udt, bits = _FLOAT[dtype]
+        sdt = _signed_of(bits)
+        i = keys.view(sdt)
+        # b ^= (b >> (bits-1)) | MIN  (radix_digits.rs:110-113, 118-121):
+        # negative -> flip all bits; positive -> flip only the sign bit.
+        mask = (i >> (bits - 1)) | sdt(np.iinfo(sdt).min)
+        return (i ^ mask).view(udt)
+    raise TypeError(f"unsupported key dtype: {dtype}")
+
+
+def decode(words: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of :func:`encode`: unsigned rank-space words -> original dtype."""
+    dtype = np.dtype(dtype)
+    if dtype in _UNSIGNED:
+        return words.astype(dtype) if words.dtype != dtype else words
+    if dtype in _SIGNED:
+        sign = dtype.type(np.iinfo(dtype).min)
+        return words.view(dtype) ^ sign
+    if dtype in _FLOAT:
+        _, bits = _FLOAT[dtype]
+        sdt = _signed_of(bits)
+        e = words.view(sdt)
+        # If the encoded sign bit is set the original was >= +0.0: undo the
+        # sign-bit flip. Otherwise the original was negative: undo the
+        # full complement. mask = (~e >> (bits-1)) | MIN selects between them.
+        mask = (~e >> (bits - 1)) | sdt(np.iinfo(sdt).min)
+        return (e ^ mask).view(dtype)
+    raise TypeError(f"unsupported key dtype: {dtype}")
+
+
+def split64(words: jnp.ndarray):
+    """uint64 rank-space words -> (hi, lo) uint32 limbs.
+
+    Lexicographic unsigned order on (hi, lo) equals unsigned order on the
+    64-bit word; this is how 64-bit keys enter the 32-bit TPU kernels.
+    """
+    assert words.dtype == jnp.uint64, words.dtype
+    hi = (words >> np.uint64(32)).astype(jnp.uint32)
+    lo = (words & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    return hi, lo
+
+
+def merge64(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """(hi, lo) uint32 limbs -> uint64 words. Inverse of :func:`split64`."""
+    return (hi.astype(jnp.uint64) << np.uint64(32)) | lo.astype(jnp.uint64)

@@ -1,0 +1,110 @@
+"""Public sort API (the L3 layer).
+
+TPU-native equivalent of the reference's extension traits on slices
+(``RadixSort::radix_sort`` at mod.rs:18-20 and the ``RadixSortCopyOnly``
+variant ladder at mod.rs:22-38), as pure functions over arrays:
+
+    sort(keys)                 -- stable total-order sort, any supported dtype
+    argsort(keys)              -- stable sorting permutation
+    sort_pairs(keys, values)   -- stable key/payload row sort (tuple semantics)
+    counting_sort(x)           -- single-pass counting sort for uint8
+
+``implementation`` selects an engine from the variant ladder; "auto" picks
+the fastest available for the backend. All engines produce bit-identical
+output (enforced by tests against the oracle).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from radix_sort_tpu import keys as K
+from radix_sort_tpu.ops import oracle, xla_radix
+
+__all__ = ["sort", "argsort", "sort_pairs", "counting_sort", "IMPLEMENTATIONS"]
+
+
+def _words_engines():
+    # name -> (sort_words, argsort_words)
+    from radix_sort_tpu.ops import pallas_sort  # local import: optional backend
+
+    return {
+        "oracle": (
+            lambda w: jnp.sort(w, stable=True),
+            lambda w: jnp.argsort(w, stable=True),
+        ),
+        "xla_argsort": (
+            xla_radix.radix_sort_words_argsort,
+            xla_radix.radix_argsort_words_argsort,
+        ),
+        "xla_rank": (
+            xla_radix.radix_sort_words_rank,
+            xla_radix.radix_argsort_words_rank,
+        ),
+        "pallas": (
+            pallas_sort.sort_words,
+            pallas_sort.argsort_words,
+        ),
+    }
+
+
+IMPLEMENTATIONS = ("auto", "oracle", "xla_argsort", "xla_rank", "pallas")
+
+
+def _resolve(implementation: str) -> str:
+    if implementation == "auto":
+        backend = jax.default_backend()
+        return "pallas" if backend == "tpu" else "oracle"
+    if implementation not in IMPLEMENTATIONS:
+        raise ValueError(
+            f"implementation must be one of {IMPLEMENTATIONS}, got {implementation!r}"
+        )
+    return implementation
+
+
+def sort(keys: jnp.ndarray, *, implementation: str = "auto") -> jnp.ndarray:
+    """Stable ascending sort under the dtype's total order.
+
+    Equivalent to the reference's ``data.radix_sort()`` on scalar slices
+    (mod.rs:61-176): floats order by IEEE total_cmp (incl. -0.0 < +0.0, NaNs
+    by sign/payload), signed ints by value.
+    """
+    impl = _resolve(implementation)
+    sort_words, _ = _words_engines()[impl]
+    return K.decode(sort_words(K.encode(keys)), keys.dtype)
+
+
+def argsort(keys: jnp.ndarray, *, implementation: str = "auto") -> jnp.ndarray:
+    """Indices of the stable total-order sort."""
+    impl = _resolve(implementation)
+    _, argsort_words = _words_engines()[impl]
+    return argsort_words(K.encode(keys))
+
+
+def sort_pairs(keys: jnp.ndarray, values: jnp.ndarray, *, implementation: str = "auto"):
+    """Stable sort of (key, payload) rows by key.
+
+    Equivalent to the reference's tuple sort (radix_digits.rs:126-136): the
+    payload never influences the order; equal keys keep input payload order
+    (the stability invariant of mod.rs:110-120, tested at tests.rs:175-187).
+    """
+    if values.shape[:1] != keys.shape[:1]:
+        raise ValueError(
+            f"keys and values must share the leading axis, got {keys.shape} vs {values.shape}"
+        )
+    impl = _resolve(implementation)
+    if impl == "pallas":
+        from radix_sort_tpu.ops import pallas_sort
+
+        words, out_vals = pallas_sort.sort_pairs_words(K.encode(keys), values)
+        return K.decode(words, keys.dtype), out_vals
+    perm = argsort(keys, implementation=impl)
+    return keys[perm], values[perm]
+
+
+def counting_sort(x: jnp.ndarray) -> jnp.ndarray:
+    """Single-pass counting sort for uint8 (reference mod.rs:40-59)."""
+    return xla_radix.counting_sort_u8(x)

@@ -1,0 +1,21 @@
+"""Timing helpers.
+
+Through the axon TPU relay, ``jax.block_until_ready`` can return before the
+remote computation finishes; a host fetch of any output element is the only
+reliable synchronization point. All bench timing goes through :func:`sync`.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+__all__ = ["sync"]
+
+
+def sync(tree):
+    """Force completion of every computation feeding ``tree`` by fetching one
+    element of one leaf to the host. Returns the tree unchanged."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        np.asarray(leaf[-1:])
+    return tree

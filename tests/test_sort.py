@@ -1,0 +1,91 @@
+"""Sort API tests: the reference test suite's pattern (tests.rs:25-187)
+re-created -- one randomized test per key type against a trusted oracle,
+adversarial float specials, and stability via payloads -- run across every
+engine in the variant ladder."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import radix_sort_tpu as rst
+
+IMPLS = ["oracle", "xla_argsort", "xla_rank"]
+INT_DTYPES = [np.uint8, np.uint16, np.uint32, np.uint64,
+              np.int8, np.int16, np.int32, np.int64]
+
+N = 10_001  # odd size: exercises remainder handling
+
+
+def _rand_ints(rng, dtype, n=N):
+    info = np.iinfo(dtype)
+    return rng.integers(info.min, info.max, size=n, endpoint=True, dtype=dtype)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("dtype", INT_DTYPES)
+def test_sort_int_matrix(rng, impl, dtype):
+    # mirrors tests.rs:25-131 (one test per int type, vs stable oracle)
+    x = _rand_ints(rng, dtype)
+    got = np.asarray(rst.sort(jnp.asarray(x), implementation=impl))
+    assert np.array_equal(got, np.sort(x, kind="stable"))
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_sort_float_specials(rng, impl, dtype):
+    # mirrors tests.rs:134-173: uniform floats + injected specials, oracle
+    # order = IEEE total_cmp == numpy sort on the independent total_cmp key
+    x = (rng.random(N) * 2.0 - 1.0).astype(dtype)
+    specials = np.array([0.0, -0.0, np.nan, np.inf, -np.inf], dtype)
+    idx = rng.integers(0, N, size=specials.size)
+    x[idx] = specials
+    got = np.asarray(rst.sort(jnp.asarray(x), implementation=impl))
+
+    bits = 32 if dtype == np.float32 else 64
+    sdt = np.int32 if bits == 32 else np.int64
+    udt = np.uint32 if bits == 32 else np.uint64
+    b = x.view(sdt)
+    tc = b ^ ((b >> (bits - 1)).view(udt) >> np.uint8(1)).view(sdt)
+    want = x[np.argsort(tc, kind="stable")]
+    assert np.array_equal(got.view(udt), want.view(udt))  # bit-exact incl NaN
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_sort_pairs_stability(rng, impl):
+    # mirrors tests.rs:175-187: (u32,u32) rows, equal keys keep payload order
+    keys = rng.integers(0, 64, size=N, dtype=np.uint32)  # heavy duplicates
+    vals = np.arange(N, dtype=np.uint32)
+    k, v = rst.sort_pairs(jnp.asarray(keys), jnp.asarray(vals), implementation=impl)
+    order = np.argsort(keys, kind="stable")
+    assert np.array_equal(np.asarray(k), keys[order])
+    assert np.array_equal(np.asarray(v), vals[order])
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_argsort(rng, impl):
+    x = _rand_ints(rng, np.int32, 4097)
+    perm = np.asarray(rst.argsort(jnp.asarray(x), implementation=impl))
+    assert np.array_equal(perm, np.argsort(x, kind="stable"))
+
+
+def test_counting_sort_u8(rng):
+    # reference pub fn counting_sort (mod.rs:40-59)
+    x = _rand_ints(rng, np.uint8, 4096)
+    got = np.asarray(rst.counting_sort(jnp.asarray(x)))
+    assert np.array_equal(got, np.sort(x))
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_sort_empty_and_single(impl):
+    for x in [np.array([], np.uint32), np.array([42], np.uint32)]:
+        got = np.asarray(rst.sort(jnp.asarray(x), implementation=impl))
+        assert np.array_equal(got, np.sort(x))
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_sort_already_sorted_and_reverse(impl):
+    x = np.arange(1000, dtype=np.uint32)
+    assert np.array_equal(np.asarray(rst.sort(jnp.asarray(x), implementation=impl)), x)
+    assert np.array_equal(
+        np.asarray(rst.sort(jnp.asarray(x[::-1].copy()), implementation=impl)), x
+    )
