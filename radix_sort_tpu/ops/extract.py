@@ -3,25 +3,29 @@
 This is the TPU-native replacement for the reference's scatter phase
 (src/radix_sort/mod.rs:121-168): where the reference's threads write each
 element to ``bin_start + rank`` through raw pointers, the TPU engine moves
-whole *runs*. Chunks arrive pre-grouped (a stable XLA rowsort plays the role
-of the per-chunk histogram+rank), and this kernel appends each chunk's
+whole *runs*. Chunks arrive pre-grouped (a stable rowsort plays the role of
+the per-chunk histogram+rank), and this kernel appends each chunk's
 per-bucket run into a packed per-bucket HBM region:
 
   - grid: sequential over chunks (TPU grids execute in order — the ordering
     IS the stability guarantee, like the digit-major/chunk-minor prefix sum
     of mod.rs:110-120);
-  - per (chunk, bucket): the run [bounds[d], bounds[d+1]) is rolled to the
-    bucket's staging offset (dynamic lane+sublane rolls), masked in, and
-    staged in VMEM; full 1 KiB blocks flush to HBM with one interleaved DMA
-    covering every operand (the analogue of the reference's 96-element write
+  - all operands are processed ROW-INTERLEAVED (element-row r of operand w
+    at physical row r*Wp + w), so one dynamic roll chain and one masked
+    read-modify-write serve every operand at once — the append hot path is
+    instruction-bound, not byte-bound, and this cuts its instruction count
+    by ~the operand count;
+  - per (chunk, bucket): the run [bounds[d], bounds[d+1]) is appended into
+    the bucket's VMEM staging in pieces of <= 1920 elements (dynamic
+    lane+sublane rolls + mask); full 1 KiB-per-operand blocks flush to HBM
+    as one interleaved DMA (the analogue of the reference's 96-element write
     de-randomization buffers, mod.rs:469-570 — staging converts random run
-    writes into streaming 4 KiB stores);
-  - appends use tiered window sizes (2 / 9 / full rows) so short runs only
-    touch proportional VMEM;
+    writes into streaming multi-KiB stores);
   - staging garbage is MAX-sentinel so unwritten tails sort to the end of
     the next round's rows;
-  - outputs: one interleaved array [region, block, operand, 8, 128] plus a
-    per-region count vector. ``deinterleave`` restores per-operand layout.
+  - outputs: one interleaved array [region, block, 8 element-rows x Wp, 128]
+    plus a per-region count vector. ``deinterleave`` restores per-operand
+    layout.
 
 The compactor (concatenate valid prefixes of padded regions — the inverse of
 the padded bucket layout) is the K=1 special case of the same kernel.
@@ -29,70 +33,75 @@ the padded bucket layout) is the K=1 special case of the same kernel.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bucket_extract", "compact_regions", "deinterleave", "MAX_WORD"]
+__all__ = [
+    "bucket_extract",
+    "compact_regions",
+    "deinterleave",
+    "phys_width",
+    "MAX_WORD",
+]
 
 MAX_WORD = np.uint32(0xFFFFFFFF)
 LANES = 128
-FLUSH_ROWS = 8  # one flush quantum: 8 rows = 1024 elements
+FLUSH_EROWS = 8  # flush quantum: 8 element rows = 1024 elements per operand
+MAXE = 16  # largest append window in element rows
+PIECE = (MAXE - 1) * LANES  # longest single append: 1920 elements
+SRE = 24  # staging element rows per region: 8 flush slack + 16 window
 
 
-def _flat_roll(x, s):
-    """Circular roll of an (R,128) block by ``s`` elements in flat row-major
-    order (s traced, any sign handled by caller passing s mod R*128)."""
-    R = x.shape[0]
+def phys_width(n):
+    """Interleaved physical operand count: next power of two (sublane math
+    stays cheap and dynamic sublane rotates stay 8-row aligned)."""
+    w = 1
+    while w < n:
+        w *= 2
+    return w
+
+
+def _eflat_roll(x, s, Wp):
+    """Roll an operand-interleaved (E*Wp, 128) block by ``s`` ELEMENT
+    positions in flat element-row-major order (every operand together)."""
+    E = x.shape[0] // Wp
     sl = s % LANES
-    rs = (s // LANES) % R
+    rs = (s // LANES) % E
     r1 = pltpu.roll(x, sl, axis=1)
-    if R == 2:
-        # dynamic sublane rotate needs 8-row alignment; for 2 rows it is a
-        # static swap selected by rs
-        sw = jnp.concatenate([r1[1:2], r1[0:1]], axis=0)
+    if (E * Wp) % 8 != 0:
+        # dynamic sublane rotate needs 8-row-aligned shapes; only the E=2
+        # tier with Wp<4 lands here, where the rotate is a static half-swap
+        assert E == 2, (E, Wp)
+        sw = jnp.concatenate([r1[Wp:], r1[:Wp]], axis=0)
         a = jnp.where(rs == 1, sw, r1)
         b = jnp.where(rs == 1, r1, sw)
     else:
-        a = pltpu.roll(r1, rs, axis=0)
-        b = pltpu.roll(r1, (rs + 1) % R, axis=0)
+        a = pltpu.roll(r1, rs * Wp, axis=0)
+        b = pltpu.roll(r1, ((rs + 1) % E) * Wp, axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(lane < sl, b, a)
 
 
-def _make_kernel(num_ops, K, cr, cap_rows, chunks_per_bucket, nbuckets):
-    """Build the kernel body. cr = chunk rows (chunk = cr*128 elements)."""
-    # Long runs are appended in pieces of at most PIECE elements, so the
-    # biggest window is 16 rows regardless of chunk size: staging stays small
-    # and skewed inputs (huge runs) cost time proportional to their length,
-    # not to a chunk-sized window per append.
-    MAXW = 16
-    PIECE = (MAXW - 1) * LANES  # 1920
-    SR = 24  # 8 flush slack + 16 window
-    cap_blocks = cap_rows // FLUSH_ROWS
+def _make_kernel(Wp, K, cr, cap_rows, chunks_per_bucket):
+    """cr = chunk element rows (chunk = cr*128 elements per operand)."""
+    cap_blocks = cap_rows // FLUSH_EROWS
     n_flush = 2  # sloc after one piece < 1024 + 1920 -> at most 2 quanta
-    # W=2 is the hot tier (avg run << 128 for production K): its sublane
-    # rotate is a static row swap, dodging Mosaic's 8-row alignment rule for
-    # dynamic sublane rotates, and it touches 8x less VMEM.
-    tiers = [2, MAXW] if cr + 1 > 2 else [2]
+    tiers = [2, MAXE] if cr + 1 > 2 else [2]
 
     def kernel(bounds_ref, *refs):
-        # refs: num_ops input blocks, prefill (aliased, unused), out_ref,
-        #       counts_ref, chunkbufs (num_ops), stages (num_ops), flushbuf,
-        #       cur, obase, sem
-        x_refs = refs[:num_ops]
-        out_ref = refs[num_ops + 1]
-        counts_ref = refs[num_ops + 2]
-        chunkbufs = refs[num_ops + 3 : 2 * num_ops + 3]
-        stages = refs[2 * num_ops + 3 : 3 * num_ops + 3]
-        flushbuf = refs[3 * num_ops + 3]
-        cur = refs[3 * num_ops + 4]
-        obase = refs[3 * num_ops + 5]
-        sem = refs[3 * num_ops + 6]
+        # refs: Wp input blocks, prefill (aliased, unused), out_ref,
+        #       counts_ref, chunkbuf, stage, cur, obase, sem
+        x_refs = refs[:Wp]
+        out_ref = refs[Wp + 1]
+        counts_ref = refs[Wp + 2]
+        chunkbuf = refs[Wp + 3]
+        stage = refs[Wp + 4]
+        cur = refs[Wp + 5]
+        obase = refs[Wp + 6]
+        sem = refs[Wp + 7]
 
         c = pl.program_id(0)
         b = c // chunks_per_bucket
@@ -100,8 +109,7 @@ def _make_kernel(num_ops, K, cr, cap_rows, chunks_per_bucket, nbuckets):
 
         @pl.when(cib == 0)
         def _reset():
-            for w in range(num_ops):
-                stages[w][...] = jnp.full_like(stages[w], MAX_WORD)
+            stage[...] = jnp.full_like(stage, MAX_WORD)
 
             def zero(d, _):
                 cur[d] = 0
@@ -110,77 +118,72 @@ def _make_kernel(num_ops, K, cr, cap_rows, chunks_per_bucket, nbuckets):
 
             jax.lax.fori_loop(0, K, zero, 0)
 
-        # copy chunk into padded scratch so window reads never leave bounds
-        for w in range(num_ops):
-            chunkbufs[w][pl.ds(0, cr), :] = x_refs[w][...]
+        # interleave the chunk's operands into scratch (element-row major)
+        stk = jnp.stack([x_refs[w][...] for w in range(Wp)], axis=1)
+        chunkbuf[pl.ds(0, cr * Wp), :] = stk.reshape(cr * Wp, LANES)
 
         def flush(d):
-            """One flush quantum: 8 staged rows of every operand -> HBM."""
-            ob = obase[d]
-            ob = jnp.minimum(ob, cap_rows - FLUSH_ROWS)  # overflow clamp
-            base = ((b * K + d) * cap_blocks + ob // FLUSH_ROWS) * (
-                num_ops * FLUSH_ROWS
+            """One flush quantum: 8 element rows of every operand -> HBM."""
+            ob = jnp.minimum(obase[d], cap_rows - FLUSH_EROWS)
+            base = ((b * K + d) * cap_blocks + ob // FLUSH_EROWS) * (
+                Wp * FLUSH_EROWS
             )
-            for w in range(num_ops):
-                flushbuf[pl.ds(w * FLUSH_ROWS, FLUSH_ROWS), :] = stages[w][
-                    pl.ds(d * SR, FLUSH_ROWS), :
-                ]
             dma = pltpu.make_async_copy(
-                flushbuf,
-                out_ref.at[pl.ds(base, num_ops * FLUSH_ROWS), :],
+                stage.at[pl.ds(d * SRE * Wp, FLUSH_EROWS * Wp), :],
+                out_ref.at[pl.ds(base, Wp * FLUSH_EROWS), :],
                 sem,
             )
             dma.start()
             dma.wait()
-            for w in range(num_ops):
-                rest = stages[w][pl.ds(d * SR + FLUSH_ROWS, SR - FLUSH_ROWS), :]
-                stages[w][pl.ds(d * SR, SR - FLUSH_ROWS), :] = rest
-                stages[w][pl.ds(d * SR + SR - FLUSH_ROWS, FLUSH_ROWS), :] = (
-                    jnp.full((FLUSH_ROWS, LANES), MAX_WORD, stages[w].dtype)
-                )
-            obase[d] = obase[d] + FLUSH_ROWS
+            rest = stage[
+                pl.ds((d * SRE + FLUSH_EROWS) * Wp, (SRE - FLUSH_EROWS) * Wp), :
+            ]
+            stage[pl.ds(d * SRE * Wp, (SRE - FLUSH_EROWS) * Wp), :] = rest
+            stage[
+                pl.ds((d * SRE + SRE - FLUSH_EROWS) * Wp, FLUSH_EROWS * Wp), :
+            ] = jnp.full((FLUSH_EROWS * Wp, LANES), MAX_WORD, stage.dtype)
+            obase[d] = obase[d] + FLUSH_EROWS
 
-        def append(d, W, b0, ln):
-            """Append run chunk[b0 : b0+ln] (ln <= (W-1)*128) into staging d."""
+        def append(d, E, b0, ln):
+            """Append run chunk[b0 : b0+ln] (ln <= (E-1)*128) into staging d."""
             sloc = cur[d] - obase[d] * LANES
             r0 = sloc // LANES
-            s = (sloc % LANES - b0 % LANES) % (W * LANES)
-            row = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (W, LANES), 1)
-            q = (r0 + row) * LANES + lane
+            s = (sloc % LANES - b0 % LANES) % (E * LANES)
+            src = chunkbuf[pl.ds((b0 // LANES) * Wp, E * Wp), :]
+            rolled = _eflat_roll(src, s, Wp)
+            prow = jax.lax.broadcasted_iota(jnp.int32, (E * Wp, LANES), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (E * Wp, LANES), 1)
+            q = (r0 + prow // Wp) * LANES + lane
             mask = (q >= sloc) & (q < sloc + ln)
-            for w in range(num_ops):
-                src = chunkbufs[w][pl.ds(b0 // LANES, W), :]
-                rolled = _flat_roll(src, s)
-                dst = stages[w][pl.ds(d * SR + r0, W), :]
-                stages[w][pl.ds(d * SR + r0, W), :] = jnp.where(
-                    mask, rolled, dst
-                )
+            dst = stage[pl.ds((d * SRE + r0) * Wp, E * Wp), :]
+            stage[pl.ds((d * SRE + r0) * Wp, E * Wp), :] = jnp.where(
+                mask, rolled, dst
+            )
 
         def append_piece(d, b0, ln):
             """Append one run piece (0 < ln <= PIECE); flush ready quanta."""
             lo = 0
-            for W in tiers:
-                hi = (W - 1) * LANES
-                if W == tiers[-1]:
+            for E in tiers:
+                hi = (E - 1) * LANES
+                if E == tiers[-1]:
                     cond = ln > lo
                 else:
                     cond = (ln > lo) & (ln <= hi)
 
                 @pl.when(cond)
-                def _(W=W):
-                    append(d, W, b0, ln)
+                def _(E=E):
+                    append(d, E, b0, ln)
 
                 lo = hi
             cur[d] = cur[d] + ln
 
             # one cheap check on the hot path; the ladder only runs when at
             # least one quantum is ready (~1 in 16 appends)
-            @pl.when(cur[d] - obase[d] * LANES >= FLUSH_ROWS * LANES)
+            @pl.when(cur[d] - obase[d] * LANES >= FLUSH_EROWS * LANES)
             def _():
                 flush(d)
                 for _i in range(n_flush - 1):
-                    @pl.when(cur[d] - obase[d] * LANES >= FLUSH_ROWS * LANES)
+                    @pl.when(cur[d] - obase[d] * LANES >= FLUSH_EROWS * LANES)
                     def _():
                         flush(d)
 
@@ -207,7 +210,10 @@ def _make_kernel(num_ops, K, cr, cap_rows, chunks_per_bucket, nbuckets):
 
             return 0
 
-        jax.lax.fori_loop(0, K, per_bucket, 0)
+        # statically unrolled: a fori_loop here costs ~80 ns/iteration in
+        # loop overhead alone (measured), 10x the unrolled per-bucket cost
+        for d in range(K):
+            per_bucket(d, 0)
 
         @pl.when(cib == chunks_per_bucket - 1)
         def _drain():
@@ -221,7 +227,7 @@ def _make_kernel(num_ops, K, cr, cap_rows, chunks_per_bucket, nbuckets):
 
             jax.lax.fori_loop(0, K, drain_one, 0)
 
-    return kernel, SR
+    return kernel
 
 
 def bucket_extract(
@@ -240,21 +246,27 @@ def bucket_extract(
         that its bucket-d run occupies [bounds[c,d], bounds[c,d+1]).
     bounds: (nchunks, K+1) int32, non-decreasing, bounds[c,K] = valid length.
     Returns (interleaved, counts): interleaved has shape
-        (nbuckets*K*cap_rows//8 * num_ops * 8, 128) laid out as
-        [region, block, operand, 8, 128]; counts is (nbuckets*K,) int32.
+        (nbuckets*K*cap_rows*Wp, 128) laid out as
+        [region, block, 8 element-rows x Wp operands, 128] where
+        Wp = phys_width(len(ops)); counts is (nbuckets*K,) int32.
     """
     num_ops = len(ops)
+    Wp = phys_width(num_ops)
     nchunks = bounds.shape[0]
-    total_chunks = nchunks
-    assert total_chunks == chunks_per_bucket * nbuckets
+    assert nchunks == chunks_per_bucket * nbuckets
+    assert nchunks % 8 == 0, "nchunks must be a multiple of 8 (bounds blocking)"
     cr = ops[0].shape[0] // nchunks
-    assert cap_rows % FLUSH_ROWS == 0
+    assert cap_rows % FLUSH_EROWS == 0
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    kernel, SR = _make_kernel(num_ops, K, cr, cap_rows, chunks_per_bucket, nbuckets)
-    cap_blocks = cap_rows // FLUSH_ROWS
-    out_rows = nbuckets * K * cap_blocks * num_ops * FLUSH_ROWS
+    ops = list(ops) + [
+        jnp.zeros_like(ops[0]) for _ in range(Wp - num_ops)
+    ]
+
+    kernel = _make_kernel(Wp, K, cr, cap_rows, chunks_per_bucket)
+    cap_blocks = cap_rows // FLUSH_EROWS
+    out_rows = nbuckets * K * cap_blocks * Wp * FLUSH_EROWS
 
     # Unwritten output blocks must read as MAX-sentinel downstream (they sort
     # to row tails and are excluded by the valid-length clamps), so the output
@@ -267,28 +279,27 @@ def bucket_extract(
             jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((nbuckets * K,), jnp.int32),
         ),
-        grid=(total_chunks,),
+        grid=(nchunks,),
         in_specs=[
             pl.BlockSpec((8, K + 1), lambda c: (c // 8, 0), memory_space=pltpu.SMEM),
         ]
         + [
             pl.BlockSpec((cr, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM)
-            for _ in range(num_ops)
+            for _ in range(Wp)
         ]
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((2 * cr + 8, LANES), jnp.uint32) for _ in range(num_ops)]
-        + [pltpu.VMEM((K * SR, LANES), jnp.uint32) for _ in range(num_ops)]
-        + [
-            pltpu.VMEM((num_ops * FLUSH_ROWS, LANES), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM(((cr + MAXE) * Wp, LANES), jnp.uint32),
+            pltpu.VMEM((K * SRE * Wp, LANES), jnp.uint32),
             pltpu.SMEM((K,), jnp.int32),
             pltpu.SMEM((K,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={num_ops + 1: 0},
+        input_output_aliases={Wp + 1: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(bounds, *ops, prefill)
@@ -296,9 +307,9 @@ def bucket_extract(
 
 
 def deinterleave(out, *, num_ops, nregions, cap_rows):
-    """[region, block, op, 8, 128] interleaved -> per-op (nregions*cap_rows, 128)."""
-    cap_blocks = cap_rows // FLUSH_ROWS
-    x = out.reshape(nregions * cap_blocks, num_ops, FLUSH_ROWS * LANES)
+    """Interleaved kernel output -> per-operand (nregions*cap_rows, 128)."""
+    Wp = phys_width(num_ops)
+    x = out.reshape(nregions * cap_rows, Wp, LANES)
     x = jnp.swapaxes(x, 0, 1)
     return [x[w].reshape(nregions * cap_rows, LANES) for w in range(num_ops)]
 
@@ -307,15 +318,13 @@ def compact_regions(ops, counts, *, cap_rows, interpret=None):
     """Concatenate the valid prefixes of equal-capacity regions densely.
 
     ops: list of (nregions*cap_rows, 128) uint32; counts: (nregions,) int32.
-    Returns (interleaved, total): interleaved as in bucket_extract with one
-    region of capacity nregions*cap_rows (+ slack).
+    Returns (interleaved, total) with one region of capacity
+    nregions*cap_rows (+ slack); recover operands with ``deinterleave``.
     """
     nregions = counts.shape[0]
-    bounds = jnp.stack(
-        [jnp.zeros_like(counts), counts], axis=1
-    )  # (nregions, 2): single bucket, run = valid prefix
-    out_cap = nregions * cap_rows + 5 * FLUSH_ROWS
-    out_cap = ((out_cap + FLUSH_ROWS - 1) // FLUSH_ROWS) * FLUSH_ROWS
+    bounds = jnp.stack([jnp.zeros_like(counts), counts], axis=1)
+    out_cap = nregions * cap_rows + 5 * FLUSH_EROWS
+    out_cap = ((out_cap + FLUSH_EROWS - 1) // FLUSH_EROWS) * FLUSH_EROWS
     return bucket_extract(
         ops,
         bounds,

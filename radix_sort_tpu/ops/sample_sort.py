@@ -37,7 +37,7 @@ from radix_sort_tpu.ops import extract
 
 __all__ = ["sample_sort_words", "DEFAULT_M", "DEFAULT_K"]
 
-DEFAULT_M = 4096  # chunk (local sort row) size in elements
+DEFAULT_M = 16384  # chunk (local sort row) size in elements
 DEFAULT_K = 64  # buckets per round
 LANES = 128
 _MAX = np.uint32(0xFFFFFFFF)
@@ -222,7 +222,7 @@ def sample_sort_words(
         cap_rows=cap2 // LANES,
         interpret=interpret,
     )
-    out_rows = interf.shape[0] // W
+    out_rows = interf.shape[0] // extract.phys_width(W)
     dense = extract.deinterleave(
         interf, num_ops=W, nregions=1, cap_rows=out_rows
     )
