@@ -15,6 +15,12 @@ from radix_sort_tpu.ops.sort import (
     counting_sort,
     IMPLEMENTATIONS,
 )
+from radix_sort_tpu.ops.query import (
+    filter,
+    hash_aggregate,
+    hash_join,
+    AGGREGATIONS,
+)
 
 __version__ = "0.1.0"
 
@@ -24,6 +30,10 @@ __all__ = [
     "argsort",
     "sort_pairs",
     "counting_sort",
+    "filter",
+    "hash_aggregate",
+    "hash_join",
+    "AGGREGATIONS",
     "IMPLEMENTATIONS",
     "__version__",
 ]

@@ -1,0 +1,71 @@
+"""Benchmark dataset persistence (raw binary files).
+
+Equivalent of the reference's offline data path (src/main.rs:83-99 gen_data
+writes sampled keys as raw bytes; src/main.rs:47-81 bench_sorts_data reads
+them back via transmute): datasets are written once and re-read bit-exactly,
+so repeated or multi-host benchmark runs sort identical data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+__all__ = ["write_raw", "read_raw", "gen_data"]
+
+_MAGIC = "radix_sort_tpu.raw.v1"
+
+
+def write_raw(path: str, arr: np.ndarray) -> None:
+    """Write an array as raw little-endian bytes + a sidecar dtype header."""
+    arr = np.ascontiguousarray(arr)
+    with open(path, "wb") as f:
+        arr.astype(arr.dtype.newbyteorder("<")).tofile(f)
+    with open(path + ".json", "w") as f:
+        json.dump(
+            {"magic": _MAGIC, "dtype": arr.dtype.str, "shape": list(arr.shape)},
+            f,
+        )
+
+
+def read_raw(path: str, dtype=None) -> np.ndarray:
+    """Read an array written by :func:`write_raw` (the transmute read of
+    main.rs:59-62, minus the undefined behavior). ``dtype`` overrides the
+    sidecar header for headerless files."""
+    meta = None
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+        if meta.get("magic") != _MAGIC:
+            raise ValueError(f"{path}.json is not a {_MAGIC} header")
+    if dtype is None:
+        if meta is None:
+            raise ValueError(f"no sidecar header for {path}; pass dtype=")
+        dtype = np.dtype(meta["dtype"])
+    arr = np.fromfile(path, dtype=dtype)
+    if meta is not None:
+        arr = arr.reshape(meta["shape"])
+    return arr
+
+
+def gen_data(path: str, n: int, dtype=np.uint32, dist: str = "uniform",
+             seed: int = 0, **dist_kwargs) -> np.ndarray:
+    """Sample ``n`` keys from a named distribution and persist them
+    (main.rs:83-99 equivalent). Returns the generated array."""
+    import jax
+    from radix_sort_tpu.utils import distributions as D
+
+    gens = {
+        "uniform": D.key_uniform,
+        "zipf": D.zipf,
+        "geometric": D.geometric,
+        "step_uniform": D.step_uniform,
+    }
+    if dist not in gens:
+        raise ValueError(f"dist must be one of {sorted(gens)}, got {dist!r}")
+    key = jax.random.PRNGKey(seed)
+    arr = np.asarray(gens[dist](key, n, dtype=dtype, **dist_kwargs))
+    write_raw(path, arr)
+    return arr

@@ -1,0 +1,88 @@
+"""Native host runtime tests: C++ LSD radix sort + dataset IO.
+
+The native kernel is the host-side equivalent of the reference's production
+engine; the oracle pattern matches its test suite (src/radix_sort/tests.rs):
+bit-exact equality against numpy's stable comparison sort across the type
+matrix, float specials included.
+"""
+
+import numpy as np
+import pytest
+
+from radix_sort_tpu.native import host_sort, host_sort_pairs, native_available
+from radix_sort_tpu.utils import io as rio
+
+
+def test_native_compiles():
+    # g++ is part of the supported environment; if this fails the fallback
+    # still keeps the API working, but we want to know.
+    assert native_available()
+
+
+@pytest.mark.parametrize(
+    "dtype", [np.uint8, np.uint16, np.uint32, np.uint64,
+              np.int8, np.int16, np.int32, np.int64]
+)
+def test_int_type_matrix(rng, dtype):
+    info = np.iinfo(dtype)
+    x = rng.integers(info.min, info.max, 100_000, dtype=dtype, endpoint=True)
+    np.testing.assert_array_equal(host_sort(x), np.sort(x, kind="stable"))
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_float_total_order(rng, dtype):
+    x = rng.standard_normal(100_000).astype(dtype)
+    specials = np.array(
+        [0.0, -0.0, np.nan, -np.nan, np.inf, -np.inf], dtype=dtype
+    )
+    x[rng.integers(0, len(x), len(specials))] = specials
+    got = host_sort(x)
+    # total_cmp oracle: the order-preserving transform, compared UNSIGNED
+    isz = np.dtype(dtype).itemsize
+    b = x.view(np.dtype(f"i{isz}"))
+    mask = (b >> (isz * 8 - 1)) | np.iinfo(b.dtype).min
+    ref = x[np.argsort((b ^ mask).view(f"u{isz}"), kind="stable")]
+    np.testing.assert_array_equal(got.view(b.dtype), ref.view(b.dtype))
+
+
+def test_pairs_stability(rng):
+    keys = rng.integers(0, 100, 50_000).astype(np.uint32)
+    vals = np.arange(50_000, dtype=np.uint32)
+    sk, sv = host_sort_pairs(keys, vals)
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(sk, keys[perm])
+    np.testing.assert_array_equal(sv, vals[perm])
+
+
+def test_pairs_u64(rng):
+    keys = rng.integers(0, 2**64, 30_000, dtype=np.uint64)
+    vals = rng.integers(0, 2**64, 30_000, dtype=np.uint64)
+    sk, sv = host_sort_pairs(keys, vals)
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(sk, keys[perm])
+    np.testing.assert_array_equal(sv, vals[perm])
+
+
+def test_duplicate_heavy(rng):
+    x = rng.integers(0, 4, 200_000).astype(np.uint64)
+    np.testing.assert_array_equal(host_sort(x), np.sort(x, kind="stable"))
+
+
+class TestIO:
+    def test_roundtrip(self, rng, tmp_path):
+        arr = rng.integers(0, 2**64, 10_000, dtype=np.uint64)
+        p = str(tmp_path / "data.bin")
+        rio.write_raw(p, arr)
+        np.testing.assert_array_equal(rio.read_raw(p), arr)
+
+    def test_gen_data_deterministic(self, tmp_path):
+        p1 = str(tmp_path / "a.bin")
+        p2 = str(tmp_path / "b.bin")
+        a = rio.gen_data(p1, 4096, np.uint32, "zipf", seed=7)
+        b = rio.gen_data(p2, 4096, np.uint32, "zipf", seed=7)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(rio.read_raw(p1), a)
+
+    def test_bad_dist_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="dist must be one of"):
+            rio.gen_data(str(tmp_path / "x.bin"), 16, dist="normal")

@@ -1,0 +1,126 @@
+"""Query operator tests (filter / hash_aggregate / hash_join) vs numpy oracles."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from radix_sort_tpu.ops import query
+
+
+class TestFilter:
+    def test_compacts_preserving_order(self, rng):
+        n = 10_000
+        x = rng.integers(0, 2**32, n, dtype=np.uint32)
+        y = rng.integers(0, 2**32, n, dtype=np.uint32)
+        mask = rng.random(n) < 0.3
+        xc, yc, cnt = query.filter(jnp.asarray(mask), jnp.asarray(x), jnp.asarray(y))
+        cnt = int(cnt)
+        assert cnt == mask.sum()
+        np.testing.assert_array_equal(np.asarray(xc)[:cnt], x[mask])
+        np.testing.assert_array_equal(np.asarray(yc)[:cnt], y[mask])
+        # the tail holds the dropped rows, also in order (stable partition)
+        np.testing.assert_array_equal(np.asarray(xc)[cnt:], x[~mask])
+
+    def test_empty_and_full(self, rng):
+        x = rng.integers(0, 100, 64, dtype=np.uint32)
+        _, cnt0 = query.filter(jnp.zeros(64, bool), jnp.asarray(x))
+        assert int(cnt0) == 0
+        xc, cnt1 = query.filter(jnp.ones(64, bool), jnp.asarray(x))
+        assert int(cnt1) == 64
+        np.testing.assert_array_equal(np.asarray(xc), x)
+
+    def test_length_mismatch_raises(self):
+        with pytest.raises(ValueError, match="match mask length"):
+            query.filter(jnp.ones(4, bool), jnp.zeros(5, jnp.uint32))
+
+
+class TestHashAggregate:
+    @pytest.mark.parametrize("agg", query.AGGREGATIONS)
+    def test_matches_numpy_groupby(self, rng, agg):
+        n = 8_192
+        keys = rng.integers(0, 50, n).astype(np.uint32)
+        vals = rng.integers(0, 1000, n).astype(np.uint32)
+        uk, av, cnt = query.hash_aggregate(jnp.asarray(keys), jnp.asarray(vals), agg)
+        cnt = int(cnt)
+        ref_keys = np.unique(keys)
+        assert cnt == len(ref_keys)
+        np.testing.assert_array_equal(np.asarray(uk)[:cnt], ref_keys)
+        fns = {"sum": np.sum, "count": len, "min": np.min, "max": np.max}
+        ref = np.array([fns[agg](vals[keys == k]) for k in ref_keys])
+        np.testing.assert_array_equal(
+            np.asarray(av)[:cnt].astype(np.int64), ref.astype(np.int64)
+        )
+
+    def test_float_values_sum(self, rng):
+        n = 4_096
+        keys = rng.integers(0, 8, n).astype(np.uint32)
+        vals = rng.random(n).astype(np.float32)
+        uk, av, cnt = query.hash_aggregate(jnp.asarray(keys), jnp.asarray(vals), "sum")
+        cnt = int(cnt)
+        for i, k in enumerate(np.unique(keys)):
+            np.testing.assert_allclose(
+                np.asarray(av)[i], vals[keys == k].sum(), rtol=1e-4
+            )
+
+    def test_signed_keys(self, rng):
+        keys = np.array([-5, 3, -5, 0, 3, -5], np.int32)
+        vals = np.arange(6, dtype=np.uint32)
+        uk, av, cnt = query.hash_aggregate(jnp.asarray(keys), jnp.asarray(vals), "count")
+        assert int(cnt) == 3
+        np.testing.assert_array_equal(np.asarray(uk)[:3], [-5, 0, 3])
+        np.testing.assert_array_equal(np.asarray(av)[:3], [3, 1, 2])
+
+    def test_bad_agg_raises(self):
+        with pytest.raises(ValueError, match="agg must be one of"):
+            query.hash_aggregate(jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.uint32), "median")
+
+
+class TestHashJoin:
+    def _oracle(self, lk, lv, rk, rv):
+        out = []
+        order = np.argsort(rk, kind="stable")
+        rks, rvs = rk[order], rv[order]
+        for i in range(len(lk)):
+            for j in range(len(rks)):
+                if rks[j] == lk[i]:
+                    out.append((lk[i], lv[i], rvs[j]))
+        return out
+
+    def test_inner_join(self, rng):
+        nl, nr = 500, 300
+        lk = rng.integers(0, 80, nl).astype(np.uint32)
+        lv = rng.integers(0, 2**31, nl).astype(np.uint32)
+        rk = rng.integers(0, 80, nr).astype(np.uint32)
+        rv = rng.integers(0, 2**31, nr).astype(np.uint32)
+        ref = self._oracle(lk, lv, rk, rv)
+        cap = len(ref) + 64
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
+            capacity=cap,
+        )
+        cnt = int(cnt)
+        assert not bool(ovf)
+        assert cnt == len(ref)
+        got = list(zip(np.asarray(jk)[:cnt], np.asarray(jlv)[:cnt], np.asarray(jrv)[:cnt]))
+        assert got == ref
+
+    def test_overflow_flag(self, rng):
+        lk = np.zeros(100, np.uint32)
+        rk = np.zeros(100, np.uint32)
+        v = np.arange(100, dtype=np.uint32)
+        _, _, _, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(v), jnp.asarray(rk), jnp.asarray(v),
+            capacity=128,
+        )
+        assert bool(ovf)
+        assert int(cnt) == 128
+
+    def test_no_matches(self, rng):
+        lk = np.arange(0, 50, dtype=np.uint32)
+        rk = np.arange(100, 150, dtype=np.uint32)
+        v = np.zeros(50, np.uint32)
+        _, _, _, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(v), jnp.asarray(rk), jnp.asarray(v),
+            capacity=16,
+        )
+        assert int(cnt) == 0 and not bool(ovf)
