@@ -32,6 +32,10 @@ def _words_engines():
     from radix_sort_tpu.ops import pallas_sort  # local import: optional backend
 
     return {
+        "comparator": (
+            lambda w: jnp.sort(w, stable=True),
+            lambda w: jnp.argsort(w, stable=True),
+        ),
         "oracle": (
             lambda w: jnp.sort(w, stable=True),
             lambda w: jnp.argsort(w, stable=True),
@@ -51,13 +55,17 @@ def _words_engines():
     }
 
 
-IMPLEMENTATIONS = ("auto", "oracle", "xla_argsort", "xla_rank", "pallas")
+IMPLEMENTATIONS = (
+    "auto", "comparator", "oracle", "xla_argsort", "xla_rank", "pallas",
+)
 
 
 def _resolve(implementation: str) -> str:
     if implementation == "auto":
-        backend = jax.default_backend()
-        return "pallas" if backend == "tpu" else "oracle"
+        # the XLA comparator sort currently wins single-operand cases at
+        # benchmark sizes on this chip; the Pallas pipeline ("pallas") is
+        # selected explicitly until its crossover moves (scratch/NOTES.md)
+        return "comparator"
     if implementation not in IMPLEMENTATIONS:
         raise ValueError(
             f"implementation must be one of {IMPLEMENTATIONS}, got {implementation!r}"
