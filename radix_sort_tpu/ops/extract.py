@@ -23,9 +23,9 @@ per-bucket run into a packed per-bucket HBM region:
     writes into streaming multi-KiB stores);
   - staging garbage is MAX-sentinel so unwritten tails sort to the end of
     the next round's rows;
-  - outputs: one interleaved array [region, block, 8 element-rows x Wp, 128]
-    plus a per-region count vector. ``deinterleave`` restores per-operand
-    layout.
+  - outputs: one packed array per operand (regions of cap_rows rows each)
+    plus a per-region count vector; flushes de-interleave on the way out,
+    one overlapped DMA per operand.
 
 The compactor (concatenate valid prefixes of padded regions — the inverse of
 the padded bucket layout) is the K=1 special case of the same kernel.
@@ -42,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "bucket_extract",
     "compact_regions",
-    "deinterleave",
     "phys_width",
     "MAX_WORD",
 ]
@@ -85,23 +84,25 @@ def _eflat_roll(x, s, Wp):
     return jnp.where(lane < sl, b, a)
 
 
-def _make_kernel(Wp, K, cr, cap_rows, chunks_per_bucket):
+def _make_kernel(Wp, num_out, K, cr, cap_rows, chunks_per_bucket):
     """cr = chunk element rows (chunk = cr*128 elements per operand)."""
     cap_blocks = cap_rows // FLUSH_EROWS
     n_flush = 2  # sloc after one piece < 1024 + 1920 -> at most 2 quanta
     tiers = [2, MAXE] if cr + 1 > 2 else [2]
 
     def kernel(bounds_ref, *refs):
-        # refs: Wp input blocks, prefill (aliased, unused), out_ref,
-        #       counts_ref, chunkbuf, stage, cur, obase, sem
+        # refs: Wp input blocks, num_out prefills (aliased, unused),
+        #       num_out out_refs, counts_ref, chunkbuf, stage, flushbuf,
+        #       cur, obase, sems
         x_refs = refs[:Wp]
-        out_ref = refs[Wp + 1]
-        counts_ref = refs[Wp + 2]
-        chunkbuf = refs[Wp + 3]
-        stage = refs[Wp + 4]
-        cur = refs[Wp + 5]
-        obase = refs[Wp + 6]
-        sem = refs[Wp + 7]
+        out_refs = refs[Wp + num_out : Wp + 2 * num_out]
+        counts_ref = refs[Wp + 2 * num_out]
+        chunkbuf = refs[Wp + 2 * num_out + 1]
+        stage = refs[Wp + 2 * num_out + 2]
+        flushbuf = refs[Wp + 2 * num_out + 3]
+        cur = refs[Wp + 2 * num_out + 4]
+        obase = refs[Wp + 2 * num_out + 5]
+        sems = refs[Wp + 2 * num_out + 6]
 
         c = pl.program_id(0)
         b = c // chunks_per_bucket
@@ -123,18 +124,27 @@ def _make_kernel(Wp, K, cr, cap_rows, chunks_per_bucket):
         chunkbuf[pl.ds(0, cr * Wp), :] = stk.reshape(cr * Wp, LANES)
 
         def flush(d):
-            """One flush quantum: 8 element rows of every operand -> HBM."""
+            """One flush quantum: 8 element rows of every operand -> HBM,
+            de-interleaved into per-operand regions (one DMA per operand,
+            overlapped on a semaphore array)."""
             ob = jnp.minimum(obase[d], cap_rows - FLUSH_EROWS)
-            base = ((b * K + d) * cap_blocks + ob // FLUSH_EROWS) * (
-                Wp * FLUSH_EROWS
-            )
-            dma = pltpu.make_async_copy(
-                stage.at[pl.ds(d * SRE * Wp, FLUSH_EROWS * Wp), :],
-                out_ref.at[pl.ds(base, Wp * FLUSH_EROWS), :],
-                sem,
-            )
-            dma.start()
-            dma.wait()
+            base = (b * K + d) * cap_rows + ob
+            quantum = stage[
+                pl.ds(d * SRE * Wp, FLUSH_EROWS * Wp), :
+            ].reshape(FLUSH_EROWS, Wp, LANES)
+            for w in range(num_out):
+                flushbuf[pl.ds(w * FLUSH_EROWS, FLUSH_EROWS), :] = quantum[:, w]
+            dmas = []
+            for w in range(num_out):
+                dma = pltpu.make_async_copy(
+                    flushbuf.at[pl.ds(w * FLUSH_EROWS, FLUSH_EROWS), :],
+                    out_refs[w].at[pl.ds(base, FLUSH_EROWS), :],
+                    sems.at[w],
+                )
+                dma.start()
+                dmas.append(dma)
+            for dma in dmas:
+                dma.wait()
             rest = stage[
                 pl.ds((d * SRE + FLUSH_EROWS) * Wp, (SRE - FLUSH_EROWS) * Wp), :
             ]
@@ -245,10 +255,9 @@ def bucket_extract(
     ops: list of uint32 arrays, each (nchunks*cr, 128) — chunk c grouped so
         that its bucket-d run occupies [bounds[c,d], bounds[c,d+1]).
     bounds: (nchunks, K+1) int32, non-decreasing, bounds[c,K] = valid length.
-    Returns (interleaved, counts): interleaved has shape
-        (nbuckets*K*cap_rows*Wp, 128) laid out as
-        [region, block, 8 element-rows x Wp operands, 128] where
-        Wp = phys_width(len(ops)); counts is (nbuckets*K,) int32.
+    Returns (outs, counts): one (nbuckets*K*cap_rows, 128) array per operand
+    (region r's valid prefix is counts[r] elements) and counts
+    (nbuckets*K,) int32.
     """
     num_ops = len(ops)
     Wp = phys_width(num_ops)
@@ -264,21 +273,24 @@ def bucket_extract(
         jnp.zeros_like(ops[0]) for _ in range(Wp - num_ops)
     ]
 
-    kernel = _make_kernel(Wp, K, cr, cap_rows, chunks_per_bucket)
-    cap_blocks = cap_rows // FLUSH_EROWS
-    out_rows = nbuckets * K * cap_blocks * Wp * FLUSH_EROWS
+    kernel = _make_kernel(Wp, num_ops, K, cr, cap_rows, chunks_per_bucket)
+    out_rows = nbuckets * K * cap_rows
 
     # Unwritten output blocks must read as MAX-sentinel downstream (they sort
-    # to row tails and are excluded by the valid-length clamps), so the output
-    # buffer is donated pre-filled via aliasing.
-    prefill = jnp.full((out_rows, LANES), MAX_WORD, jnp.uint32)
+    # to row tails and are excluded by the valid-length clamps), so output
+    # buffers are donated pre-filled via aliasing.
+    prefills = [
+        jnp.full((out_rows, LANES), MAX_WORD, jnp.uint32)
+        for _ in range(num_ops)
+    ]
 
-    out, counts = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((nbuckets * K,), jnp.int32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint32)
+            for _ in range(num_ops)
+        )
+        + (jax.ShapeDtypeStruct((nbuckets * K,), jnp.int32),),
         grid=(nchunks,),
         in_specs=[
             pl.BlockSpec((8, K + 1), lambda c: (c // 8, 0), memory_space=pltpu.SMEM),
@@ -287,39 +299,32 @@ def bucket_extract(
             pl.BlockSpec((cr, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM)
             for _ in range(Wp)
         ]
-        + [pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_ops)],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_ops)
+        )
+        + (pl.BlockSpec(memory_space=pltpu.SMEM),),
         scratch_shapes=[
             pltpu.VMEM(((cr + MAXE) * Wp, LANES), jnp.uint32),
             pltpu.VMEM((K * SRE * Wp, LANES), jnp.uint32),
+            pltpu.VMEM((num_ops * FLUSH_EROWS, LANES), jnp.uint32),
             pltpu.SMEM((K,), jnp.int32),
             pltpu.SMEM((K,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((num_ops,)),
         ],
-        input_output_aliases={Wp + 1: 0},
+        input_output_aliases={Wp + 1 + w: w for w in range(num_ops)},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(bounds, *ops, prefill)
-    return out, counts
-
-
-def deinterleave(out, *, num_ops, nregions, cap_rows):
-    """Interleaved kernel output -> per-operand (nregions*cap_rows, 128)."""
-    Wp = phys_width(num_ops)
-    x = out.reshape(nregions * cap_rows, Wp, LANES)
-    x = jnp.swapaxes(x, 0, 1)
-    return [x[w].reshape(nregions * cap_rows, LANES) for w in range(num_ops)]
+    )(bounds, *ops, *prefills)
+    return list(res[:num_ops]), res[num_ops]
 
 
 def compact_regions(ops, counts, *, cap_rows, interpret=None):
     """Concatenate the valid prefixes of equal-capacity regions densely.
 
     ops: list of (nregions*cap_rows, 128) uint32; counts: (nregions,) int32.
-    Returns (interleaved, total) with one region of capacity
-    nregions*cap_rows (+ slack); recover operands with ``deinterleave``.
+    Returns (outs, total): per-operand dense arrays (valid prefix = total)
+    with a few rows of slack capacity.
     """
     nregions = counts.shape[0]
     bounds = jnp.stack([jnp.zeros_like(counts), counts], axis=1)

@@ -1,19 +1,18 @@
-"""Pallas within-chunk permutation apply.
+"""Pallas within-chunk permutation apply (chunks of <= 1024 elements).
 
 Applies a data-dependent permutation to W co-arrays, one m-element chunk at
 a time: ``out[c, j] = x[c, src[c, j]]``. This is the engine's replacement
 for carrying payload operands through a comparator sort — the permutation is
 computed once on a cheap single-word surrogate (bucket-id | position) by an
-XLA rowsort, and this kernel moves all operands in one pass. XLA's own
-variadic sort pays a slow random gather per payload operand on TPU; here the
-gather runs on-chip from VMEM.
+XLA rowsort, and this kernel moves all operands in one pass. XLA's variadic
+sort pays a slow random gather per payload operand on TPU; here the gather
+runs on-chip from VMEM.
 
-Mechanics: operands are row-interleaved (element-row r at physical row
-r*Wp+w). For each output vreg the kernel enumerates every source element-row
-R of the chunk (static unrolled — a fori_loop would cost ~80 ns/iteration in
-loop overhead), broadcasts it, lane-gathers with the output's lane indices,
-and keeps lanes whose source row is R. Cost is O(m/128) vector instructions
-per output vreg, independent of operand count.
+m is capped at 1024 (one vreg of 8x128 per operand) so the gather decomposes
+into 8 source-row steps: broadcast source row R across sublanes, lane-gather
+with the output's lane indices, keep lanes whose source row is R. Operands
+are row-interleaved so the index math is shared; the per-chunk cost is
+8 * (3 + W) vector instructions for 1024*W elements.
 """
 
 from __future__ import annotations
@@ -24,43 +23,39 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from radix_sort_tpu.ops.extract import phys_width
-
-__all__ = ["apply_perm_chunks"]
+__all__ = ["apply_perm_chunks", "MAX_M"]
 
 LANES = 128
+MAX_M = 1024  # one (8,128) vreg per operand per chunk
 
 
-def _make_kernel(Wp, cr):
-    """cr = chunk rows; chunk = cr*128 elements per operand."""
+def _make_kernel(W, cr, g):
+    """W operands, cr = chunk rows (<= 8), g = chunks per grid block.
+
+    Vectorized over the g chunks of the block: every instruction works a
+    (g, cr, 128) tile, so the 8 source-row scan costs 8*(3+W) big vector
+    ops per block instead of per chunk.
+    """
 
     def kernel(src_ref, *refs):
-        x_refs = refs[:Wp]
-        out_refs = refs[Wp : 2 * Wp]
-        buf = refs[2 * Wp]  # interleaved chunk scratch (cr*Wp, 128)
+        x_refs = refs[:W]
+        out_refs = refs[W : 2 * W]
 
-        stk = jnp.stack([x_refs[w][...] for w in range(Wp)], axis=1)
-        buf[...] = stk.reshape(cr * Wp, LANES)
-
-        for ov in range(cr // 8):  # output vreg (8 element rows)
-            s = src_ref[pl.ds(ov * 8, 8), :]  # (8,128) src element index
-            srow = s // LANES
-            slane = s % LANES
-            # broadcast lane indices to the interleaved (8*Wp, 128) block
-            slane_i = jnp.repeat(slane, Wp, axis=0)
-            srow_i = jnp.repeat(srow, Wp, axis=0)
-            acc = jnp.zeros((8 * Wp, LANES), jnp.uint32)
-            for R in range(cr):
-                # one interleaved source element-row: (Wp,128) at R*Wp
-                rowblk = buf[pl.ds(R * Wp, Wp), :]
-                # tile it across the 8 output element-rows
-                bcast = jnp.concatenate([rowblk] * 8, axis=0)  # (8*Wp,128)
-                g = jnp.take_along_axis(bcast, slane_i, axis=1)
-                acc = jnp.where(srow_i == R, g, acc)
-            # write this vreg's rows out immediately (keeps VMEM flat)
-            deint = acc.reshape(8, Wp, LANES)
-            for w in range(Wp):
-                out_refs[w][pl.ds(ov * 8, 8), :] = deint[:, w]
+        s = src_ref[...]  # (g*cr, 128)
+        srow = s // LANES
+        slane = s % LANES
+        xs = [x_refs[w][...].reshape(g, cr, LANES) for w in range(W)]
+        accs = [jnp.zeros((g * cr, LANES), jnp.uint32) for _ in range(W)]
+        for R in range(cr):
+            sel = srow == R
+            for w in range(W):
+                row = jnp.broadcast_to(
+                    xs[w][:, R : R + 1, :], (g, cr, LANES)
+                ).reshape(g * cr, LANES)
+                gat = jnp.take_along_axis(row, slane, axis=1)
+                accs[w] = jnp.where(sel, gat, accs[w])
+        for w in range(W):
+            out_refs[w][...] = accs[w]
 
     return kernel
 
@@ -69,36 +64,38 @@ def apply_perm_chunks(ops, src, m, *, interpret=None):
     """out[c, j] = ops[w][c, src[c, j]] for each chunk c of m elements.
 
     ops: list of uint32 arrays (N,); src: int32 (N,) with per-chunk-local
-    source indices in [0, m). Returns the permuted list.
+    source indices in [0, m). m must divide N and be <= 1024 and a multiple
+    of 128. Returns the permuted list.
     """
-    num_ops = len(ops)
-    Wp = phys_width(num_ops)
+    assert m <= MAX_M and m % LANES == 0, m
+    W = len(ops)
     N = ops[0].shape[0]
     assert N % m == 0
     cr = m // LANES
     nchunks = N // m
+    # several chunks per grid step to amortize grid overhead
+    g = 1
+    while g < 64 and nchunks % (g * 2) == 0 and (g * 2) * cr <= 512:
+        g *= 2
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    padded = list(ops) + [ops[0]] * (Wp - num_ops)
-    kernel = _make_kernel(Wp, cr)
-
+    kernel = _make_kernel(W, cr, g)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((N // LANES, LANES), jnp.uint32)
-            for _ in range(Wp)
+            for _ in range(W)
         ),
-        grid=(nchunks,),
+        grid=(nchunks // g,),
         in_specs=[
-            pl.BlockSpec((cr, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((g * cr, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM)
         ]
-        * (Wp + 1),
+        * (W + 1),
         out_specs=tuple(
-            pl.BlockSpec((cr, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM)
-            for _ in range(Wp)
+            pl.BlockSpec((g * cr, LANES), lambda c: (c, 0), memory_space=pltpu.VMEM)
+            for _ in range(W)
         ),
-        scratch_shapes=[pltpu.VMEM((cr * Wp, LANES), jnp.uint32)],
         interpret=interpret,
-    )(src.reshape(-1, LANES), *[o.reshape(-1, LANES) for o in padded])
-    return [outs[w].reshape(-1) for w in range(num_ops)]
+    )(src.reshape(-1, LANES), *[o.reshape(-1, LANES) for o in ops])
+    return [outs[w].reshape(-1) for w in range(W)]

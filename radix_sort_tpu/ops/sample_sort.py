@@ -164,7 +164,7 @@ def sample_sort_words(
 
     # region capacity: multiple of m (round-2 chunking) and of 1024 (DMA rows)
     cap1 = _ceil_to(int(alpha * Np / K) + m, max(m, 1024))
-    inter1, counts1 = extract.bucket_extract(
+    outs1, counts1 = extract.bucket_extract(
         [o.reshape(-1, LANES) for o in ops],
         bounds1,
         K=K,
@@ -173,12 +173,7 @@ def sample_sort_words(
         nbuckets=1,
         interpret=interpret,
     )
-    ops = [
-        o.reshape(-1)
-        for o in extract.deinterleave(
-            inter1, num_ops=W, nregions=K, cap_rows=cap1 // LANES
-        )
-    ]
+    ops = [o.reshape(-1) for o in outs1]
     over1 = jnp.any(counts1 > cap1 - 9 * LANES)
 
     # ---- round 2 (per-bucket, batched)
@@ -197,7 +192,7 @@ def sample_sort_words(
     bounds2 = _bucket_ids(ops, num_keys, m, sw2, sp2_local, vl2)
 
     cap2 = _ceil_to(int(alpha * Np / (K * K)) + 1024, 1024)
-    inter2, counts2 = extract.bucket_extract(
+    outs2, counts2 = extract.bucket_extract(
         [o.reshape(-1, LANES) for o in ops],
         bounds2,
         K=K,
@@ -206,25 +201,16 @@ def sample_sort_words(
         nbuckets=K,
         interpret=interpret,
     )
-    ops = [
-        o.reshape(-1)
-        for o in extract.deinterleave(
-            inter2, num_ops=W, nregions=K * K, cap_rows=cap2 // LANES
-        )
-    ]
+    ops = [o.reshape(-1) for o in outs2]
     over2 = jnp.any(counts2 > cap2 - 9 * LANES)
 
     # ---- final: sort each region in one row, then compact valid prefixes
     ops = _rowsort(ops, cap2, num_keys)
-    interf, total = extract.compact_regions(
+    dense, total = extract.compact_regions(
         [o.reshape(-1, LANES) for o in ops],
         counts2,
         cap_rows=cap2 // LANES,
         interpret=interpret,
-    )
-    out_rows = interf.shape[0] // extract.phys_width(W)
-    dense = extract.deinterleave(
-        interf, num_ops=W, nregions=1, cap_rows=out_rows
     )
     result = [o.reshape(-1)[:N] for o in dense]
 

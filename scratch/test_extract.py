@@ -53,16 +53,13 @@ def run_case(name, N, cr, K, chunks_per_bucket, nbuckets, num_ops, seed=0):
     cap_rows = ((chunks_per_bucket * chunk // K * 3 // 2 + chunk) // 128 // 8 + 2) * 8
 
     outs = [jnp.asarray(x).reshape(-1, 128) for x in ops_np]
-    inter, counts = sync(
+    per_op, counts = sync(
         jax.jit(
             lambda ops, b: extract.bucket_extract(
                 list(ops), b, K=K, cap_rows=cap_rows,
                 chunks_per_bucket=chunks_per_bucket, nbuckets=nbuckets,
             )
         )((*outs,), jnp.asarray(bounds))
-    )
-    per_op = extract.deinterleave(
-        inter, num_ops=num_ops, nregions=nbuckets * K, cap_rows=cap_rows
     )
     ref_ops, ref_cnts = ref_extract(ops_np, bounds, K, cap_rows, chunks_per_bucket, nbuckets)
     cnts = np.asarray(counts)
@@ -94,14 +91,12 @@ rng = np.random.default_rng(1)
 nreg, cap_rows = 64, 16
 x = rng.integers(0, 2**32 - 2, nreg * cap_rows * 128, dtype=np.uint32)
 cnt = rng.integers(0, cap_rows * 128 + 1, nreg).astype(np.int32)
-inter, total = sync(
+douts, total = sync(
     jax.jit(
         lambda o, c: extract.compact_regions([o], c, cap_rows=cap_rows)
     )(jnp.asarray(x).reshape(-1, 128), jnp.asarray(cnt))
 )
-dense = extract.deinterleave(inter, num_ops=1, nregions=1, cap_rows=inter.shape[0] // 8 * 8 // 8 // 1 * 8 // 8 * 8)[0] if False else None
-# simpler: single region, num_ops=1 -> interleaved IS dense
-got = np.asarray(inter).reshape(-1)
+got = np.asarray(douts[0]).reshape(-1)
 refc = np.concatenate([x[r * cap_rows * 128 : r * cap_rows * 128 + cnt[r]] for r in range(nreg)])
 tot = int(np.asarray(total)[0])
 okc = tot == len(refc) and np.array_equal(got[: len(refc)], refc)

@@ -36,7 +36,7 @@ class TestBucketExtract:
             cuts = np.sort(rng.integers(0, valid + 1, K - 1))
             bounds[c] = np.concatenate([[0], cuts, [valid]])
         cap_rows = 48
-        inter, counts = extract.bucket_extract(
+        outs, counts = extract.bucket_extract(
             [jnp.asarray(x).reshape(-1, 128)],
             jnp.asarray(bounds),
             K=K,
@@ -44,9 +44,7 @@ class TestBucketExtract:
             chunks_per_bucket=nchunks,
             nbuckets=1,
         )
-        got = np.asarray(
-            extract.deinterleave(inter, num_ops=1, nregions=K, cap_rows=cap_rows)[0]
-        ).reshape(K, cap_rows * 128)
+        got = np.asarray(outs[0]).reshape(K, cap_rows * 128)
         for d in range(K):
             runs = [
                 x[c * chunk + bounds[c, d] : c * chunk + bounds[c, d + 1]]
@@ -60,14 +58,14 @@ class TestBucketExtract:
         nreg, cap_rows = 16, 16
         x = rng.integers(0, 2**32 - 2, nreg * cap_rows * 128, dtype=np.uint32)
         cnt = rng.integers(0, cap_rows * 128 + 1, nreg).astype(np.int32)
-        inter, total = extract.compact_regions(
+        outs, total = extract.compact_regions(
             [jnp.asarray(x).reshape(-1, 128)], jnp.asarray(cnt), cap_rows=cap_rows
         )
         ref = np.concatenate(
             [x[r * cap_rows * 128 : r * cap_rows * 128 + cnt[r]] for r in range(nreg)]
         )
         assert int(total[0]) == len(ref)
-        np.testing.assert_array_equal(np.asarray(inter).reshape(-1)[: len(ref)], ref)
+        np.testing.assert_array_equal(np.asarray(outs[0]).reshape(-1)[: len(ref)], ref)
 
 
 class TestSampleSort:
