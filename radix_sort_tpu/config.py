@@ -1,0 +1,42 @@
+"""Engine configuration (the reference hardcodes everything — main.rs:102-104,
+mod.rs:63-65; here the knobs are explicit, documented, and overridable).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["EngineConfig", "DEFAULT"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Tuning knobs of the single-chip pipeline and engine selection.
+
+    Defaults reflect the v5e measurements in scratch/NOTES.md.
+    """
+
+    # sample-sort pipeline (ops/sample_sort.py)
+    chunk_elems: int = 16384  # local-sort row length m
+    buckets_per_round: int = 64  # K; K^2 regions feed the final rowsort
+    capacity_factor: float = 1.15  # per-region slack over the balanced size
+    round1_samples_per_chunk: int = 8  # splitter oversampling, round 1
+    round2_samples: int = 512  # splitter samples per bucket, round 2
+
+    # engine selection (ops/sort.py, ops/pallas_sort.py)
+    min_pipeline_n: int = 1 << 18  # below this the comparator sort wins
+    default_implementation: str = "comparator"
+
+    # distributed (parallel/dist_sort.py)
+    dist_capacity_factor: float = 2.0
+    dist_oversample: int = 64
+
+    def pipeline_kwargs(self) -> dict:
+        return dict(
+            m=self.chunk_elems,
+            K=self.buckets_per_round,
+            alpha=self.capacity_factor,
+        )
+
+
+DEFAULT = EngineConfig()
