@@ -12,6 +12,7 @@ from radix_sort_tpu.ops.sort import (
     sort,
     argsort,
     sort_pairs,
+    sort_limbs,
     counting_sort,
     IMPLEMENTATIONS,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "sort",
     "argsort",
     "sort_pairs",
+    "sort_limbs",
     "counting_sort",
     "filter",
     "hash_aggregate",

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from radix_sort_tpu import keys as K
 from radix_sort_tpu.ops import oracle, xla_radix
 
-__all__ = ["sort", "argsort", "sort_pairs", "counting_sort", "IMPLEMENTATIONS"]
+__all__ = ["sort", "argsort", "sort_pairs", "sort_limbs", "counting_sort", "IMPLEMENTATIONS"]
 
 
 def _words_engines():
@@ -116,3 +116,33 @@ def sort_pairs(keys: jnp.ndarray, values: jnp.ndarray, *, implementation: str = 
 def counting_sort(x: jnp.ndarray) -> jnp.ndarray:
     """Single-pass counting sort for uint8 (reference mod.rs:40-59)."""
     return xla_radix.counting_sort_u8(x)
+
+
+def sort_limbs(key_words, value_words=(), *, implementation: str = "auto"):
+    """Stable co-sort by a multi-word big-endian unsigned key.
+
+    ``key_words``: most-significant-first uint32 limbs (any count — this is
+    how arbitrarily wide keys sort on 32-bit TPU lanes, covering the
+    reference's u128/usize impls, radix_digits.rs:37-53). ``value_words``:
+    additional uint32 arrays carried along. Returns the co-sorted lists
+    ``(key_words, value_words)``.
+    """
+    key_words = list(key_words)
+    value_words = list(value_words)
+    if not key_words:
+        raise ValueError("sort_limbs needs at least one key word")
+    n = key_words[0].shape[0]
+    for a in key_words + value_words:
+        if a.shape[0] != n or a.dtype != jnp.uint32:
+            raise ValueError("all limbs must be uint32 arrays of equal length")
+    impl = _resolve(implementation)
+    nk = len(key_words)
+    if impl == "pallas" and n >= 1 << 18:
+        from radix_sort_tpu.ops import sample_sort
+
+        out = sample_sort.sample_sort_words(key_words + value_words, nk)
+    else:
+        out = jax.lax.sort(
+            key_words + value_words, num_keys=nk, is_stable=True
+        )
+    return list(out[:nk]), list(out[nk:])

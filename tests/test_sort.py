@@ -89,3 +89,32 @@ def test_sort_already_sorted_and_reverse(impl):
     assert np.array_equal(
         np.asarray(rst.sort(jnp.asarray(x[::-1].copy()), implementation=impl)), x
     )
+
+
+class TestSortLimbs:
+    """Multi-word keys (the reference's u128/usize parity on 32-bit lanes)."""
+
+    def test_u128_as_four_limbs(self, rng):
+        import jax.numpy as jnp
+        from radix_sort_tpu import sort_limbs
+
+        n = 4096
+        limbs = [rng.integers(0, 2**32, n, dtype=np.uint32) for _ in range(4)]
+        payload = [np.arange(n, dtype=np.uint32)]
+        (k_out, v_out) = sort_limbs(
+            [jnp.asarray(x) for x in limbs], [jnp.asarray(payload[0])]
+        )
+        perm = np.lexsort(tuple(reversed(limbs)))
+        for got, src in zip(k_out, limbs):
+            np.testing.assert_array_equal(np.asarray(got), src[perm])
+        np.testing.assert_array_equal(np.asarray(v_out[0]), payload[0][perm])
+
+    def test_rejects_bad_dtypes(self):
+        import jax.numpy as jnp
+        import pytest
+        from radix_sort_tpu import sort_limbs
+
+        with pytest.raises(ValueError, match="uint32"):
+            sort_limbs([jnp.zeros(8, jnp.uint16)])
+        with pytest.raises(ValueError, match="at least one key"):
+            sort_limbs([])
