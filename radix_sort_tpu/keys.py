@@ -21,7 +21,12 @@ Transforms (all exactly mirror the reference semantics):
 64-bit dtypes require ``jax.config.update("jax_enable_x64", True)`` at the
 API boundary; the on-chip kernels never touch 64-bit lanes -- use
 :func:`split64` / :func:`merge64` to move between one 64-bit word and two
-32-bit limbs (TPU vector units are 32-bit).
+32-bit limbs (TPU vector units are 32-bit). Integer 64-bit transforms avoid
+bitcasts entirely (xor + two's-complement astype), so u64/i64 keys work
+even under the axon relay's x64 rewriter, which rejects 64-bit bitcasts;
+f64 keys inherently need a float<->int bitcast and therefore sort on the
+CPU backend or pre-encoded (e.g. host-side via native.host) when running
+through axon. Standard TPU runtimes support the f64 path directly.
 """
 
 from __future__ import annotations
@@ -93,9 +98,12 @@ def encode(keys: jnp.ndarray) -> jnp.ndarray:
         return keys
     if dtype in _SIGNED:
         udt, bits = _SIGNED[dtype]
-        # x ^ MIN flips the sign bit (radix_digits.rs:59 etc).
+        # x ^ MIN flips the sign bit (radix_digits.rs:59 etc). The
+        # signed->unsigned move is an astype (two's-complement wrap, bit
+        # preserving) rather than a view: 64-bit bitcasts are rejected by
+        # the axon x64 rewriter, value conversions are fine.
         sign = dtype.type(np.iinfo(dtype).min)
-        return (keys ^ sign).view(udt)
+        return (keys ^ sign).astype(udt)
     if dtype in _FLOAT:
         udt, bits = _FLOAT[dtype]
         sdt = _signed_of(bits)
@@ -114,7 +122,7 @@ def decode(words: jnp.ndarray, dtype) -> jnp.ndarray:
         return words.astype(dtype) if words.dtype != dtype else words
     if dtype in _SIGNED:
         sign = dtype.type(np.iinfo(dtype).min)
-        return words.view(dtype) ^ sign
+        return words.astype(dtype) ^ sign
     if dtype in _FLOAT:
         _, bits = _FLOAT[dtype]
         sdt = _signed_of(bits)
