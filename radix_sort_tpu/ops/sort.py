@@ -33,7 +33,10 @@ def _words_engines():
 
     return {
         "comparator": (
-            lambda w: jnp.sort(w, stable=True),
+            # keys-only sort: equal words are indistinguishable, so the
+            # unstable network gives the identical array ~20% faster;
+            # argsort keeps stability (permutation IS observable)
+            lambda w: jnp.sort(w, stable=False),
             lambda w: jnp.argsort(w, stable=True),
         ),
         "oracle": (
