@@ -65,12 +65,20 @@ def main(argv=None):
 
         if dt_name == "u64":
             # device-native u64 path: (hi, lo) u32 limb pairs end to end
-            fn = jax.jit(pallas_sort.sort_pairs_limbs)
+            engine = "sample" if args.implementation == "pallas" else "comparator"
+            fn = jax.jit(
+                lambda a, b, c, d: pallas_sort.sort_pairs_limbs(
+                    a, b, c, d, engine=engine
+                )
+            )
 
             def make(key, n):
+                # distribution shapes the hi limb (which carries the skew);
+                # the lo limb stays uniform — the 64-bit analogue of the
+                # 32-bit generators without device-side x64
                 khi, klo = jax.random.split(key)
                 return (
-                    jax.random.bits(khi, (n,), jnp.uint32),
+                    _gen_keys(khi, n, jnp.uint32, args),
                     jax.random.bits(klo, (n,), jnp.uint32),
                     jnp.zeros((n,), jnp.uint32),
                     jnp.zeros((n,), jnp.uint32),

@@ -130,11 +130,6 @@ void rst_sort_pairs_u64(uint64_t* keys, uint64_t* vals, uint64_t* tk,
   lsd_radix<uint64_t, uint64_t, true>(keys, vals, tk, tv, n, threads);
 }
 
-void rst_sort_pairs_u32_u64(uint32_t* keys, uint64_t* vals, uint32_t* tk,
-                            uint64_t* tv, int64_t n, int threads) {
-  lsd_radix<uint32_t, uint64_t, true>(keys, vals, tk, tv, n, threads);
-}
-
 int rst_num_threads(void) {
   const unsigned hc = std::thread::hardware_concurrency();
   return hc ? static_cast<int>(hc) : 4;

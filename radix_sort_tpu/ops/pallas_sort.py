@@ -29,7 +29,9 @@ __all__ = [
 
 # below this the pipeline's chunk padding dominates; use the comparator
 # (hybrid small-N cutoff, like the reference engine's single-chunk regime)
-MIN_PIPELINE_N = 1 << 18
+from radix_sort_tpu.config import DEFAULT as _CFG
+
+MIN_PIPELINE_N = _CFG.min_pipeline_n
 
 
 def _word_ops(words):

@@ -75,6 +75,9 @@ def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
     if values.shape[0] != keys.shape[0]:
         raise ValueError("keys and values must have the same length")
     n = keys.shape[0]
+    if n == 0:
+        vdt = jnp.int32 if agg == "count" else values.dtype
+        return keys, jnp.zeros((0,), vdt), jnp.int32(0)
     kw = K.encode(keys)
 
     if agg in ("min", "max"):
@@ -123,6 +126,16 @@ def hash_join(
         raise ValueError("left keys/values length mismatch")
     if right_values.shape[0] != right_keys.shape[0]:
         raise ValueError("right keys/values length mismatch")
+    if left_keys.shape[0] == 0 or right_keys.shape[0] == 0:
+        # an empty side is a normal inner-join input: zero matching pairs
+        z = jnp.zeros((capacity,), left_keys.dtype)
+        return (
+            z,
+            jnp.zeros((capacity,), left_values.dtype),
+            jnp.zeros((capacity,), right_values.dtype),
+            jnp.int32(0),
+            jnp.bool_(False),
+        )
     lk = K.encode(left_keys)
     rk = K.encode(right_keys)
     rks, rvs = _stable_sort([rk, right_values], num_keys=1)

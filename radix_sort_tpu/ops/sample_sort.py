@@ -35,10 +35,12 @@ import numpy as np
 
 from radix_sort_tpu.ops import extract
 
+from radix_sort_tpu.config import DEFAULT as _CFG
+
 __all__ = ["sample_sort_words", "DEFAULT_M", "DEFAULT_K"]
 
-DEFAULT_M = 16384  # chunk (local sort row) size in elements
-DEFAULT_K = 64  # buckets per round
+DEFAULT_M = _CFG.chunk_elems  # chunk (local sort row) size in elements
+DEFAULT_K = _CFG.buckets_per_round  # buckets per round
 LANES = 128
 _MAX = np.uint32(0xFFFFFFFF)
 
@@ -130,7 +132,7 @@ def sample_sort_words(
     *,
     m=DEFAULT_M,
     K=DEFAULT_K,
-    alpha=1.15,
+    alpha=_CFG.capacity_factor,
     interpret=None,
 ):
     """Stable sort of parallel uint32 arrays by the first ``num_keys`` words.

@@ -53,6 +53,11 @@ def distributed_hash_aggregate(
 
     def local(k, v):
         uk, av, cnt = query.hash_aggregate(k, v, agg)
+        # pad/trim to exactly max_groups (a shard may hold fewer rows)
+        pad = max(0, max_groups - uk.shape[0])
+        if pad:
+            uk = jnp.concatenate([uk, jnp.zeros((pad,), uk.dtype)])
+            av = jnp.concatenate([av, jnp.zeros((pad,), av.dtype)])
         uk = uk[:max_groups]
         av = av[:max_groups]
         overflow = cnt > max_groups

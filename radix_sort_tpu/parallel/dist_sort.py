@@ -42,9 +42,11 @@ from radix_sort_tpu import keys as K
 
 __all__ = ["distributed_sort", "distributed_sort_pairs", "uniform_bucket_id"]
 
+from radix_sort_tpu.config import DEFAULT as _CFG
+
 # samples contributed per device to the splitter sketch; oversampling keeps
 # the max bucket within ~(1 + P/OVERSAMPLE) of the mean w.h.p.
-OVERSAMPLE = 64
+OVERSAMPLE = _CFG.dist_oversample
 
 
 def uniform_bucket_id(words: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
@@ -159,7 +161,7 @@ def distributed_sort(
     mesh: Mesh,
     axis_name: str = "x",
     *,
-    capacity_factor: float = 2.0,
+    capacity_factor: float = _CFG.dist_capacity_factor,
 ):
     """Sort ``keys`` (sharded or shardable over ``mesh``'s ``axis_name``).
 
@@ -182,7 +184,7 @@ def distributed_sort_pairs(
     mesh: Mesh,
     axis_name: str = "x",
     *,
-    capacity_factor: float = 2.0,
+    capacity_factor: float = _CFG.dist_capacity_factor,
 ):
     """Key/payload variant of :func:`distributed_sort` (stable)."""
     out_words, out_vals, counts, overflow = _dist_sort_impl(

@@ -24,18 +24,26 @@ def initialize_multihost(
 
     With no arguments, relies on the TPU environment's auto-detection
     (GKE/Cloud TPU metadata); arguments override for manual launches.
+    Must run before any other JAX call touches the backend.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # single-process / already-initialized environments
-        pass
+    except RuntimeError as e:
+        msg = str(e)
+        if "already initialized" in msg:
+            return
+        if "must be called before" in msg:
+            raise RuntimeError(
+                "initialize_multihost must run before any JAX computation "
+                "initializes the backend; call it first in the launch script"
+            ) from e
+        if num_processes in (None, 1) or coordinator_address is None:
+            return  # single-process environment without TPU metadata
+        raise
 
 
 def data_mesh(axis_name: str = "x", devices=None) -> Mesh:

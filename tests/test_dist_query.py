@@ -47,3 +47,18 @@ def test_mesh_helpers():
     m = runtime.data_mesh("rows")
     assert m.axis_names == ("rows",)
     assert m.devices.size == len(jax.devices())
+
+
+def test_max_groups_exceeds_shard_rows(rng, mesh):
+    # max_groups larger than the per-shard row count must not crash
+    n = 8 * 4
+    keys = rng.integers(0, 3, n).astype(np.uint32)
+    vals = np.ones(n, np.uint32)
+    k, v = runtime.shard_rows(mesh, jnp.asarray(keys), jnp.asarray(vals))
+    uk, av, cnt, ovf = dist_query.distributed_hash_aggregate(
+        k, v, mesh, "sum", max_groups=16
+    )
+    assert not bool(ovf)
+    ref_keys = np.unique(keys)
+    assert int(cnt) == len(ref_keys)
+    np.testing.assert_array_equal(np.asarray(uk)[: int(cnt)], ref_keys)

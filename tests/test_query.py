@@ -124,3 +124,19 @@ class TestHashJoin:
             capacity=16,
         )
         assert int(cnt) == 0 and not bool(ovf)
+
+
+class TestEdgeCases:
+    def test_aggregate_empty(self):
+        uk, av, cnt = query.hash_aggregate(
+            jnp.zeros(0, jnp.uint32), jnp.zeros(0, jnp.uint32), "sum"
+        )
+        assert int(cnt) == 0 and uk.shape[0] == 0
+
+    def test_join_empty_sides(self, rng):
+        lk = jnp.asarray(np.arange(4, dtype=np.uint32))
+        v = jnp.zeros(4, jnp.uint32)
+        e = jnp.zeros(0, jnp.uint32)
+        for a, av_, b, bv in [(lk, v, e, e), (e, e, lk, v), (e, e, e, e)]:
+            _, _, _, cnt, ovf = query.hash_join(a, av_, b, bv, capacity=8)
+            assert int(cnt) == 0 and not bool(ovf)
