@@ -15,7 +15,10 @@ __all__ = ["sync"]
 
 def sync(tree):
     """Force completion of every computation feeding ``tree`` by fetching one
-    element of one leaf to the host. Returns the tree unchanged."""
+    element of each leaf to the host. Returns the tree unchanged."""
     for leaf in jax.tree_util.tree_leaves(tree):
-        np.asarray(leaf[-1:])
+        if getattr(leaf, "ndim", 0) == 0 or leaf.size == 0:
+            np.asarray(leaf)
+        else:
+            np.asarray(leaf.reshape(-1)[-1:])
     return tree
