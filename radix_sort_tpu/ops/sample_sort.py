@@ -27,8 +27,6 @@ always correct even under adversarially unbalanced splitter samples.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,13 +16,11 @@ output (enforced by tests against the oracle).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 from radix_sort_tpu import keys as K
-from radix_sort_tpu.ops import oracle, xla_radix
+from radix_sort_tpu.ops import xla_radix
 
 __all__ = ["sort", "argsort", "sort_pairs", "sort_limbs", "counting_sort", "IMPLEMENTATIONS"]
 

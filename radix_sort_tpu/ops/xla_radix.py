@@ -15,7 +15,6 @@ loop (mod.rs:84-168).
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from radix_sort_tpu import keys as K

@@ -30,7 +30,6 @@ overflow flag reports if any bucket exceeded it (diagnosed, never silent).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
