@@ -123,3 +123,15 @@ class TestSampleSort:
         ref = _sorted_by([keys, vals], 1)
         np.testing.assert_array_equal(out[0], ref[0])
         np.testing.assert_array_equal(out[1], ref[1])
+
+    def test_overflow_falls_back_to_comparator(self, rng):
+        # alpha far below 1 makes region capacities insufficient; the
+        # overflow flag must reroute through the lax.sort fallback branch
+        # and still return the exact stable result
+        n = 512 * 16
+        keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+        vals = np.arange(n, dtype=np.uint32)
+        out = _run([keys, vals], 1, m=512, K=8, alpha=0.05)
+        ref = _sorted_by([keys, vals], 1)
+        np.testing.assert_array_equal(out[0], ref[0])
+        np.testing.assert_array_equal(out[1], ref[1])
