@@ -17,7 +17,7 @@ from jax import shard_map
 
 from radix_sort_tpu.ops import query
 
-__all__ = ["distributed_hash_aggregate"]
+__all__ = ["distributed_hash_aggregate", "distributed_filter", "distributed_hash_join"]
 
 
 def _identity(dtype, combine):
@@ -86,3 +86,122 @@ def distributed_hash_aggregate(
     )
     fk, fv, fc, ovf = fn(keys, values)
     return fk, fv, fc[0], ovf[0]
+
+
+def distributed_filter(mask, *arrays, mesh: Mesh, axis_name: str = "x"):
+    """Per-shard stable compaction of row-sharded arrays.
+
+    Returns ``(*compacted, counts)``: arrays keep their sharded shape with
+    each shard's kept rows as its local valid prefix; ``counts`` is one
+    count per shard (replicated). Concatenating every shard's valid prefix
+    gives the global filtered relation in original order.
+    """
+
+    def local(m, *arrs):
+        out = query.filter(m, *arrs)
+        cnt = out[-1]
+        gcnt = jax.lax.all_gather(cnt.reshape(1), axis_name, tiled=True)
+        return (*out[:-1], gcnt)
+
+    nshards = mesh.shape[axis_name]
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(P(axis_name) for _ in range(1 + len(arrays))),
+        out_specs=tuple(P(axis_name) for _ in arrays) + (P(),),
+        check_vma=False,
+    )
+    out = fn(mask, *arrays)
+    return (*out[:-1], out[-1][:nshards])
+
+
+def distributed_hash_join(
+    left_keys,
+    left_values,
+    right_keys,
+    right_values,
+    mesh: Mesh,
+    axis_name: str = "x",
+    *,
+    capacity_per_shard: int,
+    exchange_capacity_factor: float = 2.0,
+):
+    """Inner equi-join over row-sharded relations.
+
+    Both sides are range-routed with ONE shared splitter sketch (sampled
+    from both sides' keys), so matching keys land on the same shard; each
+    shard then runs a local sort-merge join. Returns per-shard padded
+    results ``(keys, left_vals, right_vals, counts, overflow)``: shard s's
+    valid pairs are its first ``counts[s]`` rows; ``overflow`` covers both
+    exchange-capacity and join-capacity overflows.
+    """
+    from radix_sort_tpu import keys as K
+    from radix_sort_tpu.parallel import dist_sort
+
+    nshards = mesh.shape[axis_name]
+    lkw = K.encode(left_keys)
+    rkw = K.encode(right_keys)
+    sentinel = jnp.asarray(
+        np.iinfo(np.dtype(lkw.dtype)).max, dtype=lkw.dtype
+    )
+    n_left = lkw.shape[0]
+    n_right = rkw.shape[0]
+    cap_l = max(128, -(-int(n_left // nshards * exchange_capacity_factor) // nshards // 128) * 128)
+    cap_r = max(128, -(-int(n_right // nshards * exchange_capacity_factor) // nshards // 128) * 128)
+
+    def local(lw, lv, rw, rv):
+        # one splitter sketch over both sides' local sorted keys
+        ls = jnp.sort(lw)
+        rs = jnp.sort(rw)
+        merged = jnp.sort(jnp.concatenate([ls, rs]))
+        splitters = dist_sort._sample_splitters(merged, axis_name, nshards)
+
+        lws, lvs, lcnt, lovf = dist_sort._local_exchange(
+            lw, lv, axis_name, nshards, cap_l, sentinel, splitters=splitters
+        )
+        rws, rvs, rcnt, rovf = dist_sort._local_exchange(
+            rw, rv, axis_name, nshards, cap_r, sentinel, splitters=splitters
+        )
+        lcnt, rcnt = lcnt[0], rcnt[0]
+
+        # local sort-merge join: both shards sorted; clamp by valid counts
+        lo = jnp.searchsorted(rws, lws, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(rws, lws, side="right").astype(jnp.int32)
+        hi = jnp.minimum(hi, rcnt)
+        lo = jnp.minimum(lo, hi)
+        lvalid = jnp.arange(lws.shape[0]) < lcnt
+        matches = jnp.where(lvalid, hi - lo, 0)
+        starts = jnp.cumsum(matches) - matches
+        total = starts[-1] + matches[-1]
+
+        t = jnp.arange(capacity_per_shard, dtype=jnp.int32)
+        i = jnp.searchsorted(starts, t, side="right").astype(jnp.int32) - 1
+        i = jnp.clip(i, 0, lws.shape[0] - 1)
+        j = t - starts[i]
+        valid = t < jnp.minimum(total, capacity_per_shard)
+        ridx = jnp.clip(lo[i] + j, 0, rws.shape[0] - 1)
+
+        out_k = jnp.where(valid, lws[i], 0)
+        out_lv = jnp.where(valid, lvs[i], 0)
+        out_rv = jnp.where(valid, rvs[ridx], 0)
+        cnt = jnp.minimum(total, capacity_per_shard)
+        ovf = lovf[0] | rovf[0] | (total > capacity_per_shard)
+        gcnt = jax.lax.all_gather(cnt.reshape(1), axis_name, tiled=True)
+        govf = jax.lax.psum(ovf.astype(jnp.int32), axis_name) > 0
+        return out_k, out_lv, out_rv, gcnt, govf.reshape(1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 4,
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P()),
+        check_vma=False,
+    )
+    k, lv, rv, cnts, ovf = fn(lkw, left_values, rkw, right_values)
+    return (
+        K.decode(k, left_keys.dtype),
+        lv,
+        rv,
+        cnts[:nshards],
+        ovf[0],
+    )

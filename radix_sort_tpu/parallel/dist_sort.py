@@ -88,8 +88,12 @@ def _sample_splitters(s_words, axis_name, num_devices):
     return sketch[ranks]  # (P-1,) ascending
 
 
-def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel):
-    """Body run per device under shard_map. words: (n_local,) rank-space."""
+def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
+                    splitters=None):
+    """Body run per device under shard_map. words: (n_local,) rank-space.
+    ``splitters``: optional externally chosen (P-1,) range splitters (e.g. a
+    join routing both sides on one sketch); sampled from this data if None.
+    """
     n_local = words.shape[0]
 
     # --- 1+2: stable local sort; bucket id is monotonic in the key, so the
@@ -101,7 +105,8 @@ def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel):
     sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
     s_words = sorted_ops[0]
 
-    splitters = _sample_splitters(s_words, axis_name, num_devices)
+    if splitters is None:
+        splitters = _sample_splitters(s_words, axis_name, num_devices)
     bucket = jnp.searchsorted(splitters, s_words, side="right").astype(jnp.int32)
     starts = _bucket_boundaries(bucket, num_devices)
     ends = jnp.append(starts[1:], jnp.int32(n_local))

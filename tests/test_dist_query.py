@@ -62,3 +62,69 @@ def test_max_groups_exceeds_shard_rows(rng, mesh):
     ref_keys = np.unique(keys)
     assert int(cnt) == len(ref_keys)
     np.testing.assert_array_equal(np.asarray(uk)[: int(cnt)], ref_keys)
+
+
+class TestDistributedFilter:
+    def test_matches_local_filter(self, rng, mesh):
+        n = 8 * 512
+        x = rng.integers(0, 2**32, n, dtype=np.uint32)
+        m = rng.random(n) < 0.4
+        xs, ms = runtime.shard_rows(mesh, jnp.asarray(x), jnp.asarray(m))
+        xc, cnts = dist_query.distributed_filter(ms, xs, mesh=mesh)
+        cnts = np.asarray(cnts)
+        nshards = len(jax.devices())
+        per = n // nshards
+        got = np.concatenate([
+            np.asarray(xc)[s * per : s * per + cnts[s]] for s in range(nshards)
+        ])
+        np.testing.assert_array_equal(got, x[m])
+
+
+class TestDistributedHashJoin:
+    def test_matches_single_chip_join(self, rng, mesh):
+        from radix_sort_tpu.ops import query
+
+        nl = nr = 8 * 256
+        lk = rng.integers(0, 200, nl).astype(np.uint32)
+        lv = rng.integers(0, 2**31, nl).astype(np.uint32)
+        rk = rng.integers(0, 200, nr).astype(np.uint32)
+        rv = rng.integers(0, 2**31, nr).astype(np.uint32)
+        lkj, lvj, rkj, rvj = runtime.shard_rows(
+            mesh, jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv)
+        )
+        jk, jlv, jrv, cnts, ovf = dist_query.distributed_hash_join(
+            lkj, lvj, rkj, rvj, mesh, capacity_per_shard=nl * 8
+        )
+        assert not bool(ovf)
+        cnts = np.asarray(cnts)
+        nshards = len(jax.devices())
+        per = np.asarray(jk).shape[0] // nshards
+        trips = []
+        for s in range(nshards):
+            a = slice(s * per, s * per + cnts[s])
+            trips += list(zip(np.asarray(jk)[a], np.asarray(jlv)[a], np.asarray(jrv)[a]))
+        # oracle: multiset of matching triples
+        ref = []
+        for i in range(nl):
+            for j in range(nr):
+                if lk[i] == rk[j]:
+                    ref.append((lk[i], lv[i], rv[j]))
+        assert sorted(trips) == sorted(ref)
+
+    def test_skewed_keys(self, rng, mesh):
+        # heavy duplicate keys: shared-splitter routing must still match all
+        nl = nr = 8 * 128
+        lk = (rng.integers(0, 4, nl) * 1000).astype(np.uint32)
+        rk = (rng.integers(0, 4, nr) * 1000).astype(np.uint32)
+        v = np.ones(nl, np.uint32)
+        lkj, lvj, rkj, rvj = runtime.shard_rows(
+            mesh, jnp.asarray(lk), jnp.asarray(v), jnp.asarray(rk), jnp.asarray(v)
+        )
+        jk, _, _, cnts, ovf = dist_query.distributed_hash_join(
+            lkj, lvj, rkj, rvj, mesh,
+            capacity_per_shard=nl * nr // 2,  # duplicate explosion
+            exchange_capacity_factor=10.0,
+        )
+        expected = sum(int((lk == k).sum()) * int((rk == k).sum()) for k in np.unique(lk))
+        assert not bool(ovf)
+        assert int(np.asarray(cnts).sum()) == expected
