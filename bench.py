@@ -47,7 +47,13 @@ def _make_sort_fn():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=1 << 24, help="number of u64 rows")
+    ap.add_argument(
+        "--n",
+        type=int,
+        default=31_250_000,
+        help="number of u64 rows (default = the reference's smallest demo "
+        "size, 0.5GB of (u64,u64) rows, main.rs:104)",
+    )
     ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
 
