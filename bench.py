@@ -50,9 +50,9 @@ def main():
     ap.add_argument(
         "--n",
         type=int,
-        default=31_250_000,
-        help="number of u64 rows (default = the reference's smallest demo "
-        "size, 0.5GB of (u64,u64) rows, main.rs:104)",
+        default=125_000_000,
+        help="number of u64 rows (default = the reference demo's 2GB sweep "
+        "point of (u64,u64) rows, main.rs:104; ~10GB device footprint)",
     )
     ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
