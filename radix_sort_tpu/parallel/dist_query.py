@@ -146,15 +146,18 @@ def distributed_hash_join(
     )
     n_left = lkw.shape[0]
     n_right = rkw.shape[0]
-    cap_l = max(128, -(-int(n_left // nshards * exchange_capacity_factor) // nshards // 128) * 128)
-    cap_r = max(128, -(-int(n_right // nshards * exchange_capacity_factor) // nshards // 128) * 128)
+    # per-device receive capacity (the ragged exchange lands exact counts;
+    # the factor provisions for key-skew imbalance, which key-only routing
+    # cannot bound — overflow is flagged)
+    cap_l = max(128, -(-int(n_left // nshards * exchange_capacity_factor) // 128) * 128)
+    cap_r = max(128, -(-int(n_right // nshards * exchange_capacity_factor) // 128) * 128)
 
     def local(lw, lv, rw, rv):
         # one splitter sketch over both sides' local sorted keys
         ls = jnp.sort(lw)
         rs = jnp.sort(rw)
         merged = jnp.sort(jnp.concatenate([ls, rs]))
-        splitters = dist_sort._sample_splitters(merged, axis_name, nshards)
+        splitters = dist_sort._key_splitters(merged, axis_name, nshards)
 
         lws, lvs, lcnt, lovf = dist_sort._local_exchange(
             lw, lv, axis_name, nshards, cap_l, sentinel, splitters=splitters

@@ -1,30 +1,43 @@
-"""Multi-chip distributed sort: shard_map bucket exchange over a mesh.
+"""Multi-chip distributed sort: ragged bucket exchange over a device mesh.
 
 This is the TPU-native replacement for the reference's shared-memory thread
-orchestration (mod.rs:90-168): instead of OS threads over one address space,
-rows are sharded across mesh devices and redistributed with XLA collectives
-riding ICI/DCN.
+orchestration (src/radix_sort/mod.rs:90-168): instead of OS threads over one
+address space, rows are sharded across mesh devices and redistributed with
+XLA collectives riding ICI/DCN.
 
-Algorithm (single exchange round, classic distribution sort):
-  1. local stable sort of each shard in rank space (the per-chunk work,
-     analogous to one thread's chunk in mod.rs:94-99);
-  2. range-partition keys into one bucket per device -- bucket id is a
-     monotonic function of the key, so the sorted shard is already grouped
-     by destination and per-bucket slices are contiguous;
-  3. exchange buckets with `jax.lax.all_to_all` (padded to a static
-     capacity; the splitter-sampled partitioner keeps buckets balanced
-     under skew);
-  4. final local stable sort of the received rows.
+Algorithm (single exchange round — parallel sort by regular sampling, with
+composite tie-broken splitters):
 
-Equal keys keep global input order: the exchange preserves (source device,
-source position) order within each destination row block, and both local
-sorts are stable -- the same invariant the reference maintains with its
-digit-major/chunk-minor prefix sum (mod.rs:110-120).
+  1. local stable sort of each shard (the per-chunk work, analogous to one
+     thread's chunk in mod.rs:94-99);
+  2. every device contributes ``m`` evenly spaced samples of its sorted
+     shard; the gathered sketch's quantiles become the P-1 global splitters.
+     Splitters and routing both use the composite order
+     ``(key, device-major position)`` — position breaks ties, so duplicate
+     keys (the reference's StepUniform regime, src/distr.rs:78-106, and the
+     all-equal worst case) split EVENLY across devices instead of flooding
+     one. Regular sampling gives a deterministic balance bound: every
+     destination receives at most ``n/P + P*ceil(n_local/m)`` rows plus a
+     small sampling slack — no distribution can overflow a capacity
+     provisioned to that bound.
+  3. exchange the per-destination runs with ``jax.lax.ragged_all_to_all``:
+     exact counts on the wire (no padded per-pair blocks), landing
+     source-major-packed in each destination's output buffer;
+  4. final local stable sort of the received rows (padding carries an
+     explicit invalid flag as the leading sort key, so sentinel-valued real
+     keys cannot mix with padding).
 
-The output is *range-ragged*: device d holds count[d] valid rows padded to
-a static per-device capacity; concatenating valid prefixes in device order
-is the fully sorted array. `capacity_factor` provisions the static pad; an
-overflow flag reports if any bucket exceeded it (diagnosed, never silent).
+Equal keys keep global input order: routing orders ties by source position,
+the exchange lands runs in source-rank order, and both local sorts are
+stable — the same invariant the reference maintains with its digit-major /
+chunk-minor prefix sum (mod.rs:110-120).
+
+The output is *range-ragged*: device d holds count[d] valid rows padded to a
+static per-device capacity; concatenating valid prefixes in device order is
+the fully sorted array. If the exchange ever exceeds capacity (impossible
+for the provisioned bound, but reachable through the test-only ``capacity``
+override), the public entry points fall back to a replicated global sort in
+the same padded layout — the result is always exact, never flagged garbage.
 """
 
 from __future__ import annotations
@@ -39,125 +52,265 @@ from jax import shard_map
 
 from radix_sort_tpu import keys as K
 
-__all__ = ["distributed_sort", "distributed_sort_pairs", "uniform_bucket_id"]
+__all__ = ["distributed_sort", "distributed_sort_pairs", "exchange_capacity"]
 
 from radix_sort_tpu.config import DEFAULT as _CFG
 
-# samples contributed per device to the splitter sketch; oversampling keeps
-# the max bucket within ~(1 + P/OVERSAMPLE) of the mean w.h.p.
-OVERSAMPLE = _CFG.dist_oversample
+
+def _num_samples(n_local: int, num_devices: int) -> int:
+    """Samples per device for the splitter sketch.
+
+    ``m = 8 * P**2`` bounds the max bucket at ``n/P * (1 + 1/8)`` plus the
+    sampling-gap slack (see :func:`exchange_capacity`); capped by the shard
+    size (m = n_local degenerates to exact splitters) and floored for tiny
+    meshes. Note: m grows as P**2, which is fine for ICI-scale meshes; a
+    DCN-scale pod would want a hierarchical sketch instead.
+    """
+    return max(64, min(n_local, 8 * num_devices * num_devices))
 
 
-def uniform_bucket_id(words: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
-    """Monotonic key -> bucket map assuming ~uniform keys: the top 16 bits
-    scaled to [0, num_buckets). Skewed inputs use splitter-based partitions
-    instead (see partition.py)."""
-    bits = K.num_digit_bits(words.dtype)
-    top = (words >> words.dtype.type(bits - 16)).astype(jnp.uint32)
-    return ((top * np.uint32(num_buckets)) >> np.uint32(16)).astype(jnp.int32)
+def exchange_capacity(n_local: int, num_devices: int) -> int:
+    """Deterministic per-device receive bound for the regular-sampled
+    composite partition.
+
+    Between consecutive splitters lie at most ``m`` sketch samples; each
+    shard holds at most ``gap = ceil(n_local/m)`` rows between its own
+    consecutive samples, so a bucket's rows per shard are bounded by
+    ``(its samples in range + 2) * gap`` and the global bucket by
+    ``n/P + 2*P*gap`` (composite keys are duplicate-free, so this holds for
+    EVERY input distribution). A further ``P`` covers boundary rounding.
+    """
+    m = _num_samples(n_local, num_devices)
+    gap = -(-n_local // m) + 1
+    cap = n_local + (num_devices * num_devices * n_local) // m
+    cap += 2 * num_devices * gap + num_devices + 64
+    return -(-cap // 8) * 8  # round to sublane multiple
 
 
-def _bucket_boundaries(sorted_bucket_ids: jnp.ndarray, num_buckets: int):
-    """Start offset of each bucket in a bucket-sorted shard."""
-    return jnp.searchsorted(
-        sorted_bucket_ids, jnp.arange(num_buckets, dtype=sorted_bucket_ids.dtype)
-    ).astype(jnp.int32)
+def _regular_sample_positions(n_local: int, m: int) -> jnp.ndarray:
+    """Midpoints of the m equal strides through a sorted shard."""
+    pos = (jnp.arange(m, dtype=jnp.int32) * n_local) // m
+    return pos + n_local // (2 * m)
 
 
-def _gather_rows(padded: jnp.ndarray, starts: jnp.ndarray, capacity: int):
-    """rows[j] = padded[starts[j] : starts[j]+capacity] via vmapped slices."""
+def _composite_splitters(s_words, axis_name, num_devices):
+    """(P-1,) composite splitters (key word, device-major sorted position).
 
-    def row(s):
-        return jax.lax.dynamic_slice_in_dim(padded, s, capacity)
-
-    return jax.vmap(row)(starts)
-
-
-def _sample_splitters(s_words, axis_name, num_devices):
-    """Splitter-sampled range partition (the Zipf-skew taming step of the
-    north star): every device contributes an evenly spaced quantile sample of
-    its sorted shard; the gathered sketch's quantiles become the P-1 global
-    splitters. Replicated computation, O(P * OVERSAMPLE) keys."""
+    Positions are ``rank * n_local + sorted_index``. Among EQUAL keys the
+    stable local sort preserves original order, so sorted-index order equals
+    original-order — and only equal-key comparisons ever reach the position
+    tiebreak, so routing on sorted positions preserves global input order
+    exactly as original positions would.
+    """
     n_local = s_words.shape[0]
-    m = min(OVERSAMPLE, n_local)
-    pos = (jnp.arange(m, dtype=jnp.int32) * n_local) // m + n_local // (2 * m)
-    samples = s_words[pos]
-    sketch = jax.lax.all_gather(samples, axis_name, tiled=True)  # (P*m,)
+    m = _num_samples(n_local, num_devices)
+    pos = _regular_sample_positions(n_local, m)
+    r = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    samp_w = s_words[pos]
+    samp_p = r * np.int32(n_local) + pos
+    sk_w = jax.lax.all_gather(samp_w, axis_name, tiled=True)  # (P*m,)
+    sk_p = jax.lax.all_gather(samp_p, axis_name, tiled=True)
+    sk_w, sk_p = jax.lax.sort([sk_w, sk_p], num_keys=2, is_stable=True)
+    ranks = (jnp.arange(num_devices - 1, dtype=jnp.int32) + 1) * m - 1
+    return sk_w[ranks], sk_p[ranks]
+
+
+def _composite_starts(s_words, splitter_w, splitter_p, axis_name, num_devices):
+    """Start offset of each destination's run in the sorted shard.
+
+    The shard is sorted by (key, position), so each bucket is a contiguous
+    slice and its start is the count of rows lexicographically below the
+    splitter — one compare-sum per splitter (P-1 of them; a searchsorted
+    has no multi-key form and gathers are slow on TPU).
+    """
+    n_local = s_words.shape[0]
+    r = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    gpos = r * np.int32(n_local) + jnp.arange(n_local, dtype=jnp.int32)
+    w = s_words[:, None]
+    p = gpos[:, None]
+    below = (w < splitter_w[None, :]) | (
+        (w == splitter_w[None, :]) & (p < splitter_p[None, :])
+    )
+    starts = below.astype(jnp.int32).sum(axis=0)  # (P-1,)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), starts])
+
+
+def _key_splitters(s_words, axis_name, num_devices):
+    """Key-only regular-sampled splitters (no position tiebreak) — for
+    consumers that must co-locate equal keys (joins). Balance is then
+    input-dependent; duplicate-heavy keys can overflow and must be flagged
+    by the caller."""
+    n_local = s_words.shape[0]
+    m = _num_samples(n_local, num_devices)
+    pos = _regular_sample_positions(n_local, m)
+    sketch = jax.lax.all_gather(s_words[pos], axis_name, tiled=True)
     sketch = jnp.sort(sketch)
     ranks = (jnp.arange(num_devices - 1, dtype=jnp.int32) + 1) * m - 1
-    return sketch[ranks]  # (P-1,) ascending
+    return sketch[ranks]
+
+
+def _key_starts(s_words, splitters):
+    """Key-only variant (for joins: equal keys MUST co-locate, so no
+    position tiebreak; balance is then input-dependent and flagged)."""
+    starts = jnp.searchsorted(s_words, splitters, side="left").astype(jnp.int32)
+    return jnp.concatenate([jnp.zeros((1,), jnp.int32), starts])
+
+
+def _lex_ge(w, p, sw, sp):
+    """(w, p) >= (sw, sp) lexicographically (composite key order)."""
+    return (w > sw) | ((w == sw) & (p >= sp))
+
+
+def _gather_exchange(sorted_ops, sentinels, bounds, axis_name, num_devices,
+                     capacity):
+    """all_gather-based exchange: every device gathers all shards (in
+    source-major order — gpos == flat index, so stability is free) and
+    selects its own splitter range with one stable local sort.
+
+    P-times the optimal wire bytes, but exact for every distribution and
+    supported on every backend — this is the CPU virtual-mesh path (XLA:CPU
+    has no ragged-all-to-all thunk) and the reference semantics the ragged
+    path is tested against. ``bounds``: (kind, lo, hi) where kind is
+    "composite" (lo/hi are ((P-1,) key, (P-1,) pos) pairs) or "key".
+    """
+    me = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    g = [jax.lax.all_gather(x, axis_name, tiled=True) for x in sorted_ops]
+    w = g[0]
+    n_total = w.shape[0]
+    gpos = jnp.arange(n_total, dtype=jnp.int32)
+
+    kind, lo, hi = bounds
+    if kind == "composite":
+        sw, sp = lo
+        i_lo = jnp.clip(me - 1, 0, num_devices - 2)
+        ge_lo = (me == 0) | _lex_ge(w, gpos, sw[i_lo], sp[i_lo])
+        i_hi = jnp.clip(me, 0, num_devices - 2)
+        lt_hi = (me == num_devices - 1) | ~_lex_ge(w, gpos, sw[i_hi], sp[i_hi])
+    else:
+        sk = lo
+        i_lo = jnp.clip(me - 1, 0, num_devices - 2)
+        ge_lo = (me == 0) | (w >= sk[i_lo])
+        i_hi = jnp.clip(me, 0, num_devices - 2)
+        lt_hi = (me == num_devices - 1) | (w < sk[i_hi])
+    valid = ge_lo & lt_hi
+
+    invalid = (~valid).astype(jnp.int32)
+    srt = jax.lax.sort([invalid] + g, num_keys=2, is_stable=True)
+    n_valid = valid.astype(jnp.int32).sum()
+    overflow = n_valid > capacity
+    outs = []
+    pos_out = jnp.arange(capacity, dtype=jnp.int32)
+    take = min(capacity, n_total)  # capacity may over-provision tiny shards
+    for x, sent in zip(srt[1:], sentinels):
+        body = x[:take]
+        if take < capacity:
+            body = jnp.concatenate(
+                [body, jnp.full((capacity - take,), sent, x.dtype)]
+            )
+        outs.append(jnp.where(pos_out < n_valid, body, jnp.asarray(sent, x.dtype)))
+    return outs, jnp.minimum(n_valid, capacity), overflow
+
+
+def _ragged_exchange(arrays, sentinels, starts, axis_name, num_devices, capacity):
+    """Exchange each array's per-destination runs; returns (received arrays,
+    valid_count, overflow).
+
+    ``starts``: (P,) run starts in the local shard (run t is
+    [starts[t], starts[t+1]) with starts[P] == n_local implied). All sizing
+    is derived from the replicated all-gathered count matrix, so senders and
+    receivers clamp identically and out-of-bounds writes are impossible even
+    when a capacity override forces overflow.
+    """
+    n_local = arrays[0].shape[0]
+    me = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    ends = jnp.append(starts[1:], jnp.int32(n_local))
+    counts = ends - starts  # (P,) my send sizes
+
+    allc = jax.lax.all_gather(counts, axis_name, tiled=False)  # (P src, P dst)
+    excl = jnp.cumsum(allc, axis=0) - allc  # landing offsets per (src, dst)
+    oo_full = jnp.minimum(excl, capacity)
+    sz_full = jnp.minimum(allc, capacity - oo_full)
+    send_sizes = sz_full[me]  # (P,)
+    output_offsets = oo_full[me]
+    recv_sizes = sz_full[:, me]
+    overflow = jnp.any(allc.sum(axis=0) > capacity)
+
+    outs = []
+    for arr, sent in zip(arrays, sentinels):
+        buf = jnp.full((capacity,), sent, dtype=arr.dtype)
+        outs.append(
+            jax.lax.ragged_all_to_all(
+                arr, buf, starts, send_sizes, output_offsets, recv_sizes,
+                axis_name=axis_name,
+            )
+        )
+    return outs, recv_sizes.sum(), overflow
+
+
+def default_exchange() -> str:
+    """ragged-all-to-all on TPU (exact counts on the ICI wire); the
+    all_gather emulation elsewhere (XLA:CPU has no ragged-all-to-all)."""
+    return "ragged" if jax.default_backend() == "tpu" else "gather"
 
 
 def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
-                    splitters=None):
+                    splitters=None, exchange=None):
     """Body run per device under shard_map. words: (n_local,) rank-space.
-    ``splitters``: optional externally chosen (P-1,) range splitters (e.g. a
-    join routing both sides on one sketch); sampled from this data if None.
-    """
-    n_local = words.shape[0]
 
-    # --- 1+2: stable local sort; bucket id is monotonic in the key, so the
-    # shard is simultaneously sorted and grouped by destination device.
-    if values is None:
-        operands = [words]
-    else:
-        operands = [words, values]
+    ``splitters``: optional externally chosen key-only (P-1,) range
+    splitters (e.g. a join routing both sides on one shared sketch); when
+    None, composite regular-sampled splitters are drawn from this data and
+    the partition is deterministically balanced for any distribution.
+    ``exchange``: "ragged" | "gather" (default by backend).
+    """
+    if exchange is None:
+        exchange = default_exchange()
+    operands = [words] if values is None else [words, values]
     sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
     s_words = sorted_ops[0]
 
     if splitters is None:
-        splitters = _sample_splitters(s_words, axis_name, num_devices)
-    bucket = jnp.searchsorted(splitters, s_words, side="right").astype(jnp.int32)
-    starts = _bucket_boundaries(bucket, num_devices)
-    ends = jnp.append(starts[1:], jnp.int32(n_local))
-    counts = ends - starts
-
-    # --- 3: pack per-destination rows padded to static capacity and exchange.
-    pad = jnp.full((capacity,), sentinel, dtype=s_words.dtype)
-    padded_words = jnp.concatenate([s_words, pad])
-    send_words = _gather_rows(padded_words, starts, capacity)  # (P, C)
-    col = jax.lax.broadcasted_iota(jnp.int32, (num_devices, capacity), 1)
-    valid = col < counts[:, None]
-    send_words = jnp.where(valid, send_words, sentinel)
-
-    recv_words = jax.lax.all_to_all(
-        send_words, axis_name, split_axis=0, concat_axis=0, tiled=True
-    )
-    recv_counts = jax.lax.all_to_all(
-        counts.reshape(num_devices, 1), axis_name, split_axis=0, concat_axis=0,
-        tiled=True,
-    ).reshape(num_devices)
-
-    overflow = jnp.any(counts > capacity)
-    overflow = jax.lax.psum(overflow.astype(jnp.int32), axis_name) > 0
-
-    if values is not None:
-        s_vals = sorted_ops[1]
-        padded_vals = jnp.concatenate(
-            [s_vals, jnp.zeros((capacity,), dtype=s_vals.dtype)]
-        )
-        send_vals = _gather_rows(padded_vals, starts, capacity)
-        recv_vals = jax.lax.all_to_all(
-            send_vals, axis_name, split_axis=0, concat_axis=0, tiled=True
-        )
+        sw, sp = _composite_splitters(s_words, axis_name, num_devices)
+        bounds = ("composite", (sw, sp), None)
     else:
-        recv_vals = None
+        bounds = ("key", splitters, None)
 
-    # --- 4: final stable local sort. Invalid padding carries the maximal
-    # (invalid=1, key) composite so it sinks to the tail; ties keep
-    # (source device, source position) order -> global stability.
-    flat_words = recv_words.reshape(-1)
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (num_devices, capacity), 1)
-    invalid = (col2 >= recv_counts[:, None]).reshape(-1).astype(jnp.int32)
-    ops = [invalid, flat_words]
-    if recv_vals is not None:
-        ops.append(recv_vals.reshape(-1))
+    sentinels = [sentinel] + ([jnp.zeros((), sorted_ops[1].dtype)]
+                              if values is not None else [])
+    if exchange == "gather":
+        recv, n_valid, overflow = _gather_exchange(
+            sorted_ops, sentinels, bounds, axis_name, num_devices, capacity
+        )
+        out_words, out_vals = recv[0], (recv[1] if values is not None else None)
+        return (
+            out_words,
+            out_vals,
+            n_valid.astype(jnp.int32).reshape(1),
+            overflow.reshape(1),
+        )
+
+    if bounds[0] == "composite":
+        starts = _composite_starts(s_words, sw, sp, axis_name, num_devices)
+    else:
+        starts = _key_starts(s_words, splitters)
+    recv, n_valid, overflow = _ragged_exchange(
+        sorted_ops, sentinels, starts, axis_name, num_devices, capacity
+    )
+
+    # final stable local sort; explicit invalid flag leads the key so real
+    # sentinel-valued keys sort before padding, ties keep (source rank,
+    # source position) order -> global stability
+    invalid = (jnp.arange(capacity, dtype=jnp.int32) >= n_valid).astype(jnp.int32)
+    ops = [invalid] + recv
     sorted_final = jax.lax.sort(ops, num_keys=2, is_stable=True)
-
-    total = jnp.sum(recv_counts).reshape(1)
     out_words = sorted_final[1]
-    out_vals = sorted_final[2] if recv_vals is not None else None
-    return out_words, out_vals, total, overflow.reshape(1)
+    out_vals = sorted_final[2] if values is not None else None
+    return (
+        out_words,
+        out_vals,
+        n_valid.astype(jnp.int32).reshape(1),
+        overflow.reshape(1),
+    )
 
 
 def distributed_sort(
@@ -165,19 +318,26 @@ def distributed_sort(
     mesh: Mesh,
     axis_name: str = "x",
     *,
-    capacity_factor: float = _CFG.dist_capacity_factor,
+    capacity: int | None = None,
+    exchange: str | None = None,
 ):
     """Sort ``keys`` (sharded or shardable over ``mesh``'s ``axis_name``).
 
-    Returns ``(sorted_padded, counts, overflow)`` where ``sorted_padded`` has
-    shape (num_devices * capacity,) sharded over the mesh; device d's valid
-    prefix is ``counts[d]`` rows and the concatenation of valid prefixes is
-    the globally sorted array. ``overflow`` is a scalar bool -- True means a
-    bucket exceeded the static capacity and the result is unusable (raise
-    ``capacity_factor`` or use splitter partitioning).
+    Returns ``(sorted_padded, counts, overflow)`` where ``sorted_padded``
+    has shape (num_devices * capacity,) sharded over the mesh; device d's
+    valid prefix is ``counts[d]`` rows and the concatenation of valid
+    prefixes is the globally sorted array (stable, total_cmp float order —
+    the reference's semantics, src/radix_sort/tests.rs:7-23).
+
+    ``capacity`` (test/tuning override) replaces the provisioned
+    :func:`exchange_capacity` bound. If the exchange overflows — impossible
+    at the provisioned bound, reachable only through the override — the
+    result falls back to a replicated global sort laid out identically, so
+    the output is ALWAYS exact; ``overflow`` then reports that the fallback
+    path was taken.
     """
     out_words, _, counts, overflow = _dist_sort_impl(
-        K.encode(keys), None, mesh, axis_name, capacity_factor
+        K.encode(keys), None, mesh, axis_name, capacity, exchange
     )
     return K.decode(out_words, keys.dtype), counts, overflow
 
@@ -188,16 +348,38 @@ def distributed_sort_pairs(
     mesh: Mesh,
     axis_name: str = "x",
     *,
-    capacity_factor: float = _CFG.dist_capacity_factor,
+    capacity: int | None = None,
+    exchange: str | None = None,
 ):
-    """Key/payload variant of :func:`distributed_sort` (stable)."""
+    """Key/payload variant of :func:`distributed_sort` (stable; the tuple
+    semantics of the reference, src/radix_sort/radix_digits.rs:126-136)."""
     out_words, out_vals, counts, overflow = _dist_sort_impl(
-        K.encode(keys), values, mesh, axis_name, capacity_factor
+        K.encode(keys), values, mesh, axis_name, capacity, exchange
     )
     return K.decode(out_words, keys.dtype), out_vals, counts, overflow
 
 
-def _dist_sort_impl(words, values, mesh, axis_name, capacity_factor):
+def _global_sort_fallback(words, values, num_devices, capacity, sentinel):
+    """Replicated exact path in the padded per-device layout (overflow
+    insurance — mirrors the single-chip pipeline's comparator fallback,
+    ops/sample_sort.py)."""
+    n = words.shape[0]
+    n_local = n // num_devices
+    operands = [words] if values is None else [words, values]
+    srt = jax.lax.sort(operands, num_keys=1, is_stable=True)
+
+    def pad_out(x, fill):
+        x = x.reshape(num_devices, n_local)
+        pad = jnp.full((num_devices, capacity - n_local), fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=1).reshape(-1)
+
+    ow = pad_out(srt[0], sentinel)
+    ov = pad_out(srt[1], jnp.zeros((), srt[1].dtype)) if values is not None else None
+    counts = jnp.full((num_devices,), n_local, jnp.int32)
+    return ow, ov, counts
+
+
+def _dist_sort_impl(words, values, mesh, axis_name, capacity=None, exchange=None):
     num_devices = mesh.shape[axis_name]
     n = words.shape[0]
     if n % num_devices != 0:
@@ -205,16 +387,11 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity_factor):
             f"n ({n}) must be divisible by the mesh axis ({num_devices}); pad upstream"
         )
     n_local = n // num_devices
-    capacity = int(np.ceil(n_local * capacity_factor / num_devices))
-    # pad rows to lane multiples so the exchanged blocks tile well on TPU
-    capacity = max(128, -(-capacity // 128) * 128)
+    if capacity is None:
+        capacity = exchange_capacity(n_local, num_devices)
+    if capacity < n_local:
+        raise ValueError(f"capacity ({capacity}) must be >= n_local ({n_local})")
     sentinel = np.array(np.iinfo(words.dtype).max, dtype=words.dtype)
-
-    in_specs = [P(axis_name)]
-    args = [words]
-    if values is not None:
-        in_specs.append(P(axis_name))
-        args.append(values)
 
     body = functools.partial(
         _local_exchange,
@@ -222,6 +399,7 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity_factor):
         num_devices=num_devices,
         capacity=capacity,
         sentinel=sentinel,
+        exchange=exchange,
     )
 
     if values is None:
@@ -229,20 +407,40 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity_factor):
             ow, _, cnt, ovf = body(w, None)
             return ow, cnt, ovf
 
-        out_specs = (P(axis_name), P(axis_name), P(axis_name))
         ow, cnt, ovf = shard_map(
-            fn, mesh=mesh, in_specs=(P(axis_name),), out_specs=out_specs,
+            fn, mesh=mesh, in_specs=(P(axis_name),),
+            out_specs=(P(axis_name), P(axis_name), P(axis_name)),
             check_vma=False,
         )(words)
-        return ow, None, cnt, jnp.any(ovf)
+        overflow = jnp.any(ovf)
+        fb_w, _, fb_c = _global_sort_fallback(
+            words, None, num_devices, capacity, sentinel
+        )
+        ow, cnt = jax.lax.cond(
+            overflow,
+            lambda a, b, c, d: (c, d),
+            lambda a, b, c, d: (a, b),
+            ow, cnt, fb_w, fb_c,
+        )
+        return ow, None, cnt, overflow
 
     def fn2(w, v):
         ow, ov, cnt, ovf = body(w, v)
         return ow, ov, cnt, ovf
 
-    out_specs = (P(axis_name), P(axis_name), P(axis_name), P(axis_name))
     ow, ov, cnt, ovf = shard_map(
-        fn2, mesh=mesh, in_specs=(P(axis_name), P(axis_name)), out_specs=out_specs,
+        fn2, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name),) * 4,
         check_vma=False,
     )(words, values)
-    return ow, ov, cnt, jnp.any(ovf)
+    overflow = jnp.any(ovf)
+    fb_w, fb_v, fb_c = _global_sort_fallback(
+        words, values, num_devices, capacity, sentinel
+    )
+    ow, ov, cnt = jax.lax.cond(
+        overflow,
+        lambda t: t[3:],
+        lambda t: t[:3],
+        (ow, ov, cnt, fb_w, fb_v, fb_c),
+    )
+    return ow, ov, cnt, overflow

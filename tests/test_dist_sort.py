@@ -1,5 +1,11 @@
 """Distributed sort tests on the 8-virtual-device CPU mesh (the fake-backend
-pattern SURVEY.md section 4 prescribes for collectives without a TPU)."""
+pattern SURVEY.md section 4 prescribes for collectives without a TPU).
+
+The composite-splitter partition (dist_sort.py) must sort EVERY distribution
+— including the reference's duplicate-heavy StepUniform regime
+(src/distr.rs:78-106) and the all-equal worst case — without overflowing the
+provisioned exchange capacity.
+"""
 
 import numpy as np
 import jax
@@ -39,12 +45,58 @@ def test_distributed_sort_matches_oracle(rng, dtype):
     assert np.array_equal(got, np.sort(x, kind="stable"))
 
 
+def _skew_cases(rng, n):
+    yield "all_equal", np.full(n, 123456789, np.uint32)
+    yield "two_values", np.where(rng.random(n) < 0.95, 7, 9).astype(np.uint32)
+    # StepUniform: few distinct equally spaced values (distr.rs:78-106)
+    step = (np.uint64(1) << np.uint64(32)) // np.uint64(5)
+    yield "step_uniform", (
+        rng.integers(0, 5, n).astype(np.uint64) * step
+    ).astype(np.uint32)
+    # Zipf-ish: heavy head, long tail
+    z = rng.zipf(1.3, size=n)
+    yield "zipf", np.minimum(z, 1 << 31).astype(np.uint32)
+    yield "sorted_ascending", np.sort(rng.integers(0, 1 << 32, n, dtype=np.uint32))
+    yield "sorted_descending", np.sort(
+        rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    )[::-1].copy()
+
+
+def test_distributed_sort_skewed_distributions(rng):
+    """Skewed/duplicate-heavy keys must SORT, not overflow (round-1's
+    codified failure, now the capability test)."""
+    mesh = _mesh()
+    n = 8 * 2048
+    f = jax.jit(lambda k: dist_sort.distributed_sort(k, mesh))
+    for name, x in _skew_cases(rng, n):
+        out, counts, overflow = f(jnp.asarray(x))
+        assert not bool(overflow), name
+        got = _collect(out, counts, 8)
+        assert np.array_equal(got, np.sort(x, kind="stable")), name
+
+
+def test_distributed_sort_pairs_stable_under_skew(rng):
+    """Stability across device boundaries for every skew case: payload order
+    of equal keys must match the stable oracle exactly."""
+    mesh = _mesh()
+    n = 8 * 2048
+    f = jax.jit(lambda a, b: dist_sort.distributed_sort_pairs(a, b, mesh))
+    for name, keys in _skew_cases(rng, n):
+        vals = np.arange(n, dtype=np.uint32)
+        k, v, counts, overflow = f(jnp.asarray(keys), jnp.asarray(vals))
+        assert not bool(overflow), name
+        got_k = _collect(k, counts, 8)
+        got_v = _collect(v, counts, 8)
+        order = np.argsort(keys, kind="stable")
+        assert np.array_equal(got_k, keys[order]), name
+        assert np.array_equal(got_v, vals[order]), name
+
+
 def test_distributed_sort_pairs_stable(rng):
     mesh = _mesh()
     n = 8 * 2048
     keys = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
-    # force heavy duplicates to exercise stability across device boundaries
-    keys = (keys >> 24).astype(np.uint32) << 24
+    keys = (keys >> 24).astype(np.uint32) << 24  # heavy duplicates
     vals = np.arange(n, dtype=np.uint32)
     k, v, counts, overflow = jax.jit(
         lambda a, b: dist_sort.distributed_sort_pairs(a, b, mesh)
@@ -57,12 +109,40 @@ def test_distributed_sort_pairs_stable(rng):
     assert np.array_equal(got_v, vals[order])
 
 
-def test_distributed_sort_skew_overflows_gracefully(rng):
-    # constant keys all land in one bucket: must flag overflow, not corrupt
+def test_capacity_bound_is_provisioned(rng):
+    """The default capacity meets the deterministic regular-sampling bound:
+    a distribution engineered to concentrate one bucket still fits."""
+    n_local = 4096
+    cap = dist_sort.exchange_capacity(n_local, 8)
+    assert cap >= n_local  # worst single bucket can never exceed the bound
+    # bound is tight-ish: not more than ~40% slack over n_local at this size
+    assert cap <= int(n_local * 1.45)
+
+
+def test_forced_overflow_falls_back_exactly(rng):
+    """With a test-only capacity too small for the exchange, the result must
+    STILL be the exact stable sort (global-sort fallback), with the overflow
+    flag reporting the degraded path."""
     mesh = _mesh()
-    n = 8 * 2048
-    x = np.full(n, 123456789, np.uint32)
-    _, _, overflow = jax.jit(lambda k: dist_sort.distributed_sort(k, mesh))(
-        jnp.asarray(x)
-    )
-    assert bool(overflow)
+    n = 8 * 1024
+    n_local = n // 8
+    x = np.full(n, 42, np.uint32)  # all-equal: balanced by position tiebreak
+    # capacity == n_local is >= n_local (validated) but below the sampling
+    # slack the partition needs at this size, so some device overflows
+    out, counts, overflow = jax.jit(
+        lambda k: dist_sort.distributed_sort(k, mesh, capacity=n_local)
+    )(jnp.asarray(x))
+    got = _collect(out, counts, 8)
+    assert bool(overflow)  # zero-slack capacity cannot fit the last bucket
+    assert np.array_equal(got, np.sort(x, kind="stable"))
+    k2, v2, counts2, overflow2 = jax.jit(
+        lambda a, b: dist_sort.distributed_sort_pairs(
+            a, b, mesh, capacity=n_local
+        )
+    )(jnp.asarray(x), jnp.arange(n, dtype=jnp.uint32))
+    got_k = _collect(k2, counts2, 8)
+    got_v = _collect(v2, counts2, 8)
+    assert bool(overflow2)
+    assert np.array_equal(got_k, np.sort(x, kind="stable"))
+    # fallback path: payload order must still be exact (stability)
+    assert np.array_equal(got_v, np.arange(n, dtype=np.uint32))
