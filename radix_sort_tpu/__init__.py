@@ -7,12 +7,15 @@ shuffle over device meshes and the query-operator set (filter, hash join,
 hash aggregate). See SURVEY.md for the layer map this package mirrors.
 """
 
-from radix_sort_tpu import keys
+from radix_sort_tpu import config, keys
 from radix_sort_tpu.ops.sort import (
     sort,
     argsort,
     sort_pairs,
     sort_limbs,
+    sort128,
+    argsort128,
+    sort_pairs128,
     counting_sort,
     IMPLEMENTATIONS,
 )
@@ -26,11 +29,15 @@ from radix_sort_tpu.ops.query import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "config",
     "keys",
     "sort",
     "argsort",
     "sort_pairs",
     "sort_limbs",
+    "sort128",
+    "argsort128",
+    "sort_pairs128",
     "counting_sort",
     "filter",
     "hash_aggregate",

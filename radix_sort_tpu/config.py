@@ -1,12 +1,17 @@
 """Engine configuration (the reference hardcodes everything — main.rs:102-104,
 mod.rs:63-65; here the knobs are explicit, documented, and overridable).
+
+Consumers read :func:`get` at call time, so :func:`override` (a context
+manager) retunes the engine without re-importing — used by tests to shrink
+the Pallas pipeline onto interpret-mode sizes and by the demo CLI.
 """
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 
-__all__ = ["EngineConfig", "DEFAULT"]
+__all__ = ["EngineConfig", "DEFAULT", "get", "set_config", "override"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -25,7 +30,7 @@ class EngineConfig:
 
     # engine selection (ops/sort.py, ops/pallas_sort.py)
     min_pipeline_n: int = 1 << 18  # below this the comparator sort wins
-    default_implementation: str = "comparator"
+    default_implementation: str = "comparator"  # what "auto" resolves to
 
     # distributed (parallel/dist_sort.py)
     dist_capacity_factor: float = 2.0
@@ -36,7 +41,36 @@ class EngineConfig:
             m=self.chunk_elems,
             K=self.buckets_per_round,
             alpha=self.capacity_factor,
+            samples1=self.round1_samples_per_chunk,
+            samples2=self.round2_samples,
         )
 
 
 DEFAULT = EngineConfig()
+_active = DEFAULT
+
+
+def get() -> EngineConfig:
+    """The active configuration (consumers read this at call time)."""
+    return _active
+
+
+def set_config(cfg: EngineConfig) -> None:
+    global _active
+    _active = cfg
+
+
+@contextlib.contextmanager
+def override(**kwargs):
+    """Temporarily replace configuration fields::
+
+        with config.override(chunk_elems=512, buckets_per_round=4):
+            rst.sort(x, implementation="pallas")
+    """
+    global _active
+    prev = _active
+    set_config(dataclasses.replace(prev, **kwargs))
+    try:
+        yield _active
+    finally:
+        set_config(prev)

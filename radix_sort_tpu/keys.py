@@ -41,6 +41,8 @@ __all__ = [
     "num_digit_bits",
     "split64",
     "merge64",
+    "encode128",
+    "decode128",
     "SUPPORTED_DTYPES",
 ]
 
@@ -133,6 +135,41 @@ def decode(words: jnp.ndarray, dtype) -> jnp.ndarray:
         mask = (~e >> (bits - 1)) | sdt(np.iinfo(sdt).min)
         return (e ^ mask).view(dtype)
     raise TypeError(f"unsupported key dtype: {dtype}")
+
+
+def encode128(hi: jnp.ndarray, lo: jnp.ndarray, *, signed: bool = False):
+    """128-bit keys (as hi/lo 64-bit words) -> 4 big-endian uint32 rank-space
+    limbs for :func:`radix_sort_tpu.sort_limbs`.
+
+    Covers the reference's u128/i128 (and usize/isize, which alias u64/i64)
+    key types (src/radix_sort/radix_digits.rs:37-53, 87-93). For ``signed``
+    (i128), ``hi`` is the int64 high word and the sign flip of the full
+    128-bit value (``x ^ (1 << 127)``, the radix_digits.rs:93 transform) is
+    exactly the int64 sign flip of the high word. ``lo`` is always the
+    unsigned uint64 low word.
+    """
+    if signed:
+        if hi.dtype != jnp.int64:
+            raise TypeError(f"signed=True needs an int64 hi word, got {hi.dtype}")
+        hi = encode(hi)
+    elif hi.dtype != jnp.uint64:
+        raise TypeError(f"signed=False needs a uint64 hi word, got {hi.dtype}")
+    if lo.dtype != jnp.uint64:
+        raise TypeError(f"lo must be uint64 (the unsigned low word), got {lo.dtype}")
+    w0, w1 = split64(hi)
+    w2, w3 = split64(lo)
+    return [w0, w1, w2, w3]
+
+
+def decode128(limbs, *, signed: bool = False):
+    """Inverse of :func:`encode128`: 4 big-endian uint32 limbs -> (hi, lo)
+    64-bit words (hi is int64 when ``signed``)."""
+    w0, w1, w2, w3 = limbs
+    hi = merge64(w0, w1)
+    if signed:
+        hi = decode(hi, np.int64)
+    lo = merge64(w2, w3)
+    return hi, lo
 
 
 def split64(words: jnp.ndarray):

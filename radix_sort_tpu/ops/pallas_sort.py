@@ -27,11 +27,14 @@ __all__ = [
     "sort_pairs_limbs",
 ]
 
-# below this the pipeline's chunk padding dominates; use the comparator
-# (hybrid small-N cutoff, like the reference engine's single-chunk regime)
-from radix_sort_tpu.config import DEFAULT as _CFG
+from radix_sort_tpu import config
 
-MIN_PIPELINE_N = _CFG.min_pipeline_n
+
+def _min_pipeline_n():
+    """Below this the pipeline's chunk padding dominates; use the comparator
+    (hybrid small-N cutoff, like the reference engine's single-chunk regime).
+    Read at call time so config.override retunes it."""
+    return config.get().min_pipeline_n
 
 
 def _word_ops(words):
@@ -52,7 +55,7 @@ def _restore(ops, dtype):
 
 
 def sort_words(words: jnp.ndarray) -> jnp.ndarray:
-    if words.shape[0] < MIN_PIPELINE_N:
+    if words.shape[0] < _min_pipeline_n():
         return jnp.sort(words, stable=True)
     ops, nk = _word_ops(words)
     out = sample_sort.sample_sort_words(ops, nk)
@@ -60,7 +63,7 @@ def sort_words(words: jnp.ndarray) -> jnp.ndarray:
 
 
 def argsort_words(words: jnp.ndarray) -> jnp.ndarray:
-    if words.shape[0] < MIN_PIPELINE_N:
+    if words.shape[0] < _min_pipeline_n():
         return jnp.argsort(words, stable=True)
     ops, nk = _word_ops(words)
     idx = jnp.arange(words.shape[0], dtype=jnp.uint32)
@@ -69,7 +72,7 @@ def argsort_words(words: jnp.ndarray) -> jnp.ndarray:
 
 
 def sort_pairs_words(words: jnp.ndarray, values: jnp.ndarray):
-    if words.shape[0] < MIN_PIPELINE_N:
+    if words.shape[0] < _min_pipeline_n():
         srt = jax.lax.sort(
             [words, values], num_keys=1, is_stable=True
         )
@@ -77,7 +80,15 @@ def sort_pairs_words(words: jnp.ndarray, values: jnp.ndarray):
     ops, nk = _word_ops(words)
     vdt = values.dtype
     if np.dtype(vdt).itemsize == 8:
-        vw = values.view(jnp.uint64) if vdt != jnp.uint64 else values
+        # bitcast-free for integer payloads (astype int64->uint64 is a
+        # two's-complement wrap, bit preserving); f64 payloads need a real
+        # bitcast and remain CPU-backend-only under the axon relay
+        if vdt == jnp.uint64:
+            vw = values
+        elif vdt == jnp.int64:
+            vw = values.astype(jnp.uint64)
+        else:
+            vw = values.view(jnp.uint64)
         vhi, vlo = K.split64(vw)
         vops = [vhi, vlo]
     elif np.dtype(vdt).itemsize == 4:
@@ -89,7 +100,10 @@ def sort_pairs_words(words: jnp.ndarray, values: jnp.ndarray):
     vout = out[nk:]
     if np.dtype(vdt).itemsize == 8:
         vals = K.merge64(vout[0], vout[1])
-        vals = vals if vdt == jnp.uint64 else vals.view(vdt)
+        if vdt == jnp.int64:
+            vals = vals.astype(jnp.int64)
+        elif vdt != jnp.uint64:
+            vals = vals.view(vdt)
     elif np.dtype(vdt).itemsize == 4:
         vals = vout[0].view(vdt)
     else:

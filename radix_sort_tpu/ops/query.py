@@ -96,8 +96,17 @@ def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
     if agg in ("sum", "count"):
         if agg == "count":
             sv = jnp.ones((n,), jnp.int32)
-        # compact the running total at each group END; consecutive ends then
-        # differ by exactly the group's sum — no segment fill or gather
+        if jnp.issubdtype(sv.dtype, jnp.floating):
+            # floats: a per-group segmented reduction — the cumsum-difference
+            # trick inherits cancellation error proportional to the whole
+            # preceding prefix, much worse than per-group IEEE summation
+            gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+            seg = jax.ops.segment_sum(sv, gid, num_segments=n)
+            out_keys, _, count = filter(last, uk, sv)
+            return out_keys, seg, count
+        # ints: compact the running total at each group END; consecutive ends
+        # then differ by exactly the group's sum (modular arithmetic is exact
+        # under wraparound) — no segment fill or gather
         csum = jnp.cumsum(sv)
         out_keys, csum_c, count = filter(last, uk, csum)
         prev = jnp.roll(csum_c, 1).at[0].set(0)
@@ -145,6 +154,18 @@ def hash_join(
     starts = jnp.cumsum(matches) - matches  # output offset per left row
     total = starts[-1] + matches[-1] if matches.shape[0] else jnp.int32(0)
 
+    # >2^31 total pairs wrap the int32 running sum (duplicate-heavy keys on
+    # large inputs). A true prefix sum is non-decreasing, so wrapped entries
+    # are exactly those below the running max: poison them to INT32_MAX (all
+    # wrapped rows lie beyond any practical capacity) so the expansion's
+    # binary search still resolves the un-wrapped prefix exactly, and force
+    # the overflow flag — never a silently-negative count.
+    mono = jax.lax.cummax(starts)
+    wrapped = jnp.any(starts != mono) | (total < 0)
+    big = jnp.int32(2**31 - 1)
+    starts = jnp.where(starts == mono, starts, big)
+    total = jnp.where(wrapped, big, total)
+
     # expansion: output slot t belongs to left row i(t), match ordinal
     # j(t) = t - starts[i]; i(t) via searchsorted over the offsets
     t = jnp.arange(capacity, dtype=jnp.int32)
@@ -158,5 +179,5 @@ def hash_join(
     out_lv = jnp.where(valid, left_values[i], 0)
     out_rv = jnp.where(valid, rvs[ridx], 0)
     count = jnp.minimum(total, capacity)
-    overflow = total > capacity
+    overflow = (total > capacity) | wrapped
     return out_keys, out_lv, out_rv, count, overflow

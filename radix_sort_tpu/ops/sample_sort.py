@@ -33,12 +33,10 @@ import numpy as np
 
 from radix_sort_tpu.ops import extract
 
-from radix_sort_tpu.config import DEFAULT as _CFG
+from radix_sort_tpu import config
 
-__all__ = ["sample_sort_words", "DEFAULT_M", "DEFAULT_K"]
+__all__ = ["sample_sort_words"]
 
-DEFAULT_M = _CFG.chunk_elems  # chunk (local sort row) size in elements
-DEFAULT_K = _CFG.buckets_per_round  # buckets per round
 LANES = 128
 _MAX = np.uint32(0xFFFFFFFF)
 
@@ -87,7 +85,7 @@ def _bucket_ids(ops, num_keys, m, splits_w, splits_p, valid_len):
     return jnp.concatenate(cols, axis=1)
 
 
-def _round1_splitters(ops, num_keys, m, K, samples_per_chunk=8):
+def _round1_splitters(ops, num_keys, m, K, samples_per_chunk):
     """Composite (key, pos) quantile splitters from the sorted chunks."""
     nchunks = ops[0].shape[0] // m
     s = samples_per_chunk
@@ -104,7 +102,7 @@ def _round1_splitters(ops, num_keys, m, K, samples_per_chunk=8):
     return sw, sp  # each (K-1,)
 
 
-def _round2_splitters(ops, num_keys, counts, cap_elems, K, n_samples=512):
+def _round2_splitters(ops, num_keys, counts, cap_elems, K, n_samples):
     """Per-bucket splitters sampled at count-quantile positions."""
     nb = counts.shape[0]
     frac = (2 * jnp.arange(n_samples, dtype=jnp.int32) + 1)
@@ -128,17 +126,26 @@ def sample_sort_words(
     ops,
     num_keys,
     *,
-    m=DEFAULT_M,
-    K=DEFAULT_K,
-    alpha=_CFG.capacity_factor,
+    m=None,
+    K=None,
+    alpha=None,
+    samples1=None,
+    samples2=None,
     interpret=None,
 ):
     """Stable sort of parallel uint32 arrays by the first ``num_keys`` words.
 
     All arrays are co-sorted; keys compare lexicographically (the caller maps
     dtypes into rank-space words, 64-bit keys as hi/lo limbs). Returns the
-    sorted list.
+    sorted list. Unset knobs resolve from the active EngineConfig
+    (config.get()) at call time.
     """
+    cfg = config.get()
+    m = cfg.chunk_elems if m is None else m
+    K = cfg.buckets_per_round if K is None else K
+    alpha = cfg.capacity_factor if alpha is None else alpha
+    samples1 = cfg.round1_samples_per_chunk if samples1 is None else samples1
+    samples2 = cfg.round2_samples if samples2 is None else samples2
     W = len(ops)
     N = ops[0].shape[0]
     _orig = list(ops)  # for the overflow fallback branch
@@ -152,7 +159,7 @@ def sample_sort_words(
 
     # ---- round 1
     ops = _rowsort(ops, m, num_keys)
-    sw1, sp1 = _round1_splitters(ops, num_keys, m, K)
+    sw1, sp1 = _round1_splitters(ops, num_keys, m, K, samples1)
     sw1 = [jnp.broadcast_to(w[None, :], (nchunks, K - 1)) for w in sw1]
     # splitter positions are global; _bucket_ids compares within-chunk
     # positions, so shift into each chunk's local coordinates
@@ -180,7 +187,7 @@ def sample_sort_words(
     ops = _rowsort(ops, m, num_keys)
     cpb = cap1 // m  # chunks per bucket
     nchunks2 = K * cpb
-    sw2, sp2 = _round2_splitters(ops, num_keys, counts1, cap1, K)
+    sw2, sp2 = _round2_splitters(ops, num_keys, counts1, cap1, K, samples2)
     sw2 = [jnp.repeat(w, cpb, axis=0) for w in sw2]  # (nchunks2, K-1)
     sp2 = jnp.repeat(sp2, cpb, axis=0)
     # valid length per chunk, and positions local to the bucket

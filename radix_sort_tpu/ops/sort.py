@@ -19,10 +19,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from radix_sort_tpu import config
 from radix_sort_tpu import keys as K
 from radix_sort_tpu.ops import xla_radix
 
-__all__ = ["sort", "argsort", "sort_pairs", "sort_limbs", "counting_sort", "IMPLEMENTATIONS"]
+__all__ = [
+    "sort",
+    "argsort",
+    "sort_pairs",
+    "sort_limbs",
+    "sort128",
+    "argsort128",
+    "sort_pairs128",
+    "counting_sort",
+    "IMPLEMENTATIONS",
+]
 
 
 def _words_engines():
@@ -63,10 +74,9 @@ IMPLEMENTATIONS = (
 
 def _resolve(implementation: str) -> str:
     if implementation == "auto":
-        # the XLA comparator sort currently wins single-operand cases at
-        # benchmark sizes on this chip; the Pallas pipeline ("pallas") is
-        # selected explicitly until its crossover moves (scratch/NOTES.md)
-        return "comparator"
+        # "auto" follows the active config's default engine (measured per
+        # chip; scratch/NOTES.md tracks the comparator/pipeline crossover)
+        return config.get().default_implementation
     if implementation not in IMPLEMENTATIONS:
         raise ValueError(
             f"implementation must be one of {IMPLEMENTATIONS}, got {implementation!r}"
@@ -138,7 +148,7 @@ def sort_limbs(key_words, value_words=(), *, implementation: str = "auto"):
             raise ValueError("all limbs must be uint32 arrays of equal length")
     impl = _resolve(implementation)
     nk = len(key_words)
-    if impl == "pallas" and n >= 1 << 18:
+    if impl == "pallas" and n >= config.get().min_pipeline_n:
         from radix_sort_tpu.ops import sample_sort
 
         out = sample_sort.sample_sort_words(key_words + value_words, nk)
@@ -147,3 +157,35 @@ def sort_limbs(key_words, value_words=(), *, implementation: str = "auto"):
             key_words + value_words, num_keys=nk, is_stable=True
         )
     return list(out[:nk]), list(out[nk:])
+
+
+def sort128(hi, lo, *, signed: bool = False, implementation: str = "auto"):
+    """Stable sort of 128-bit keys held as (hi, lo) 64-bit words.
+
+    The reference's u128/i128 key types (radix_digits.rs:37-53, 87-93) on a
+    32-bit-lane TPU: keys travel as 4 big-endian uint32 limbs
+    (:func:`radix_sort_tpu.keys.encode128`). ``signed`` selects i128 (hi is
+    int64). Returns the sorted (hi, lo) pair.
+    """
+    limbs = K.encode128(hi, lo, signed=signed)
+    out, _ = sort_limbs(limbs, implementation=implementation)
+    return K.decode128(out, signed=signed)
+
+
+def argsort128(hi, lo, *, signed: bool = False, implementation: str = "auto"):
+    """Indices of the stable 128-bit total-order sort."""
+    limbs = K.encode128(hi, lo, signed=signed)
+    idx = jnp.arange(hi.shape[0], dtype=jnp.uint32)
+    _, vals = sort_limbs(limbs, [idx], implementation=implementation)
+    return vals[0].astype(jnp.int32)
+
+
+def sort_pairs128(hi, lo, values, *, signed: bool = False,
+                  implementation: str = "auto"):
+    """Stable 128-bit key / uint32-payload row sort (tuple semantics,
+    radix_digits.rs:126-136). Returns ((hi, lo), values)."""
+    if values.dtype != jnp.uint32:
+        raise TypeError(f"values must be uint32 words, got {values.dtype}")
+    limbs = K.encode128(hi, lo, signed=signed)
+    out, vals = sort_limbs(limbs, [values], implementation=implementation)
+    return K.decode128(out, signed=signed), vals[0]

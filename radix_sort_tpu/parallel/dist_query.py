@@ -70,11 +70,16 @@ def distributed_hash_aggregate(
         # Merge padded (invalid) rows into an existing group with identity
         # contributions: rewrite their key to an always-valid key and their
         # value to the combine's identity — exact counts, no junk groups.
-        anchor = guk[0]  # shard 0's first group: valid whenever rows exist
+        # Anchor on the FIRST VALID row anywhere (argmax finds it), not
+        # shard 0's first slot: shard 0 may legitimately contribute zero
+        # groups (empty shard / uneven sharding).
+        any_valid = jnp.any(gvalid)
+        anchor = guk[jnp.argmax(gvalid)]
         guk2 = jnp.where(gvalid, guk, anchor)
         ident = _identity(gav.dtype, combine)
         gav2 = jnp.where(gvalid, gav, ident)
         fk, fv, fc = query.hash_aggregate(guk2, gav2, combine)
+        fc = jnp.where(any_valid, fc, 0)  # all-invalid: zero groups, not one
         return fk, fv, fc.reshape(1), govf.reshape(1)
 
     fn = shard_map(
@@ -176,6 +181,13 @@ def distributed_hash_join(
         matches = jnp.where(lvalid, hi - lo, 0)
         starts = jnp.cumsum(matches) - matches
         total = starts[-1] + matches[-1]
+        # int32 wraparound guard (see ops/query.py hash_join): poison wrapped
+        # prefix entries and force the overflow flag
+        mono = jax.lax.cummax(starts)
+        wrapped = jnp.any(starts != mono) | (total < 0)
+        big = jnp.int32(2**31 - 1)
+        starts = jnp.where(starts == mono, starts, big)
+        total = jnp.where(wrapped, big, total)
 
         t = jnp.arange(capacity_per_shard, dtype=jnp.int32)
         i = jnp.searchsorted(starts, t, side="right").astype(jnp.int32) - 1
@@ -188,7 +200,7 @@ def distributed_hash_join(
         out_lv = jnp.where(valid, lvs[i], 0)
         out_rv = jnp.where(valid, rvs[ridx], 0)
         cnt = jnp.minimum(total, capacity_per_shard)
-        ovf = lovf[0] | rovf[0] | (total > capacity_per_shard)
+        ovf = lovf[0] | rovf[0] | (total > capacity_per_shard) | wrapped
         gcnt = jax.lax.all_gather(cnt.reshape(1), axis_name, tiled=True)
         govf = jax.lax.psum(ovf.astype(jnp.int32), axis_name) > 0
         return out_k, out_lv, out_rv, gcnt, govf.reshape(1)

@@ -26,15 +26,21 @@ def initialize_multihost(
     (GKE/Cloud TPU metadata); arguments override for manual launches.
     Must run before any other JAX call touches the backend.
     """
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return  # idempotent
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
+        # ValueError: non-cluster environment without coordinator metadata
+        # ("coordinator_address should be defined") — the documented no-op
+        # single-process case. RuntimeError: double init ("should only be
+        # called once") or late init.
         msg = str(e)
-        if "already initialized" in msg:
+        if "called once" in msg or "already initialized" in msg:
             return
         if "must be called before" in msg:
             raise RuntimeError(

@@ -10,7 +10,13 @@ from radix_sort_tpu.utils.profiling import PhaseTimer, speed_of_light_s
 def test_config_pipeline_kwargs_round_trip():
     cfg = EngineConfig(chunk_elems=4096, buckets_per_round=32)
     kw = cfg.pipeline_kwargs()
-    assert kw == dict(m=4096, K=32, alpha=DEFAULT.capacity_factor)
+    assert kw == dict(
+        m=4096,
+        K=32,
+        alpha=DEFAULT.capacity_factor,
+        samples1=DEFAULT.round1_samples_per_chunk,
+        samples2=DEFAULT.round2_samples,
+    )
 
 
 def test_config_is_frozen():
