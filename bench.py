@@ -36,13 +36,22 @@ def _gen_limbs(key, n):
     return hi, lo, vhi, vlo
 
 
-def _make_sort_fn():
+def _make_sort_fn(engine):
     from radix_sort_tpu.ops import pallas_sort
 
     def sort_pairs_limbs(hi, lo, vhi, vlo):
-        return pallas_sort.sort_pairs_limbs(hi, lo, vhi, vlo)
+        return pallas_sort.sort_pairs_limbs(hi, lo, vhi, vlo, engine=engine)
 
     return jax.jit(sort_pairs_limbs)
+
+
+def _auto_n():
+    """Default size: the reference demo's 2GB sweep point of (u64,u64) rows
+    (main.rs:104, ~10GB device footprint) on a real TPU; a modest size on
+    the CPU backend / small devices, where 125M rows would OOM or thrash."""
+    if jax.default_backend() == "tpu":
+        return 125_000_000
+    return 1 << 22
 
 
 def main():
@@ -50,16 +59,20 @@ def main():
     ap.add_argument(
         "--n",
         type=int,
-        default=125_000_000,
-        help="number of u64 rows (default = the reference demo's 2GB sweep "
-        "point of (u64,u64) rows, main.rs:104; ~10GB device footprint)",
+        default=0,
+        help="number of u64 rows; 0 = auto (the reference 2GB sweep point "
+        "on TPU, 4M elsewhere)",
     )
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--engine", default="auto",
+                    help="auto (config default) | comparator | sample")
     args = ap.parse_args()
+    if args.n == 0:
+        args.n = _auto_n()
 
     from radix_sort_tpu.utils.timing import sync
 
-    sort_fn = _make_sort_fn()
+    sort_fn = _make_sort_fn(args.engine)
     key = jax.random.PRNGKey(0)
 
     # compile + warmup (excluded from timing, like the reference's per-run

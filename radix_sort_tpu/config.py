@@ -22,11 +22,17 @@ class EngineConfig:
     """
 
     # sample-sort pipeline (ops/sample_sort.py)
-    chunk_elems: int = 16384  # local-sort row length m
-    buckets_per_round: int = 64  # K; K^2 regions feed the final rowsort
+    chunk_elems: int = 4096  # local-sort row length m (probe r2c: the 4-op
+    # rowsort is ~14 ms at m=4096 vs ~45 at m=16384; extract's per-append
+    # cost prefers big chunks, and m=4096 is the measured balance point)
+    buckets_per_round: int = 64  # per-round bucket ceiling (the tiered
+    # extract's per-append cost cliffs above ~K=64: probe r2c)
     capacity_factor: float = 1.15  # per-region slack over the balanced size
     round1_samples_per_chunk: int = 8  # splitter oversampling, round 1
     round2_samples: int = 512  # splitter samples per bucket, round 2
+
+    final_chunk_target: int = 2000  # planner aims leaf regions at this size
+    # (so leaf cap = ~2000*alpha*1.25 + flush margin lands on 4096 exactly)
 
     # engine selection (ops/sort.py, ops/pallas_sort.py)
     min_pipeline_n: int = 1 << 18  # below this the comparator sort wins

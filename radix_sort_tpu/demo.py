@@ -1,12 +1,19 @@
 """Benchmark demo CLI — the reference's `cargo run -r` path rebuilt for TPU.
 
-Reproduces the measurement protocol of src/main.rs:101-127: for each size in
-a GB sweep and each row type, sample fresh uniform key/payload rows per run,
-time the full sort on device, and print the mean wall-clock. Extras over the
-reference: selectable distribution (uniform / zipf / geometric /
-step_uniform, src/distr.rs), selectable engine, and keys/s + GB/s columns.
+Reproduces the measurement protocols of src/main.rs:
+
+  - main.rs:101-127 (main): a GB sweep per row type; fresh rows per run;
+    mean wall-clock per size. Extras: selectable distribution, keys/s and
+    GB/s columns.
+  - main.rs:36-45 (bench_sorts): SEVERAL engines timed on clones of the SAME
+    data — `--engines comparator pallas` prints a side-by-side table.
+  - main.rs:47-81 (bench_sorts_data) + main.rs:83-99 (gen_data): persist a
+    dataset once (`--gen-data file.raw --n ...`), bench it repeatedly and
+    bit-identically (`--data file.raw`).
 
 Run:  python -m radix_sort_tpu.demo --sizes 0.5 1.0 --dtypes u32 u64 --runs 5
+      python -m radix_sort_tpu.demo --gen-data /tmp/d.raw --n 1e8 --dist zipf
+      python -m radix_sort_tpu.demo --data /tmp/d.raw --engines comparator pallas
 """
 
 from __future__ import annotations
@@ -35,7 +42,19 @@ def _parse_args(argv=None):
     p.add_argument("--zipf-s", type=float, default=1.1)
     p.add_argument("--steps", type=int, default=1000,
                    help="distinct values for step_uniform")
-    p.add_argument("--implementation", default="auto")
+    p.add_argument("--implementation", default=None,
+                   help="single engine (legacy alias for --engines X)")
+    p.add_argument("--engines", nargs="+", default=None,
+                   help="engines timed side-by-side on clones of the same "
+                        "data (main.rs:36-42), e.g. comparator pallas")
+    p.add_argument("--data", default=None, metavar="FILE.raw",
+                   help="bench keys from a persisted dataset "
+                        "(utils.io.read_raw; main.rs:47-81)")
+    p.add_argument("--gen-data", default=None, metavar="FILE.raw",
+                   help="generate+persist a dataset, then exit (main.rs:83-99)")
+    p.add_argument("--n", type=float, default=None,
+                   help="element count for --gen-data")
+    p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -51,67 +70,130 @@ def _gen_keys(key, n, dtype, args):
     return D.step_uniform(key, n, args.steps, dtype)
 
 
-def main(argv=None):
-    args = _parse_args(argv)
+def _gen_limbs(key, n, args):
+    from radix_sort_tpu.utils import distributions as D
+
+    if args.dist == "uniform":
+        return D.key_uniform_limbs(key, n)
+    if args.dist == "zipf":
+        return D.zipf_limbs(key, n, s=args.zipf_s)
+    if args.dist == "geometric":
+        return D.geometric_limbs(key, n)
+    return D.step_uniform_limbs(key, n, args.steps)
+
+
+def _engine_fns(dt_name, engines):
+    """One jitted (data...) -> sorted closure per engine name."""
     from radix_sort_tpu.ops import pallas_sort
-    from radix_sort_tpu.utils.timing import sync
     import radix_sort_tpu as rst
 
-    print(f"backend={jax.default_backend()} devices={jax.devices()}")
-    key = jax.random.PRNGKey(0)
+    fns = {}
+    for eng in engines:
+        if dt_name == "u64":
+            # device-native u64 path: (hi, lo) u32 limb pairs end to end
+            limb_eng = "sample" if eng == "pallas" else "comparator"
+            if eng not in ("pallas", "comparator", "auto"):
+                raise SystemExit(f"u64 rows support comparator/pallas, not {eng!r}")
+            fns[eng] = jax.jit(
+                lambda a, b, c, d, e=limb_eng: pallas_sort.sort_pairs_limbs(
+                    a, b, c, d, engine=e
+                )
+            )
+        else:
+            fns[eng] = jax.jit(
+                lambda k, v, e=eng: rst.sort_pairs(k, v, implementation=e)
+            )
+    return fns
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+    from radix_sort_tpu.utils.timing import sync
+    from radix_sort_tpu.utils import io
+
+    if args.gen_data:
+        if args.n is None:
+            raise SystemExit("--gen-data needs --n")
+        kw = {}
+        if args.dist == "zipf":
+            kw["s"] = args.zipf_s
+        if args.dist == "step_uniform":
+            kw["num_steps"] = args.steps
+        dtype = np.uint64 if "u64" in args.dtypes and "u32" not in args.dtypes else np.uint32
+        arr = io.gen_data(args.gen_data, int(args.n), dtype=dtype,
+                          dist=args.dist, seed=args.seed, **kw)
+        print(f"wrote {arr.size} {arr.dtype} keys ({arr.nbytes/1e9:.2f} GB) "
+              f"to {args.gen_data} (dist={args.dist})")
+        return
+
+    engines = args.engines or ([args.implementation] if args.implementation else ["auto"])
+    print(f"backend={jax.default_backend()} devices={jax.devices()} "
+          f"engines={engines}")
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.data:
+        # bit-identical persisted dataset (bench_sorts_data, main.rs:47-81)
+        host = io.read_raw(args.data)
+        dt_name = {4: "u32", 8: "u64"}[host.dtype.itemsize]
+        n = host.size
+        fns = _engine_fns(dt_name, engines)
+        if dt_name == "u64":
+            hi = jnp.asarray((host >> np.uint64(32)).astype(np.uint32))
+            lo = jnp.asarray(host.astype(np.uint32))
+            z = jnp.zeros((n,), jnp.uint32)
+            data = (hi, lo, z, z)
+        else:
+            data = (jnp.asarray(host), jnp.zeros((n,), jnp.uint32))
+        gb = host.nbytes * 2 / 1e9  # key+payload rows
+        for eng in engines:
+            sync(fns[eng](*data))  # compile + warm
+            times = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                sync(fns[eng](*data))
+                times.append(time.perf_counter() - t0)
+            mean = float(np.mean(times))
+            print(f"Sorted {args.data} [{n} ({dt_name},{dt_name}) rows] "
+                  f"with {eng}: {mean:.4f}s  ({n/mean/1e6:.1f}M keys/s, "
+                  f"{gb/mean:.2f} GB/s)")
+        return
 
     for dt_name in args.dtypes:
         rowbytes = {"u32": 8, "u64": 16}[dt_name]
+        fns = _engine_fns(dt_name, engines)
 
-        if dt_name == "u64":
-            # device-native u64 path: (hi, lo) u32 limb pairs end to end
-            engine = "sample" if args.implementation == "pallas" else "comparator"
-            fn = jax.jit(
-                lambda a, b, c, d: pallas_sort.sort_pairs_limbs(
-                    a, b, c, d, engine=engine
-                )
-            )
-
-            def make(key, n):
-                # distribution shapes the hi limb (which carries the skew);
-                # the lo limb stays uniform — the 64-bit analogue of the
-                # 32-bit generators without device-side x64
-                khi, klo = jax.random.split(key)
-                return (
-                    _gen_keys(khi, n, jnp.uint32, args),
-                    jax.random.bits(klo, (n,), jnp.uint32),
-                    jnp.zeros((n,), jnp.uint32),
-                    jnp.zeros((n,), jnp.uint32),
-                )
-        else:
-            impl = args.implementation
-
-            def step(k, v):
-                return rst.sort_pairs(k, v, implementation=impl)
-
-            fn = jax.jit(step)
-
-            def make(key, n):
-                return (_gen_keys(key, n, jnp.uint32, args),
-                        jnp.zeros((n,), jnp.uint32))
+        def make(key, n):
+            if dt_name == "u64":
+                hi, lo = _gen_limbs(key, n, args)
+                z = jnp.zeros((n,), jnp.uint32)
+                return (hi, lo, z, z)
+            return (_gen_keys(key, n, jnp.uint32, args),
+                    jnp.zeros((n,), jnp.uint32))
 
         for gb in args.sizes:
             n = int(gb * 1e9 / rowbytes)
             key, sub = jax.random.split(key)
-            sync(fn(*make(sub, n)))  # compile + warm up
-            times = []
+            warm = sync(make(sub, n))
+            for eng in engines:
+                sync(fns[eng](*warm))  # compile + warm up
+            times = {eng: [] for eng in engines}
             for _ in range(args.runs):
                 key, sub = jax.random.split(key)
                 data = sync(make(sub, n))
-                t0 = time.perf_counter()
-                sync(fn(*data))
-                times.append(time.perf_counter() - t0)
-            mean = float(np.mean(times))
-            print(
-                f"Sorted {gb}GB of ({dt_name},{dt_name}) data in: {mean:.4f}s"
-                f"  ({n/mean/1e6:.1f}M keys/s, {gb/mean:.2f} GB/s,"
-                f" dist={args.dist})"
-            )
+                # every engine sorts THE SAME rows (clone semantics of
+                # main.rs:36-42 — jax arrays are immutable, no copy needed)
+                for eng in engines:
+                    t0 = time.perf_counter()
+                    sync(fns[eng](*data))
+                    times[eng].append(time.perf_counter() - t0)
+            for eng in engines:
+                mean = float(np.mean(times[eng]))
+                tag = f" [{eng}]" if len(engines) > 1 else ""
+                print(
+                    f"Sorted {gb}GB of ({dt_name},{dt_name}) data in: {mean:.4f}s"
+                    f"  ({n/mean/1e6:.1f}M keys/s, {gb/mean:.2f} GB/s,"
+                    f" dist={args.dist}){tag}"
+                )
 
 
 if __name__ == "__main__":

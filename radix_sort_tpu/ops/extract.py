@@ -71,12 +71,21 @@ def _eflat_roll(x, s, Wp):
     rs = (s // LANES) % E
     r1 = pltpu.roll(x, sl, axis=1)
     if (E * Wp) % 8 != 0:
-        # dynamic sublane rotate needs 8-row-aligned shapes; only the E=2
-        # tier with Wp<4 lands here, where the rotate is a static half-swap
-        assert E == 2, (E, Wp)
-        sw = jnp.concatenate([r1[Wp:], r1[:Wp]], axis=0)
-        a = jnp.where(rs == 1, sw, r1)
-        b = jnp.where(rs == 1, r1, sw)
+        # dynamic sublane rotate needs 8-row-aligned shapes; small tiers
+        # (E*Wp < 8) select among the E static rotations instead
+        assert E * Wp < 8, (E, Wp)
+        # rots[k] == pltpu.roll(r1, k*Wp, axis=0): rows shift FORWARD by k*Wp
+        rots = [
+            jnp.concatenate([r1[(E - k) * Wp :], r1[: (E - k) * Wp]], axis=0)
+            if k
+            else r1
+            for k in range(E)
+        ]
+        a = rots[E - 1]
+        b = rots[0]
+        for k in range(E - 1):
+            a = jnp.where(rs == k, rots[k], a)
+            b = jnp.where(rs == k, rots[k + 1], b)
     else:
         a = pltpu.roll(r1, rs * Wp, axis=0)
         b = pltpu.roll(r1, ((rs + 1) % E) * Wp, axis=0)
@@ -84,11 +93,31 @@ def _eflat_roll(x, s, Wp):
     return jnp.where(lane < sl, b, a)
 
 
+def _tiers(cr, Wp):
+    """Dyadic append-window ladder. A run of ln elements is appended with the
+    smallest usable window of E element rows such that ln <= (E-1)*128, so
+    short runs pay vector work proportional to their size instead of falling
+    through to the MAXE window (the round-1 ladder was [2, 16]: a 130-element
+    run rolled/masked 16*Wp rows — ~3x the measured per-append cost of a
+    right-sized window). Usable = the dynamic sublane rotate's 8-row
+    alignment holds (E*Wp % 8 == 0) or the tier is small enough for the
+    static-rotation fallback (E*Wp < 8)."""
+    max_ln = min(cr * LANES, PIECE)  # append_piece splits longer runs
+    ts = []
+    for e in (2, 4, 8, MAXE):
+        if (e * Wp) % 8 == 0 or e * Wp < 8:
+            ts.append(e)
+            if (e - 1) * LANES >= max_ln:
+                break
+    assert ts and (ts[-1] - 1) * LANES >= max_ln, (cr, Wp, ts)
+    return ts
+
+
 def _make_kernel(Wp, num_out, K, cr, cap_rows, chunks_per_bucket):
     """cr = chunk element rows (chunk = cr*128 elements per operand)."""
     cap_blocks = cap_rows // FLUSH_EROWS
     n_flush = 2  # sloc after one piece < 1024 + 1920 -> at most 2 quanta
-    tiers = [2, MAXE] if cr + 1 > 2 else [2]
+    tiers = _tiers(cr, Wp)
 
     def kernel(bounds_ref, *refs):
         # refs: Wp input blocks, num_out prefills (aliased, unused),
@@ -327,6 +356,18 @@ def compact_regions(ops, counts, *, cap_rows, interpret=None):
     with a few rows of slack capacity.
     """
     nregions = counts.shape[0]
+    if nregions % 8 != 0:
+        # the bounds SMEM blocking needs chunks % 8 == 0: append zero-count
+        # sentinel regions (their bounds are empty, so they contribute nothing)
+        padreg = 8 - nregions % 8
+        counts = jnp.concatenate([counts, jnp.zeros((padreg,), counts.dtype)])
+        ops = [
+            jnp.concatenate(
+                [o, jnp.full((padreg * cap_rows, LANES), MAX_WORD, o.dtype)]
+            )
+            for o in ops
+        ]
+        nregions += padreg
     bounds = jnp.stack([jnp.zeros_like(counts), counts], axis=1)
     out_cap = nregions * cap_rows + 5 * FLUSH_EROWS
     out_cap = ((out_cap + FLUSH_EROWS - 1) // FLUSH_EROWS) * FLUSH_EROWS

@@ -111,12 +111,16 @@ def sort_pairs_words(words: jnp.ndarray, values: jnp.ndarray):
     return sorted_words, vals
 
 
-def sort_pairs_limbs(khi, klo, vhi, vlo, engine: str = "comparator"):
+def sort_pairs_limbs(khi, klo, vhi, vlo, engine: str = "auto"):
     """Stable sort of u64 key/payload rows held as u32 limb quadruples.
 
     Lexicographic (hi, lo) order == u64 order (keys.split64). ``engine``:
-    "comparator" (XLA variadic sort) or "sample" (Pallas pipeline).
+    "comparator" (XLA variadic sort), "sample" (Pallas pipeline), or "auto"
+    (the active config's default engine).
     """
+    if engine == "auto":
+        default = config.get().default_implementation
+        engine = "sample" if default in ("pallas", "sample") else "comparator"
     if engine == "sample":
         out = sample_sort.sample_sort_words([khi, klo, vhi, vlo], 2)
         return tuple(out)

@@ -11,11 +11,15 @@ The TPU-native equivalent of the reference's production `radix_sort`
   buffered stable scatter (mod.rs:121-168) -> Pallas bucket_extract (packed
                                            run append, 4 KiB streaming DMA)
 
-Structure (2 rounds, K buckets each, then a final in-chunk sort):
+Structure (R planned rounds of K_r buckets, then a final in-chunk sort):
 
-  pad -> rowsort(m) -> splitters -> extract K buckets
-      -> rowsort(m) -> per-bucket splitters -> extract K^2 buckets
-      -> rowsort(bucket) -> compact -> unpad
+  pad -> [rowsort(m) -> splitters -> extract K_r buckets] * R
+      -> rowsort(final cap) -> compact -> unpad
+
+The planner picks the fewest rounds whose bucket product brings regions down
+to ~final_chunk_target elements, so the final rowsort always runs at a small
+chunk length (the multi-op comparator rowsort cost grows superlinearly in
+chunk length — a 2-round plan at large N would leave 10x-oversized leaves).
 
 Buckets are ranged on composite (key, position) splitters, so the partition
 is balanced for ANY input distribution — including all-equal keys (the
@@ -26,6 +30,8 @@ always correct even under adversarially unbalanced splitter samples.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -86,14 +92,32 @@ def _bucket_ids(ops, num_keys, m, splits_w, splits_p, valid_len):
 
 
 def _round1_splitters(ops, num_keys, m, K, samples_per_chunk):
-    """Composite (key, pos) quantile splitters from the sorted chunks."""
+    """Composite (key, pos) quantile splitters from the sorted chunks.
+
+    Sample positions are stratified-RANDOM per chunk: each chunk contributes
+    one sample from each of ``s`` strata at an independent offset. Pooled
+    sample ranks are then uniform quantiles of the population, so sorted-
+    pooled-rank q/total is the q/total quantile. (Fixed per-chunk positions
+    — every chunk sampled at the same s quantile levels — make the pooled
+    sorted sample a STEP function of s clusters; splitters whose rank falls
+    inside a cluster then sit at near-duplicate values and the partition is
+    catastrophically unbalanced whenever K > s. That bug shipped in round 1
+    and silently pushed every large-K sort onto the comparator fallback.)
+    """
     nchunks = ops[0].shape[0] // m
-    s = samples_per_chunk
-    js = (np.arange(s) * m) // s + m // (2 * s)
+    s = min(samples_per_chunk, m)
+    stride = m // s
+    srng = np.random.default_rng(0x5EED)
+    js = np.minimum(
+        np.arange(s)[None, :] * stride
+        + srng.integers(0, stride, size=(nchunks, s)),
+        m - 1,
+    ).astype(np.int32)
     rows = [o.reshape(nchunks, m) for o in ops[:num_keys]]
-    samp_w = [r[:, js].reshape(-1) for r in rows]
+    jsd = jnp.asarray(js)
+    samp_w = [jnp.take_along_axis(r, jsd, axis=1).reshape(-1) for r in rows]
     base = jnp.arange(nchunks, dtype=jnp.int32)[:, None] * m
-    samp_p = (base + jnp.asarray(js, jnp.int32)[None, :]).reshape(-1)
+    samp_p = (base + jsd).reshape(-1)
     srt = jax.lax.sort(samp_w + [samp_p], num_keys=num_keys + 1, is_stable=True)
     total = nchunks * s
     q = ((np.arange(K - 1) + 1) * total) // K
@@ -103,10 +127,17 @@ def _round1_splitters(ops, num_keys, m, K, samples_per_chunk):
 
 
 def _round2_splitters(ops, num_keys, counts, cap_elems, K, n_samples):
-    """Per-bucket splitters sampled at count-quantile positions."""
+    """Per-bucket splitters sampled at count-quantile positions (jittered
+    within each stratum so sample positions cannot resonate with the chunk
+    length — see _round1_splitters on why uniform pooled ranks matter)."""
     nb = counts.shape[0]
-    frac = (2 * jnp.arange(n_samples, dtype=jnp.int32) + 1)
-    pos = (frac[None, :] * counts[:, None]) // (2 * n_samples)  # (nb, S)
+    srng = np.random.default_rng(0x5EED2)
+    frac = jnp.asarray(
+        (np.arange(n_samples) + srng.random(n_samples)) / n_samples,
+        jnp.float32,
+    )
+    pos = (frac[None, :] * counts[:, None].astype(jnp.float32)).astype(jnp.int32)
+    pos = jnp.minimum(pos, jnp.maximum(counts[:, None] - 1, 0))  # (nb, S)
     flat = pos + jnp.arange(nb, dtype=jnp.int32)[:, None] * cap_elems
     samp_w = [o.reshape(-1)[flat] for o in ops[:num_keys]]  # (nb, S)
     srt = jax.lax.sort(
@@ -122,6 +153,42 @@ def _ceil_to(x, mult):
     return -(-x // mult) * mult
 
 
+def _plan(Np, K_max, final_target):
+    """Bucket counts per round: fewest rounds R with K_max**R covering
+    Np/final_target leaf regions, K balanced across rounds."""
+    nleaves = max(2, -(-Np // final_target))
+    R, cov = 1, max(2, K_max)
+    while cov < nleaves:
+        cov *= max(2, K_max)
+        R += 1
+    Ks, rem = [], nleaves
+    for r in range(R):
+        k = int(round(rem ** (1.0 / (R - r))))
+        while k ** (R - r) < rem:
+            k += 1
+        k = max(2, min(k, K_max))
+        Ks.append(k)
+        rem = -(-rem // k)
+    return Ks
+
+
+def _next_cap(Np, nreg, alpha, m, last):
+    """Per-region element capacity after splitting into nreg regions.
+
+    Intermediate rounds re-chunk regions at m (cap % m == 0) and the extract
+    kernel needs total chunks % 8 == 0 and cap_rows % 8 == 0; the final
+    round's cap only feeds the leaf rowsort + compactor (1024-row DMA)."""
+    base = int(alpha * Np / nreg)
+    if last:
+        # headroom: 9 rows (1152) for the extract flush clamp + ~25% for
+        # splitter sampling error. The planner's final_chunk_target aims
+        # base so this lands on 4096 (a power of two keeps the leaf bitonic
+        # rowsort free of internal padding).
+        return _ceil_to(base + base // 4 + 9 * LANES, 1024)
+    g = 8 // math.gcd(nreg, 8)
+    return _ceil_to(base + m, math.lcm(m * g, 1024))
+
+
 def sample_sort_words(
     ops,
     num_keys,
@@ -131,6 +198,7 @@ def sample_sort_words(
     alpha=None,
     samples1=None,
     samples2=None,
+    rounds=None,
     interpret=None,
 ):
     """Stable sort of parallel uint32 arrays by the first ``num_keys`` words.
@@ -138,7 +206,8 @@ def sample_sort_words(
     All arrays are co-sorted; keys compare lexicographically (the caller maps
     dtypes into rank-space words, 64-bit keys as hi/lo limbs). Returns the
     sorted list. Unset knobs resolve from the active EngineConfig
-    (config.get()) at call time.
+    (config.get()) at call time; ``K`` is the per-round bucket ceiling and
+    ``rounds`` (a list of bucket counts) overrides the planner.
     """
     cfg = config.get()
     m = cfg.chunk_elems if m is None else m
@@ -146,7 +215,6 @@ def sample_sort_words(
     alpha = cfg.capacity_factor if alpha is None else alpha
     samples1 = cfg.round1_samples_per_chunk if samples1 is None else samples1
     samples2 = cfg.round2_samples if samples2 is None else samples2
-    W = len(ops)
     N = ops[0].shape[0]
     _orig = list(ops)  # for the overflow fallback branch
 
@@ -155,75 +223,75 @@ def sample_sort_words(
     if Np != N:
         pad = jnp.full((Np - N,), _MAX, jnp.uint32)
         ops = [jnp.concatenate([o, pad]) for o in ops]
-    nchunks = Np // m
 
-    # ---- round 1
-    ops = _rowsort(ops, m, num_keys)
-    sw1, sp1 = _round1_splitters(ops, num_keys, m, K, samples1)
-    sw1 = [jnp.broadcast_to(w[None, :], (nchunks, K - 1)) for w in sw1]
-    # splitter positions are global; _bucket_ids compares within-chunk
-    # positions, so shift into each chunk's local coordinates
-    sp1_local = (
-        sp1[None, :] - (jnp.arange(nchunks, dtype=jnp.int32) * m)[:, None]
+    Ks = list(rounds) if rounds is not None else _plan(
+        Np, K, cfg.final_chunk_target
     )
-    vl1 = jnp.full((nchunks,), m, jnp.int32)
-    bounds1 = _bucket_ids(ops, num_keys, m, sw1, sp1_local, vl1)
 
-    # region capacity: multiple of m (round-2 chunking) and of 1024 (DMA rows)
-    cap1 = _ceil_to(int(alpha * Np / K) + m, max(m, 1024))
-    outs1, counts1 = extract.bucket_extract(
-        [o.reshape(-1, LANES) for o in ops],
-        bounds1,
-        K=K,
-        cap_rows=cap1 // LANES,
-        chunks_per_bucket=nchunks,
-        nbuckets=1,
-        interpret=interpret,
-    )
-    ops = [o.reshape(-1) for o in outs1]
-    over1 = jnp.any(counts1 > cap1 - 9 * LANES)
+    overflow = jnp.asarray(False)
+    nregions, cap, counts = 1, Np, None
+    for r, Kr in enumerate(Ks):
+        ops = _rowsort(ops, m, num_keys)
+        cpb = cap // m  # chunks per region
+        nchunks = nregions * cpb
+        nreg_next = nregions * Kr
+        cap_next = _next_cap(Np, nreg_next, alpha, m, r == len(Ks) - 1)
+        if r == 0:
+            sw, sp = _round1_splitters(ops, num_keys, m, Kr, samples1)
+            sw = [jnp.broadcast_to(w[None, :], (nchunks, Kr - 1)) for w in sw]
+            # splitter positions are global; _bucket_ids compares within-chunk
+            # positions, so shift into each chunk's local coordinates
+            sp_local = (
+                sp[None, :]
+                - (jnp.arange(nchunks, dtype=jnp.int32) * m)[:, None]
+            )
+            vl = jnp.full((nchunks,), m, jnp.int32)
+        else:
+            # Sampling noise must fit the capacity margin: splitter rank
+            # error is ~ parent * sqrt(2p(1-p)/S) iid; the jittered
+            # stratified sampler measures ~2x tighter (worst bucket at 16M:
+            # 1.17x mean at S=4096 vs the iid-predicted 1.3x), and the worst
+            # of thousands of buckets sits ~4 sigma out. Solve
+            # 4*(sigma_iid/2) <= margin for S; samples2 is a floor, 4096 a
+            # gather-cost ceiling.
+            parent = Np // nregions
+            margin = max(cap_next - 9 * LANES - int(alpha * Np / nreg_next), 1)
+            p = 1.0 / Kr
+            s2_need = int(4.0 * 2 * p * (1 - p) * (parent / margin) ** 2) + 1
+            s2 = min(max(s2_need, samples2 // 4, 4 * Kr, 64), 4096)
+            sw, sp = _round2_splitters(ops, num_keys, counts, cap, Kr, s2)
+            sw = [jnp.repeat(w, cpb, axis=0) for w in sw]  # (nchunks, Kr-1)
+            sp = jnp.repeat(sp, cpb, axis=0)
+            # valid length per chunk, and positions local to the region
+            cib = jnp.tile(jnp.arange(cpb, dtype=jnp.int32), nregions)
+            vl = jnp.clip(jnp.repeat(counts, cpb) - cib * m, 0, m)
+            sp_local = sp - (cib * m)[:, None]
+        bounds = _bucket_ids(ops, num_keys, m, sw, sp_local, vl)
 
-    # ---- round 2 (per-bucket, batched)
-    ops = _rowsort(ops, m, num_keys)
-    cpb = cap1 // m  # chunks per bucket
-    nchunks2 = K * cpb
-    sw2, sp2 = _round2_splitters(ops, num_keys, counts1, cap1, K, samples2)
-    sw2 = [jnp.repeat(w, cpb, axis=0) for w in sw2]  # (nchunks2, K-1)
-    sp2 = jnp.repeat(sp2, cpb, axis=0)
-    # valid length per chunk, and positions local to the bucket
-    cib = jnp.tile(jnp.arange(cpb, dtype=jnp.int32), K)
-    vl2 = jnp.clip(jnp.repeat(counts1, cpb) - cib * m, 0, m)
-    # _bucket_ids uses within-chunk iota for pos; splitter pos is within-bucket.
-    # Shift splitter positions into within-chunk coordinates per chunk.
-    sp2_local = sp2 - (cib * m)[:, None]
-    bounds2 = _bucket_ids(ops, num_keys, m, sw2, sp2_local, vl2)
-
-    cap2 = _ceil_to(int(alpha * Np / (K * K)) + 1024, 1024)
-    outs2, counts2 = extract.bucket_extract(
-        [o.reshape(-1, LANES) for o in ops],
-        bounds2,
-        K=K,
-        cap_rows=cap2 // LANES,
-        chunks_per_bucket=cpb,
-        nbuckets=K,
-        interpret=interpret,
-    )
-    ops = [o.reshape(-1) for o in outs2]
-    over2 = jnp.any(counts2 > cap2 - 9 * LANES)
+        outs, counts = extract.bucket_extract(
+            [o.reshape(-1, LANES) for o in ops],
+            bounds,
+            K=Kr,
+            cap_rows=cap_next // LANES,
+            chunks_per_bucket=cpb,
+            nbuckets=nregions,
+            interpret=interpret,
+        )
+        ops = [o.reshape(-1) for o in outs]
+        overflow = overflow | jnp.any(counts > cap_next - 9 * LANES)
+        nregions, cap = nreg_next, cap_next
 
     # ---- final: sort each region in one row, then compact valid prefixes
-    ops = _rowsort(ops, cap2, num_keys)
+    ops = _rowsort(ops, cap, num_keys)
     dense, total = extract.compact_regions(
         [o.reshape(-1, LANES) for o in ops],
-        counts2,
-        cap_rows=cap2 // LANES,
+        counts,
+        cap_rows=cap // LANES,
         interpret=interpret,
     )
     result = [o.reshape(-1)[:N] for o in dense]
 
     # ---- overflow fallback: correctness under adversarial splitter samples
-    overflow = over1 | over2
-
     def fallback(_):
         srt = jax.lax.sort(
             [o[:N] for o in _orig], num_keys=num_keys, is_stable=True
@@ -233,5 +301,4 @@ def sample_sort_words(
     def keep(r):
         return list(r)
 
-    # note: _orig closed over below (set before padding mutations)
     return jax.lax.cond(overflow, fallback, keep, result)

@@ -393,6 +393,14 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity=None, exchange=None
         raise ValueError(f"capacity ({capacity}) must be >= n_local ({n_local})")
     sentinel = np.array(np.iinfo(words.dtype).max, dtype=words.dtype)
 
+    if num_devices == 1:
+        # degenerate mesh: no exchange, just the local stable sort in the
+        # same padded-layout contract
+        ow, ov, cnt = _global_sort_fallback(
+            words, values, 1, capacity, sentinel
+        )
+        return ow, ov, cnt, jnp.asarray(False)
+
     body = functools.partial(
         _local_exchange,
         axis_name=axis_name,

@@ -124,6 +124,28 @@ class TestSampleSort:
         np.testing.assert_array_equal(out[0], ref[0])
         np.testing.assert_array_equal(out[1], ref[1])
 
+    def test_multi_round_plans(self, rng):
+        # force 2- and 3-round plans (the planner picks R=1 at this size):
+        # exercises per-region splitters, valid-length clamps and local
+        # position shifts at every depth
+        n = 512 * 16 + 77
+        keys = rng.integers(0, 2**32, n, dtype=np.uint32)
+        vals = np.arange(n, dtype=np.uint32)
+        ref = _sorted_by([keys, vals], 1)
+        for rounds in ([4, 4], [2, 2, 2]):
+            out = _run([keys, vals], 1, m=512, rounds=rounds)
+            np.testing.assert_array_equal(out[0], ref[0])
+            np.testing.assert_array_equal(out[1], ref[1])
+
+    def test_multi_round_duplicate_heavy(self, rng):
+        n = 512 * 16
+        keys = rng.integers(0, 2, n).astype(np.uint32)
+        vals = np.arange(n, dtype=np.uint32)
+        out = _run([keys, vals], 1, m=512, rounds=[4, 4])
+        ref = _sorted_by([keys, vals], 1)
+        np.testing.assert_array_equal(out[0], ref[0])
+        np.testing.assert_array_equal(out[1], ref[1])
+
     def test_overflow_falls_back_to_comparator(self, rng):
         # alpha far below 1 makes region capacities insufficient; the
         # overflow flag must reroute through the lax.sort fallback branch
