@@ -27,31 +27,37 @@ BASELINE_KEYS_PER_S = 1e9  # BASELINE.md north-star target per chip
 
 def _gen_limbs(key, n):
     """Uniform u64 keys as (hi, lo) u32 limbs + u64 payload limbs (zeros),
-    mirroring KeyUniform (distr.rs:46-51): uniform key, payload 0."""
+    mirroring KeyUniform (distr.rs:46-51): uniform key, payload 0 — PACKED
+    as one (4, n) array: the axon relay charges ~29 ms per input/output
+    buffer per dispatch (measured, scratch/NOTES.md), so the benchmark
+    passes exactly one buffer each way."""
     khi, klo = jax.random.split(key)
     hi = jax.random.bits(khi, (n,), jnp.uint32)
     lo = jax.random.bits(klo, (n,), jnp.uint32)
-    vhi = jnp.zeros((n,), jnp.uint32)
-    vlo = jnp.zeros((n,), jnp.uint32)
-    return hi, lo, vhi, vlo
+    z = jnp.zeros((2, n), jnp.uint32)
+    return jnp.concatenate([hi[None], lo[None], z])
 
 
 def _make_sort_fn(engine):
     from radix_sort_tpu.ops import pallas_sort
 
-    def sort_pairs_limbs(hi, lo, vhi, vlo):
-        return pallas_sort.sort_pairs_limbs(hi, lo, vhi, vlo, engine=engine)
+    def sort_packed(p):
+        out = pallas_sort.sort_pairs_limbs(
+            p[0], p[1], p[2], p[3], engine=engine
+        )
+        return jnp.stack(out)
 
-    return jax.jit(sort_pairs_limbs)
+    return jax.jit(sort_packed)
 
 
-def _auto_n():
-    """Default size: the reference demo's 2GB sweep point of (u64,u64) rows
-    (main.rs:104, ~10GB device footprint) on a real TPU; a modest size on
-    the CPU backend / small devices, where 125M rows would OOM or thrash."""
+def _auto_ns():
+    """Default sizes: the reference demo's 0.5GB and 2GB sweep points of
+    (u64,u64) rows (main.rs:104 sweeps 0.5-4GB; headline = peak keys/s over
+    the sweep) on a real TPU; a modest size on the CPU backend / small
+    devices, where 125M rows would OOM or thrash."""
     if jax.default_backend() == "tpu":
-        return 125_000_000
-    return 1 << 22
+        return [31_250_000, 125_000_000]
+    return [1 << 22]
 
 
 def main():
@@ -60,43 +66,43 @@ def main():
         "--n",
         type=int,
         default=0,
-        help="number of u64 rows; 0 = auto (the reference 2GB sweep point "
-        "on TPU, 4M elsewhere)",
+        help="number of u64 rows; 0 = auto (the reference 0.5GB + 2GB sweep "
+        "points on TPU, peak reported; 4M elsewhere)",
     )
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--engine", default="auto",
                     help="auto (config default) | comparator | sample")
     args = ap.parse_args()
-    if args.n == 0:
-        args.n = _auto_n()
+    ns = [args.n] if args.n else _auto_ns()
 
     from radix_sort_tpu.utils.timing import sync
 
     sort_fn = _make_sort_fn(args.engine)
     key = jax.random.PRNGKey(0)
+    best = 0.0
 
-    # compile + warmup (excluded from timing, like the reference's per-run
-    # fresh-data protocol which times only the sort call, main.rs:32-34)
-    data = _gen_limbs(key, args.n)
-    sync(sort_fn(*data))
+    for n in ns:
+        # compile + warmup (excluded from timing, like the reference's
+        # per-run fresh-data protocol which times only the sort, main.rs:32-34)
+        data = _gen_limbs(key, n)
+        sync(sort_fn(data))
 
-    times = []
-    for r in range(args.runs):
-        key, sub = jax.random.split(key)
-        data = sync(_gen_limbs(sub, args.n))
-        t0 = time.perf_counter()
-        sync(sort_fn(*data))
-        times.append(time.perf_counter() - t0)
+        times = []
+        for r in range(args.runs):
+            key, sub = jax.random.split(key)
+            data = sync(_gen_limbs(sub, n))
+            t0 = time.perf_counter()
+            sync(sort_fn(data))
+            times.append(time.perf_counter() - t0)
+        best = max(best, n / float(np.mean(times)))
 
-    mean_t = float(np.mean(times))
-    keys_per_s = args.n / mean_t
     print(
         json.dumps(
             {
                 "metric": "u64_pair_sort_throughput_per_chip",
-                "value": round(keys_per_s, 1),
+                "value": round(best, 1),
                 "unit": "keys/s",
-                "vs_baseline": round(keys_per_s / BASELINE_KEYS_PER_S, 4),
+                "vs_baseline": round(best / BASELINE_KEYS_PER_S, 4),
             }
         )
     )

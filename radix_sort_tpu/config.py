@@ -22,9 +22,9 @@ class EngineConfig:
     """
 
     # sample-sort pipeline (ops/sample_sort.py)
-    chunk_elems: int = 4096  # local-sort row length m (probe r2c: the 4-op
-    # rowsort is ~14 ms at m=4096 vs ~45 at m=16384; extract's per-append
-    # cost prefers big chunks, and m=4096 is the measured balance point)
+    chunk_elems: int = 0  # local-sort row length m; 0 = auto by input size
+    # (rowsort cost grows with log^2 m, extract append cost with N*K/m:
+    # 4096 balances at <=64M rows, 8192 above — probe r2c + 125M bench)
     buckets_per_round: int = 64  # per-round bucket ceiling (the tiered
     # extract's per-append cost cliffs above ~K=64: probe r2c)
     capacity_factor: float = 1.15  # per-region slack over the balanced size

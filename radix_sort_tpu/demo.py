@@ -83,7 +83,11 @@ def _gen_limbs(key, n, args):
 
 
 def _engine_fns(dt_name, engines):
-    """One jitted (data...) -> sorted closure per engine name."""
+    """One jitted packed-rows -> packed-sorted closure per engine name.
+
+    Rows travel as ONE stacked array each way: the axon relay charges ~29 ms
+    per input/output buffer per dispatch (scratch/NOTES.md), which would
+    otherwise dominate the measurement."""
     from radix_sort_tpu.ops import pallas_sort
     import radix_sort_tpu as rst
 
@@ -95,13 +99,15 @@ def _engine_fns(dt_name, engines):
             if eng not in ("pallas", "comparator", "auto"):
                 raise SystemExit(f"u64 rows support comparator/pallas, not {eng!r}")
             fns[eng] = jax.jit(
-                lambda a, b, c, d, e=limb_eng: pallas_sort.sort_pairs_limbs(
-                    a, b, c, d, engine=e
+                lambda p, e=limb_eng: jnp.stack(
+                    pallas_sort.sort_pairs_limbs(p[0], p[1], p[2], p[3], engine=e)
                 )
             )
         else:
             fns[eng] = jax.jit(
-                lambda k, v, e=eng: rst.sort_pairs(k, v, implementation=e)
+                lambda p, e=eng: jnp.stack(
+                    rst.sort_pairs(p[0], p[1], implementation=e)
+                )
             )
     return fns
 
@@ -141,16 +147,18 @@ def main(argv=None):
             hi = jnp.asarray((host >> np.uint64(32)).astype(np.uint32))
             lo = jnp.asarray(host.astype(np.uint32))
             z = jnp.zeros((n,), jnp.uint32)
-            data = (hi, lo, z, z)
+            data = jnp.stack([hi, lo, z, z])
         else:
-            data = (jnp.asarray(host), jnp.zeros((n,), jnp.uint32))
+            data = jnp.stack(
+                [jnp.asarray(host), jnp.zeros((n,), jnp.uint32)]
+            )
         gb = host.nbytes * 2 / 1e9  # key+payload rows
         for eng in engines:
-            sync(fns[eng](*data))  # compile + warm
+            sync(fns[eng](data))  # compile + warm
             times = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
-                sync(fns[eng](*data))
+                sync(fns[eng](data))
                 times.append(time.perf_counter() - t0)
             mean = float(np.mean(times))
             print(f"Sorted {args.data} [{n} ({dt_name},{dt_name}) rows] "
@@ -166,16 +174,18 @@ def main(argv=None):
             if dt_name == "u64":
                 hi, lo = _gen_limbs(key, n, args)
                 z = jnp.zeros((n,), jnp.uint32)
-                return (hi, lo, z, z)
-            return (_gen_keys(key, n, jnp.uint32, args),
-                    jnp.zeros((n,), jnp.uint32))
+                return jnp.stack([hi, lo, z, z])
+            return jnp.stack(
+                [_gen_keys(key, n, jnp.uint32, args),
+                 jnp.zeros((n,), jnp.uint32)]
+            )
 
         for gb in args.sizes:
             n = int(gb * 1e9 / rowbytes)
             key, sub = jax.random.split(key)
             warm = sync(make(sub, n))
             for eng in engines:
-                sync(fns[eng](*warm))  # compile + warm up
+                sync(fns[eng](warm))  # compile + warm up
             times = {eng: [] for eng in engines}
             for _ in range(args.runs):
                 key, sub = jax.random.split(key)
@@ -184,7 +194,7 @@ def main(argv=None):
                 # main.rs:36-42 — jax arrays are immutable, no copy needed)
                 for eng in engines:
                     t0 = time.perf_counter()
-                    sync(fns[eng](*data))
+                    sync(fns[eng](data))
                     times[eng].append(time.perf_counter() - t0)
             for eng in engines:
                 mean = float(np.mean(times[eng]))

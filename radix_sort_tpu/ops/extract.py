@@ -254,12 +254,50 @@ def _make_kernel(Wp, num_out, K, cr, cap_rows, chunks_per_bucket):
         for d in range(K):
             per_bucket(d, 0)
 
+        def flush_tail(d):
+            """Drain a partial quantum writing ONLY its ceil(sloc/128) valid
+            rows (binary-decomposed static-size DMAs), so regions need no
+            flush-overwrite margin: a region's writes never exceed
+            ceil(count/128) rows, and capacity = count is sufficient.
+            Unwritten tail rows keep their donated MAX-sentinel prefill."""
+            sloc = cur[d] - obase[d] * LANES
+            rr = (sloc + LANES - 1) // LANES  # 1..8 valid rows
+            quantum = stage[
+                pl.ds(d * SRE * Wp, FLUSH_EROWS * Wp), :
+            ].reshape(FLUSH_EROWS, Wp, LANES)
+            for w in range(num_out):
+                flushbuf[pl.ds(w * FLUSH_EROWS, FLUSH_EROWS), :] = quantum[:, w]
+            # clamp only guards overflowed (flagged) regions; a region with
+            # count <= cap has obase + rr <= cap_rows by construction
+            ob = jnp.minimum(obase[d], cap_rows - rr)
+            base_row = (b * K + d) * cap_rows + ob
+            off = 0 * rr
+            for sz in (8, 4, 2, 1):
+                bit = (rr & sz) != 0 if sz != 8 else rr == 8
+
+                @pl.when(bit)
+                def _(sz=sz, off=off):
+                    dmas = []
+                    for w in range(num_out):
+                        dma = pltpu.make_async_copy(
+                            flushbuf.at[pl.ds(w * FLUSH_EROWS + off, sz), :],
+                            out_refs[w].at[pl.ds(base_row + off, sz), :],
+                            sems.at[w],
+                        )
+                        dma.start()
+                        dmas.append(dma)
+                    for dma in dmas:
+                        dma.wait()
+
+                if sz != 8:
+                    off = off + jnp.where((rr & sz) != 0, sz, 0)
+
         @pl.when(cib == chunks_per_bucket - 1)
         def _drain():
             def drain_one(d, _):
                 @pl.when(cur[d] - obase[d] * LANES > 0)
                 def _():
-                    flush(d)  # partial quantum: tail rows are MAX-sentinel
+                    flush_tail(d)
 
                 counts_ref[b * K + d] = cur[d]
                 return 0

@@ -94,32 +94,31 @@ def _bucket_ids(ops, num_keys, m, splits_w, splits_p, valid_len):
 def _round1_splitters(ops, num_keys, m, K, samples_per_chunk):
     """Composite (key, pos) quantile splitters from the sorted chunks.
 
-    Sample positions are stratified-RANDOM per chunk: each chunk contributes
-    one sample from each of ``s`` strata at an independent offset. Pooled
-    sample ranks are then uniform quantiles of the population, so sorted-
-    pooled-rank q/total is the q/total quantile. (Fixed per-chunk positions
-    — every chunk sampled at the same s quantile levels — make the pooled
-    sorted sample a STEP function of s clusters; splitters whose rank falls
-    inside a cluster then sit at near-duplicate values and the partition is
-    catastrophically unbalanced whenever K > s. That bug shipped in round 1
-    and silently pushed every large-K sort onto the comparator fallback.)
+    Sample LEVELS (within-chunk ranks) must be uniform: sampling every chunk
+    at the same s quantile levels makes the pooled sorted sample a STEP
+    function of s clusters, and splitters whose rank falls inside a cluster
+    sit at near-duplicate values — the partition is then catastrophically
+    unbalanced whenever K > s (that bug shipped in round 1 and silently
+    pushed every large-K sort onto the comparator fallback). An odd-stride
+    arithmetic progression of flat positions gives uniform levels with pure
+    strided slices (see below).
     """
-    nchunks = ops[0].shape[0] // m
-    s = min(samples_per_chunk, m)
-    stride = m // s
-    srng = np.random.default_rng(0x5EED)
-    js = np.minimum(
-        np.arange(s)[None, :] * stride
-        + srng.integers(0, stride, size=(nchunks, s)),
-        m - 1,
-    ).astype(np.int32)
-    rows = [o.reshape(nchunks, m) for o in ops[:num_keys]]
-    jsd = jnp.asarray(js)
-    samp_w = [jnp.take_along_axis(r, jsd, axis=1).reshape(-1) for r in rows]
-    base = jnp.arange(nchunks, dtype=jnp.int32)[:, None] * m
-    samp_p = (base + jsd).reshape(-1)
+    N = ops[0].shape[0]
+    nchunks = N // m
+    total_target = max(K * 32, nchunks * samples_per_chunk)
+    # ODD stride: positions p_i = phase + i*stride are a plain XLA strided
+    # slice (device gathers measure ~2us/element here — unusable), and an
+    # odd stride is coprime with the power-of-two chunk length, so the
+    # within-chunk sample levels p_i mod m sweep all residues: pooled ranks
+    # are uniform population quantiles.
+    stride = max(1, N // total_target) | 1
+    phase = stride // 2
+    samp_w = [o[phase::stride] for o in ops[:num_keys]]
+    total = samp_w[0].shape[0]
+    samp_p = jnp.arange(total, dtype=jnp.int32) * np.int32(stride) + np.int32(
+        phase
+    )
     srt = jax.lax.sort(samp_w + [samp_p], num_keys=num_keys + 1, is_stable=True)
-    total = nchunks * s
     q = ((np.arange(K - 1) + 1) * total) // K
     sw = [x[q] for x in srt[:num_keys]]
     sp = srt[num_keys][q]
@@ -127,25 +126,36 @@ def _round1_splitters(ops, num_keys, m, K, samples_per_chunk):
 
 
 def _round2_splitters(ops, num_keys, counts, cap_elems, K, n_samples):
-    """Per-bucket splitters sampled at count-quantile positions (jittered
-    within each stratum so sample positions cannot resonate with the chunk
-    length — see _round1_splitters on why uniform pooled ranks matter)."""
+    """Per-region splitters from STATIC odd-stride positions over each
+    region's capacity (a plain strided slice — device gathers are unusably
+    slow). Samples at positions >= the region's valid count are sentinel
+    rows; they sort to the tail (the sentinel's position is always >= count
+    while every valid position is < count, so even real all-ones keys order
+    before them), and the per-region quantile index is taken over the
+    arithmetically known valid-sample count. Quantiles are picked with a
+    one-hot select instead of a gather."""
     nb = counts.shape[0]
-    srng = np.random.default_rng(0x5EED2)
-    frac = jnp.asarray(
-        (np.arange(n_samples) + srng.random(n_samples)) / n_samples,
-        jnp.float32,
-    )
-    pos = (frac[None, :] * counts[:, None].astype(jnp.float32)).astype(jnp.int32)
-    pos = jnp.minimum(pos, jnp.maximum(counts[:, None] - 1, 0))  # (nb, S)
-    flat = pos + jnp.arange(nb, dtype=jnp.int32)[:, None] * cap_elems
-    samp_w = [o.reshape(-1)[flat] for o in ops[:num_keys]]  # (nb, S)
+    stride = max(1, cap_elems // n_samples) | 1
+    phase = stride // 2
+    samp_w = [
+        o.reshape(nb, cap_elems)[:, phase::stride] for o in ops[:num_keys]
+    ]  # (nb, S)
+    S = samp_w[0].shape[1]
+    pos = jnp.arange(S, dtype=jnp.int32) * np.int32(stride) + np.int32(phase)
+    posb = jnp.broadcast_to(pos[None, :], (nb, S))
     srt = jax.lax.sort(
-        samp_w + [pos], dimension=1, num_keys=num_keys + 1, is_stable=True
+        samp_w + [posb], dimension=1, num_keys=num_keys + 1, is_stable=True
     )
-    q = ((np.arange(K - 1) + 1) * n_samples) // K
-    sw = [x[:, q] for x in srt[:num_keys]]
-    sp = srt[num_keys][:, q]
+    # valid samples per region: positions strictly below the region count
+    v = jnp.clip((counts - phase + stride - 1) // stride, 1, S)  # (nb,)
+    q = (jnp.arange(1, K, dtype=jnp.int32)[None, :] * v[:, None]) // K
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb, K - 1, S), 2) == q[:, :, None]
+    )
+    def pick(x):
+        return jnp.sum(jnp.where(onehot, x[:, None, :], 0), axis=2)
+    sw = [pick(x).astype(x.dtype) for x in srt[:num_keys]]
+    sp = pick(srt[num_keys])
     return sw, sp  # each (nb, K-1)
 
 
@@ -153,14 +163,16 @@ def _ceil_to(x, mult):
     return -(-x // mult) * mult
 
 
-def _plan(Np, K_max, final_target):
-    """Bucket counts per round: fewest rounds R with K_max**R covering
-    Np/final_target leaf regions, K balanced across rounds."""
-    nleaves = max(2, -(-Np // final_target))
+def _rounds_needed(nleaves, K_max):
     R, cov = 1, max(2, K_max)
     while cov < nleaves:
         cov *= max(2, K_max)
         R += 1
+    return R
+
+
+def _balanced_plan(nleaves, K_max):
+    R = _rounds_needed(nleaves, K_max)
     Ks, rem = [], nleaves
     for r in range(R):
         k = int(round(rem ** (1.0 / (R - r))))
@@ -172,6 +184,27 @@ def _plan(Np, K_max, final_target):
     return Ks
 
 
+def _plan(Np, K_max, final_target):
+    """Bucket counts per round: fewest rounds covering Np/final_target leaf
+    regions, with a SMALL last-round fan-out when it costs no extra round.
+
+    The last round's splitter sampling must resolve leaf capacities to an
+    absolute margin of a few hundred rows; the needed sample count grows as
+    (parent_region / margin)^2, so small leaf fan-out (small parent regions)
+    keeps the last-round sample sort cheap at any scale."""
+    nleaves = max(2, -(-Np // final_target))
+    if nleaves <= max(2, K_max):
+        return [nleaves]
+    R0 = _rounds_needed(nleaves, K_max)
+    for k_last in (8, 12, 16, 24, 32):
+        if k_last > K_max:
+            break
+        rest = -(-nleaves // k_last)
+        if _rounds_needed(rest, K_max) <= R0 - 1:
+            return _balanced_plan(rest, K_max) + [k_last]
+    return _balanced_plan(nleaves, K_max)
+
+
 def _next_cap(Np, nreg, alpha, m, last):
     """Per-region element capacity after splitting into nreg regions.
 
@@ -180,11 +213,11 @@ def _next_cap(Np, nreg, alpha, m, last):
     round's cap only feeds the leaf rowsort + compactor (1024-row DMA)."""
     base = int(alpha * Np / nreg)
     if last:
-        # headroom: 9 rows (1152) for the extract flush clamp + ~25% for
-        # splitter sampling error. The planner's final_chunk_target aims
-        # base so this lands on 4096 (a power of two keeps the leaf bitonic
-        # rowsort free of internal padding).
-        return _ceil_to(base + base // 4 + 9 * LANES, 1024)
+        # headroom for splitter sampling error only (the fine-grained drain
+        # writes exactly ceil(count/128) rows, so capacity == count
+        # suffices); the adaptive sampler solves its sample count against
+        # this margin.
+        return _ceil_to(base + max(base // 8, 512), 1024)
     g = 8 // math.gcd(nreg, 8)
     return _ceil_to(base + m, math.lcm(m * g, 1024))
 
@@ -210,7 +243,10 @@ def sample_sort_words(
     ``rounds`` (a list of bucket counts) overrides the planner.
     """
     cfg = config.get()
-    m = cfg.chunk_elems if m is None else m
+    if m is None:
+        m = cfg.chunk_elems
+    if not m:  # auto: balance rowsort (log^2 m) vs extract appends (N*K/m)
+        m = 8192 if ops[0].shape[0] >= (1 << 26) else 4096
     K = cfg.buckets_per_round if K is None else K
     alpha = cfg.capacity_factor if alpha is None else alpha
     samples1 = cfg.round1_samples_per_chunk if samples1 is None else samples1
@@ -255,7 +291,7 @@ def sample_sort_words(
             # 4*(sigma_iid/2) <= margin for S; samples2 is a floor, 4096 a
             # gather-cost ceiling.
             parent = Np // nregions
-            margin = max(cap_next - 9 * LANES - int(alpha * Np / nreg_next), 1)
+            margin = max(cap_next - int(alpha * Np / nreg_next), 1)
             p = 1.0 / Kr
             s2_need = int(4.0 * 2 * p * (1 - p) * (parent / margin) ** 2) + 1
             s2 = min(max(s2_need, samples2 // 4, 4 * Kr, 64), 4096)
@@ -278,7 +314,7 @@ def sample_sort_words(
             interpret=interpret,
         )
         ops = [o.reshape(-1) for o in outs]
-        overflow = overflow | jnp.any(counts > cap_next - 9 * LANES)
+        overflow = overflow | jnp.any(counts > cap_next)
         nregions, cap = nreg_next, cap_next
 
     # ---- final: sort each region in one row, then compact valid prefixes
