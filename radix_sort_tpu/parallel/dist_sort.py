@@ -162,7 +162,7 @@ def _lex_ge(w, p, sw, sp):
 
 
 def _gather_exchange(sorted_ops, sentinels, bounds, axis_name, num_devices,
-                     capacity):
+                     capacity, gpos_local=None):
     """all_gather-based exchange: every device gathers all shards (in
     source-major order — gpos == flat index, so stability is free) and
     selects its own splitter range with one stable local sort.
@@ -172,12 +172,18 @@ def _gather_exchange(sorted_ops, sentinels, bounds, axis_name, num_devices,
     has no ragged-all-to-all thunk) and the reference semantics the ragged
     path is tested against. ``bounds``: (kind, lo, hi) where kind is
     "composite" (lo/hi are ((P-1,) key, (P-1,) pos) pairs) or "key".
+    ``gpos_local``: explicit per-row global positions (striped callers,
+    where the gathered flat index is not the global original position);
+    default is the flat gathered index.
     """
     me = jax.lax.axis_index(axis_name).astype(jnp.int32)
     g = [jax.lax.all_gather(x, axis_name, tiled=True) for x in sorted_ops]
     w = g[0]
     n_total = w.shape[0]
-    gpos = jnp.arange(n_total, dtype=jnp.int32)
+    if gpos_local is None:
+        gpos = jnp.arange(n_total, dtype=jnp.int32)
+    else:
+        gpos = jax.lax.all_gather(gpos_local, axis_name, tiled=True)
 
     kind, lo, hi = bounds
     if kind == "composite":
@@ -244,13 +250,136 @@ def _ragged_exchange(arrays, sentinels, starts, axis_name, num_devices, capacity
                 axis_name=axis_name,
             )
         )
-    return outs, recv_sizes.sum(), overflow
+    # landing offsets of each source's segment in MY buffer (striped callers
+    # reconstruct per-row source ranks from these)
+    oo_me = oo_full[:, me]
+    return outs, recv_sizes.sum(), overflow, oo_me
 
 
 def default_exchange() -> str:
     """ragged-all-to-all on TPU (exact counts on the ICI wire); the
     all_gather emulation elsewhere (XLA:CPU has no ragged-all-to-all)."""
     return "ragged" if jax.default_backend() == "tpu" else "gather"
+
+
+def _pipelined_exchange(words, values, axis_name, num_devices, capacity,
+                        sentinel, stripes=2):
+    """Double-buffered comm/compute exchange — the pipeline-parallel
+    analogue SURVEY §2.2 calls for (the reference's nearest structure is
+    radix_sort1's up-front histogram threads, mod.rs:217-239).
+
+    The shard is split into ``stripes`` independent stripes; each stripe is
+    locally sorted, routed and exchanged on its own dependency chain, so
+    XLA's latency-hiding scheduler can overlap stripe i's collective with
+    stripe i+1's local sort/routing compute (collectives lower to async
+    start/done pairs). Global stability is preserved exactly: every row
+    carries a monotone global-position surrogate
+    ``src_rank*n_local + stripe*stripe_len + local_sorted_index`` (within a
+    stripe the stable local sort keeps equal keys in original order, so the
+    surrogate ranks equal keys exactly as original positions do), and the
+    final merge sorts by (invalid, key, surrogate).
+
+    Returns (out_words, out_vals, n_valid, overflow) like _local_exchange.
+    """
+    n_local = words.shape[0]
+    if n_local % stripes != 0:
+        raise ValueError(f"n_local ({n_local}) must be divisible by stripes")
+    sl = n_local // stripes
+    has_vals = values is not None
+    r = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    use_ragged = default_exchange() == "ragged"
+
+    srt = []
+    for s in range(stripes):
+        seg = [words[s * sl : (s + 1) * sl]]
+        if has_vals:
+            seg.append(values[s * sl : (s + 1) * sl])
+        srt.append(jax.lax.sort(seg, num_keys=1, is_stable=True))
+
+    # union composite sketch across stripes (positions in full gpos space)
+    m = _num_samples(sl, num_devices)
+    pos = _regular_sample_positions(sl, m)
+    samp_w = jnp.concatenate([srt[s][0][pos] for s in range(stripes)])
+    samp_p = jnp.concatenate(
+        [r * np.int32(n_local) + np.int32(s * sl) + pos for s in range(stripes)]
+    )
+    sk_w = jax.lax.all_gather(samp_w, axis_name, tiled=True)
+    sk_p = jax.lax.all_gather(samp_p, axis_name, tiled=True)
+    sk_w, sk_p = jax.lax.sort([sk_w, sk_p], num_keys=2, is_stable=True)
+    ranks = (jnp.arange(num_devices - 1, dtype=jnp.int32) + 1) * (
+        stripes * m
+    ) - 1
+    sw, sp = sk_w[ranks], sk_p[ranks]
+
+    big_invalid, big_w, big_g, big_v = [], [], [], []
+    n_valid = jnp.int32(0)
+    overflow = jnp.asarray(False)
+    for s in range(stripes):
+        s_words = srt[s][0]
+        gpos = (
+            r * np.int32(n_local)
+            + np.int32(s * sl)
+            + jnp.arange(sl, dtype=jnp.int32)
+        )
+        sentinels = [sentinel] + (
+            [jnp.zeros((), srt[s][1].dtype)] if has_vals else []
+        )
+        if use_ragged:
+            below = (s_words[:, None] < sw[None, :]) | (
+                (s_words[:, None] == sw[None, :]) & (gpos[:, None] < sp[None, :])
+            )
+            starts = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), below.astype(jnp.int32).sum(axis=0)]
+            )
+            recv, nv, ovf, oo = _ragged_exchange(
+                srt[s], sentinels, starts, axis_name, num_devices, capacity
+            )
+            rows = jnp.arange(capacity, dtype=jnp.int32)
+            ge = rows[:, None] >= oo[None, :]
+            src = ge.astype(jnp.int32).sum(axis=1) - 1  # oo[0]==0 -> src >= 0
+            seg_base = jnp.max(jnp.where(ge, oo[None, :], 0), axis=1)
+            # reconstruct the monotone surrogate: source-major, stripe,
+            # then position within the source's segment (no device gathers —
+            # they are unusably slow here, scratch/NOTES.md)
+            g_sur = (
+                src * np.int32(n_local) + np.int32(s * sl) + (rows - seg_base)
+            )
+        else:
+            recv_all, nv, ovf = _gather_exchange(
+                list(srt[s]) + [gpos],
+                sentinels + [jnp.asarray(np.int32(2**31 - 1))],
+                ("composite", (sw, sp), None),
+                axis_name,
+                num_devices,
+                capacity,
+                gpos_local=gpos,
+            )
+            recv, g_sur = recv_all[:-1], recv_all[-1]
+        inval = (jnp.arange(capacity, dtype=jnp.int32) >= nv).astype(jnp.int32)
+        big_invalid.append(inval)
+        big_w.append(recv[0])
+        big_g.append(g_sur)
+        if has_vals:
+            big_v.append(recv[1])
+        n_valid = n_valid + nv.astype(jnp.int32)
+        overflow = overflow | ovf
+
+    ops = [
+        jnp.concatenate(big_invalid),
+        jnp.concatenate(big_w),
+        jnp.concatenate(big_g),
+    ] + ([jnp.concatenate(big_v)] if has_vals else [])
+    merged = jax.lax.sort(ops, num_keys=3, is_stable=True)
+    overflow = overflow | (n_valid > capacity)
+    out_words = merged[1][:capacity]
+    out_vals = merged[3][:capacity] if has_vals else None
+    n_valid = jnp.minimum(n_valid, capacity)
+    return (
+        out_words,
+        out_vals,
+        n_valid.reshape(1),
+        overflow.reshape(1),
+    )
 
 
 def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
@@ -261,10 +390,18 @@ def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
     splitters (e.g. a join routing both sides on one shared sketch); when
     None, composite regular-sampled splitters are drawn from this data and
     the partition is deterministically balanced for any distribution.
-    ``exchange``: "ragged" | "gather" (default by backend).
+    ``exchange``: "ragged" | "gather" | "pipelined" (default by backend;
+    "pipelined" stripes the shard to overlap collectives with compute and
+    picks ragged/gather per backend underneath).
     """
     if exchange is None:
         exchange = default_exchange()
+    if exchange == "pipelined":
+        if splitters is not None:
+            raise ValueError("pipelined exchange draws its own splitters")
+        return _pipelined_exchange(
+            words, values, axis_name, num_devices, capacity, sentinel
+        )
     operands = [words] if values is None else [words, values]
     sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
     s_words = sorted_ops[0]
@@ -293,7 +430,7 @@ def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
         starts = _composite_starts(s_words, sw, sp, axis_name, num_devices)
     else:
         starts = _key_starts(s_words, splitters)
-    recv, n_valid, overflow = _ragged_exchange(
+    recv, n_valid, overflow, _ = _ragged_exchange(
         sorted_ops, sentinels, starts, axis_name, num_devices, capacity
     )
 

@@ -146,3 +146,40 @@ def test_forced_overflow_falls_back_exactly(rng):
     assert np.array_equal(got_k, np.sort(x, kind="stable"))
     # fallback path: payload order must still be exact (stability)
     assert np.array_equal(got_v, np.arange(n, dtype=np.uint32))
+
+
+def test_pipelined_exchange_stability_and_skew(rng):
+    # the comm/compute-overlap (PP-analogue) path: striped local sorts +
+    # per-stripe exchanges + surrogate-merged output must equal the stable
+    # oracle exactly, including duplicate-heavy keys whose equal-key order
+    # crosses stripe boundaries
+    mesh = _mesh()
+    n = 8 * 2048
+    for name, keys in (
+        ("uniform", rng.integers(0, 1 << 32, n, dtype=np.uint32)),
+        ("dup_heavy", rng.integers(0, 3, n).astype(np.uint32)),
+        ("all_equal", np.full(n, 0xFFFFFFFF, np.uint32)),
+    ):
+        vals = np.arange(n, dtype=np.uint32)
+        out_k, out_v, counts, overflow = jax.jit(
+            lambda k, v: dist_sort.distributed_sort_pairs(
+                k, v, mesh, exchange="pipelined"
+            )
+        )(jnp.asarray(keys), jnp.asarray(vals))
+        assert not bool(overflow), name
+        gk = _collect(out_k, counts, 8)
+        gv = _collect(out_v, counts, 8)
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(gk, keys[order], err_msg=name)
+        np.testing.assert_array_equal(gv, vals[order], err_msg=name)
+
+
+def test_pipelined_keys_only(rng):
+    mesh = _mesh()
+    n = 8 * 1024
+    x = rng.integers(-1000, 1000, n).astype(np.int32)
+    out, counts, overflow = jax.jit(
+        lambda k: dist_sort.distributed_sort(k, mesh, exchange="pipelined")
+    )(jnp.asarray(x))
+    assert not bool(overflow)
+    np.testing.assert_array_equal(_collect(out, counts, 8), np.sort(x, kind="stable"))
