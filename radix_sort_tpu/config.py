@@ -32,15 +32,11 @@ class EngineConfig:
     round2_samples: int = 512  # splitter samples per bucket, round 2
 
     final_chunk_target: int = 2000  # planner aims leaf regions at this size
-    # (so leaf cap = ~2000*alpha*1.25 + flush margin lands on 4096 exactly)
+    # (leaf cap = base + max(base//8, 512) sampling margin, 1024-rounded)
 
     # engine selection (ops/sort.py, ops/pallas_sort.py)
     min_pipeline_n: int = 1 << 18  # below this the comparator sort wins
     default_implementation: str = "comparator"  # what "auto" resolves to
-
-    # distributed (parallel/dist_sort.py)
-    dist_capacity_factor: float = 2.0
-    dist_oversample: int = 64
 
     def pipeline_kwargs(self) -> dict:
         return dict(

@@ -94,9 +94,12 @@ def _engine_fns(dt_name, engines):
     fns = {}
     for eng in engines:
         if dt_name == "u64":
-            # device-native u64 path: (hi, lo) u32 limb pairs end to end
-            limb_eng = "sample" if eng == "pallas" else "comparator"
-            if eng not in ("pallas", "comparator", "auto"):
+            # device-native u64 path: (hi, lo) u32 limb pairs end to end;
+            # "auto" passes through so sort_pairs_limbs resolves it from the
+            # active config's default engine
+            limb_eng = {"pallas": "sample", "comparator": "comparator",
+                        "auto": "auto"}.get(eng)
+            if limb_eng is None:
                 raise SystemExit(f"u64 rows support comparator/pallas, not {eng!r}")
             fns[eng] = jax.jit(
                 lambda p, e=limb_eng: jnp.stack(

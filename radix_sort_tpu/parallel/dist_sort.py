@@ -93,6 +93,16 @@ def _regular_sample_positions(n_local: int, m: int) -> jnp.ndarray:
     return pos + n_local // (2 * m)
 
 
+def _sketch_quantiles(samp_w, samp_p, axis_name, num_devices, per_shard):
+    """Gather every shard's (key, pos) samples, sort the pooled sketch by
+    the composite order, return the P-1 quantile splitters."""
+    sk_w = jax.lax.all_gather(samp_w, axis_name, tiled=True)  # (P*per_shard,)
+    sk_p = jax.lax.all_gather(samp_p, axis_name, tiled=True)
+    sk_w, sk_p = jax.lax.sort([sk_w, sk_p], num_keys=2, is_stable=True)
+    ranks = (jnp.arange(num_devices - 1, dtype=jnp.int32) + 1) * per_shard - 1
+    return sk_w[ranks], sk_p[ranks]
+
+
 def _composite_splitters(s_words, axis_name, num_devices):
     """(P-1,) composite splitters (key word, device-major sorted position).
 
@@ -106,26 +116,17 @@ def _composite_splitters(s_words, axis_name, num_devices):
     m = _num_samples(n_local, num_devices)
     pos = _regular_sample_positions(n_local, m)
     r = jax.lax.axis_index(axis_name).astype(jnp.int32)
-    samp_w = s_words[pos]
-    samp_p = r * np.int32(n_local) + pos
-    sk_w = jax.lax.all_gather(samp_w, axis_name, tiled=True)  # (P*m,)
-    sk_p = jax.lax.all_gather(samp_p, axis_name, tiled=True)
-    sk_w, sk_p = jax.lax.sort([sk_w, sk_p], num_keys=2, is_stable=True)
-    ranks = (jnp.arange(num_devices - 1, dtype=jnp.int32) + 1) * m - 1
-    return sk_w[ranks], sk_p[ranks]
+    return _sketch_quantiles(
+        s_words[pos], r * np.int32(n_local) + pos, axis_name, num_devices, m
+    )
 
 
-def _composite_starts(s_words, splitter_w, splitter_p, axis_name, num_devices):
-    """Start offset of each destination's run in the sorted shard.
-
-    The shard is sorted by (key, position), so each bucket is a contiguous
-    slice and its start is the count of rows lexicographically below the
-    splitter — one compare-sum per splitter (P-1 of them; a searchsorted
-    has no multi-key form and gathers are slow on TPU).
-    """
-    n_local = s_words.shape[0]
-    r = jax.lax.axis_index(axis_name).astype(jnp.int32)
-    gpos = r * np.int32(n_local) + jnp.arange(n_local, dtype=jnp.int32)
+def _below_starts(s_words, gpos, splitter_w, splitter_p):
+    """Run-start offsets: count of rows lexicographically below each
+    composite splitter (the shard is sorted by (key, position), so each
+    destination's rows are a contiguous slice). One compare-sum per
+    splitter — a searchsorted has no multi-key form and gathers are slow
+    on TPU."""
     w = s_words[:, None]
     p = gpos[:, None]
     below = (w < splitter_w[None, :]) | (
@@ -133,6 +134,13 @@ def _composite_starts(s_words, splitter_w, splitter_p, axis_name, num_devices):
     )
     starts = below.astype(jnp.int32).sum(axis=0)  # (P-1,)
     return jnp.concatenate([jnp.zeros((1,), jnp.int32), starts])
+
+
+def _composite_starts(s_words, splitter_w, splitter_p, axis_name, num_devices):
+    n_local = s_words.shape[0]
+    r = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    gpos = r * np.int32(n_local) + jnp.arange(n_local, dtype=jnp.int32)
+    return _below_starts(s_words, gpos, splitter_w, splitter_p)
 
 
 def _key_splitters(s_words, axis_name, num_devices):
@@ -303,13 +311,9 @@ def _pipelined_exchange(words, values, axis_name, num_devices, capacity,
     samp_p = jnp.concatenate(
         [r * np.int32(n_local) + np.int32(s * sl) + pos for s in range(stripes)]
     )
-    sk_w = jax.lax.all_gather(samp_w, axis_name, tiled=True)
-    sk_p = jax.lax.all_gather(samp_p, axis_name, tiled=True)
-    sk_w, sk_p = jax.lax.sort([sk_w, sk_p], num_keys=2, is_stable=True)
-    ranks = (jnp.arange(num_devices - 1, dtype=jnp.int32) + 1) * (
-        stripes * m
-    ) - 1
-    sw, sp = sk_w[ranks], sk_p[ranks]
+    sw, sp = _sketch_quantiles(
+        samp_w, samp_p, axis_name, num_devices, stripes * m
+    )
 
     big_invalid, big_w, big_g, big_v = [], [], [], []
     n_valid = jnp.int32(0)
@@ -325,12 +329,7 @@ def _pipelined_exchange(words, values, axis_name, num_devices, capacity,
             [jnp.zeros((), srt[s][1].dtype)] if has_vals else []
         )
         if use_ragged:
-            below = (s_words[:, None] < sw[None, :]) | (
-                (s_words[:, None] == sw[None, :]) & (gpos[:, None] < sp[None, :])
-            )
-            starts = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), below.astype(jnp.int32).sum(axis=0)]
-            )
+            starts = _below_starts(s_words, gpos, sw, sp)
             recv, nv, ovf, oo = _ragged_exchange(
                 srt[s], sentinels, starts, axis_name, num_devices, capacity
             )
@@ -524,6 +523,20 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity=None, exchange=None
             f"n ({n}) must be divisible by the mesh axis ({num_devices}); pad upstream"
         )
     n_local = n // num_devices
+    if n >= 2**31:
+        # routing/stability tiebreaks use int32 global positions
+        # (r*n_local + i); beyond 2^31 rows they would wrap and silently
+        # mis-partition equal keys — refuse instead (hi/lo position limbs
+        # would be the extension point)
+        raise ValueError(
+            f"distributed sort supports < 2**31 total rows (got {n}): "
+            "int32 position tiebreaks"
+        )
+    if exchange not in (None, "ragged", "gather", "pipelined"):
+        raise ValueError(
+            "exchange must be one of None (auto), 'ragged', 'gather', "
+            f"'pipelined'; got {exchange!r}"
+        )
     if capacity is None:
         capacity = exchange_capacity(n_local, num_devices)
     if capacity < n_local:
@@ -547,6 +560,9 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity=None, exchange=None
         exchange=exchange,
     )
 
+    # The replicated fallback lives INSIDE its cond branch: it all-gathers
+    # the whole input and sorts it on every device, so it must only execute
+    # on the (override-forced) overflow path, never eagerly.
     if values is None:
         def fn(w):
             ow, _, cnt, ovf = body(w, None)
@@ -558,15 +574,14 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity=None, exchange=None
             check_vma=False,
         )(words)
         overflow = jnp.any(ovf)
-        fb_w, _, fb_c = _global_sort_fallback(
-            words, None, num_devices, capacity, sentinel
-        )
-        ow, cnt = jax.lax.cond(
-            overflow,
-            lambda a, b, c, d: (c, d),
-            lambda a, b, c, d: (a, b),
-            ow, cnt, fb_w, fb_c,
-        )
+
+        def fb(_):
+            fw, _, fc = _global_sort_fallback(
+                words, None, num_devices, capacity, sentinel
+            )
+            return fw, fc
+
+        ow, cnt = jax.lax.cond(overflow, fb, lambda t: t, (ow, cnt))
         return ow, None, cnt, overflow
 
     def fn2(w, v):
@@ -579,13 +594,11 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity=None, exchange=None
         check_vma=False,
     )(words, values)
     overflow = jnp.any(ovf)
-    fb_w, fb_v, fb_c = _global_sort_fallback(
-        words, values, num_devices, capacity, sentinel
-    )
-    ow, ov, cnt = jax.lax.cond(
-        overflow,
-        lambda t: t[3:],
-        lambda t: t[:3],
-        (ow, ov, cnt, fb_w, fb_v, fb_c),
-    )
+
+    def fb2(_):
+        return _global_sort_fallback(
+            words, values, num_devices, capacity, sentinel
+        )
+
+    ow, ov, cnt = jax.lax.cond(overflow, fb2, lambda t: t, (ow, ov, cnt))
     return ow, ov, cnt, overflow

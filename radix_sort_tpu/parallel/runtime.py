@@ -47,8 +47,11 @@ def initialize_multihost(
                 "initialize_multihost must run before any JAX computation "
                 "initializes the backend; call it first in the launch script"
             ) from e
-        if num_processes in (None, 1) or coordinator_address is None:
+        if num_processes in (None, 1) and coordinator_address is None:
             return  # single-process environment without TPU metadata
+        # the caller explicitly asked for a multi-process cluster: a failed
+        # bring-up must NOT silently degrade to local-only JAX (collectives
+        # would hang or compute on a fraction of the devices)
         raise
 
 

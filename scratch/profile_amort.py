@@ -8,7 +8,7 @@ from radix_sort_tpu.ops import extract
 
 N = 1 << 24
 W, num_keys = 4, 2
-m, K = ss.DEFAULT_M, ss.DEFAULT_K
+m, K = 4096, 32  # round-1 profile shapes (DEFAULT_M/K removed)
 LANES = 128
 ITERS = 4
 

@@ -22,7 +22,7 @@ def timed(f, *args, reps=3):
 
 N = 1 << 24
 W, num_keys = 4, 2
-m, K, alpha = ss.DEFAULT_M, ss.DEFAULT_K, 1.15
+m, K, alpha = 4096, 32, 1.15  # round-1 profile shapes (DEFAULT_M/K removed)
 LANES = 128
 
 rng = np.random.default_rng(0)

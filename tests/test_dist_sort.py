@@ -183,3 +183,27 @@ def test_pipelined_keys_only(rng):
     )(jnp.asarray(x))
     assert not bool(overflow)
     np.testing.assert_array_equal(_collect(out, counts, 8), np.sort(x, kind="stable"))
+
+
+def test_bad_exchange_string_rejected(rng):
+    mesh = _mesh()
+    x = jnp.asarray(rng.integers(0, 100, 8 * 128, dtype=np.uint32))
+    with pytest.raises(ValueError, match="exchange must be"):
+        dist_sort.distributed_sort(x, mesh, exchange="gahter")
+
+
+def test_multiprocess_init_failure_is_not_swallowed(monkeypatch):
+    # an explicitly requested multi-process bring-up that fails must raise,
+    # never silently degrade to local-only JAX (collectives would hang)
+    from radix_sort_tpu.parallel import runtime
+
+    def boom(**kw):
+        raise ValueError("coordinator_address should be defined.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False,
+                        raising=False)
+    with pytest.raises(ValueError):
+        runtime.initialize_multihost(num_processes=4, process_id=2)
+    # ... while the documented no-arg single-process case stays a no-op
+    runtime.initialize_multihost()
