@@ -116,8 +116,21 @@ def radix_argsort_words_rank(words: jnp.ndarray, digit_bits: int = 4) -> jnp.nda
 
 def counting_sort_u8(x: jnp.ndarray) -> jnp.ndarray:
     """Single-pass counting sort for uint8 (reference pub fn counting_sort,
-    mod.rs:40-59): histogram then emit each value count[v] times."""
+    mod.rs:40-59): histogram then emit each value count[v] times.
+
+    Both phases are compare-sums (XLA fuses the (n, 256) one-hots into the
+    reductions): scatter-add histograms and repeat/searchsorted emission
+    lower to element scatters/gathers, which run ~30x slower than streaming
+    compares on this chip (scratch/NOTES.md). output[i] = #{v : end[v] <= i}
+    — the number of value bins exhausted before position i."""
     assert x.dtype == jnp.uint8, x.dtype
-    counts = jnp.zeros((256,), jnp.int32).at[x.astype(jnp.int32)].add(1)
-    vals = jnp.arange(256, dtype=jnp.uint8)
-    return jnp.repeat(vals, counts, total_repeat_length=x.shape[0])
+    n = x.shape[0]
+    vals = jnp.arange(256, dtype=jnp.int32)
+    counts = jnp.sum(
+        x.astype(jnp.int32)[:, None] == vals[None, :], axis=0, dtype=jnp.int32
+    )
+    ends = jnp.cumsum(counts)  # end[v] = first output position of v+1
+    pos = jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(
+        (pos[:, None] >= ends[None, :]).astype(jnp.uint8), axis=1
+    )
