@@ -254,6 +254,17 @@ def sample_sort_words(
     N = ops[0].shape[0]
     _orig = list(ops)  # for the overflow fallback branch
 
+    if (
+        jax.config.jax_enable_x64
+        and jax.default_backend() == "tpu"
+        and interpret is not True
+    ):
+        # the axon x64 rewriter cannot compile these Mosaic kernels when
+        # 64-bit mode is on (scalar promotion inside kernel tracing recurses;
+        # explicitly-typed variants are rejected by the remote compiler) —
+        # take the exact comparator path instead of crashing
+        return list(jax.lax.sort(ops, num_keys=num_keys, is_stable=True))
+
     # pad to a multiple of 8*m (the bounds SMEM blocking needs nchunks % 8 == 0)
     Np = _ceil_to(max(N, 8 * m), 8 * m)
     if Np != N:
