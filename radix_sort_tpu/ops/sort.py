@@ -126,6 +126,13 @@ def sort_pairs(keys: jnp.ndarray, values: jnp.ndarray, *, implementation: str = 
 
         words, out_vals = pallas_sort.sort_pairs_words(K.encode(keys), values)
         return K.decode(words, keys.dtype), out_vals
+    if impl == "comparator":
+        # one variadic sort — argsort + two x[perm] gathers run ~30x slower
+        # than the sort itself on this chip (gathers are ~2us/element)
+        words, out_vals = jax.lax.sort(
+            [K.encode(keys), values], num_keys=1, is_stable=True
+        )
+        return K.decode(words, keys.dtype), out_vals
     perm = argsort(keys, implementation=impl)
     return keys[perm], values[perm]
 
