@@ -38,6 +38,37 @@ def _stable_sort(operands, num_keys):
     return jax.lax.sort(list(operands), num_keys=num_keys, is_stable=True)
 
 
+def merge_rank(sorted_arr, queries, side="left"):
+    """``jnp.searchsorted(sorted_arr, queries, side)`` at comparator rate.
+
+    jnp.searchsorted lowers to a per-query binary search — ~24 dependent
+    device gathers each, measured ~230 ns/query on this chip (3.7 s for 16M
+    queries). Two stable variadic sorts produce the same indices: sort the
+    union by (key, origin-tag) — ties put queries before data for
+    side="left" and after for side="right" — then each query's insertion
+    index is its union position minus its rank among queries; a second sort
+    restores original query order.
+    """
+    n_d = sorted_arr.shape[0]
+    n_q = queries.shape[0]
+    tq = jnp.int32(0 if side == "left" else 1)
+    td = jnp.int32(1 if side == "left" else 0)
+    key = jnp.concatenate([sorted_arr, queries])
+    tag = jnp.concatenate(
+        [jnp.full((n_d,), td, jnp.int32), jnp.full((n_q,), tq, jnp.int32)]
+    )
+    idx = jnp.concatenate(
+        [jnp.zeros((n_d,), jnp.int32), jnp.arange(n_q, dtype=jnp.int32)]
+    )
+    _, t2, i2 = _stable_sort([key, tag, idx], num_keys=2)
+    isq = (t2 == tq).astype(jnp.int32)
+    rank_q = jnp.cumsum(isq) - isq
+    res = jnp.arange(n_d + n_q, dtype=jnp.int32) - rank_q
+    # bring queries (flag 0) to the front in original order
+    _, _, res2 = _stable_sort([1 - isq, i2, res], num_keys=2)
+    return res2[:n_q]
+
+
 def filter(mask: jnp.ndarray, *arrays: jnp.ndarray):
     """Compact rows where ``mask`` is True, preserving order.
 
@@ -148,8 +179,8 @@ def hash_join(
     rk = K.encode(right_keys)
     rks, rvs = _stable_sort([rk, right_values], num_keys=1)
 
-    lo = jnp.searchsorted(rks, lk, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(rks, lk, side="right").astype(jnp.int32)
+    lo = merge_rank(rks, lk, side="left")
+    hi = merge_rank(rks, lk, side="right")
     matches = hi - lo
     starts = jnp.cumsum(matches) - matches  # output offset per left row
     total = starts[-1] + matches[-1] if matches.shape[0] else jnp.int32(0)
@@ -167,9 +198,9 @@ def hash_join(
     total = jnp.where(wrapped, big, total)
 
     # expansion: output slot t belongs to left row i(t), match ordinal
-    # j(t) = t - starts[i]; i(t) via searchsorted over the offsets
+    # j(t) = t - starts[i]; i(t) = #offsets <= t via the merge-rank trick
     t = jnp.arange(capacity, dtype=jnp.int32)
-    i = jnp.searchsorted(starts, t, side="right").astype(jnp.int32) - 1
+    i = merge_rank(starts, t, side="right") - 1
     i = jnp.clip(i, 0, lk.shape[0] - 1)
     j = t - starts[i]
     valid = t < total

@@ -173,8 +173,10 @@ def distributed_hash_join(
         lcnt, rcnt = lcnt[0], rcnt[0]
 
         # local sort-merge join: both shards sorted; clamp by valid counts
-        lo = jnp.searchsorted(rws, lws, side="left").astype(jnp.int32)
-        hi = jnp.searchsorted(rws, lws, side="right").astype(jnp.int32)
+        # (merge_rank: searchsorted's per-query binary search is ~230 ns on
+        # this chip — two variadic sorts give the same indices)
+        lo = query.merge_rank(rws, lws, side="left")
+        hi = query.merge_rank(rws, lws, side="right")
         hi = jnp.minimum(hi, rcnt)
         lo = jnp.minimum(lo, hi)
         lvalid = jnp.arange(lws.shape[0]) < lcnt
@@ -190,7 +192,7 @@ def distributed_hash_join(
         total = jnp.where(wrapped, big, total)
 
         t = jnp.arange(capacity_per_shard, dtype=jnp.int32)
-        i = jnp.searchsorted(starts, t, side="right").astype(jnp.int32) - 1
+        i = query.merge_rank(starts, t, side="right") - 1
         i = jnp.clip(i, 0, lws.shape[0] - 1)
         j = t - starts[i]
         valid = t < jnp.minimum(total, capacity_per_shard)
