@@ -140,3 +140,35 @@ class TestEdgeCases:
         for a, av_, b, bv in [(lk, v, e, e), (e, e, lk, v), (e, e, e, e)]:
             _, _, _, cnt, ovf = query.hash_join(a, av_, b, bv, capacity=8)
             assert int(cnt) == 0 and not bool(ovf)
+
+
+class TestMergeRank:
+    """query.merge_rank must equal np.searchsorted exactly (it replaces the
+    ~230ns/query device binary search with two variadic sorts)."""
+
+    @pytest.mark.parametrize("side", ["left", "right"])
+    def test_matches_numpy(self, rng, side):
+        from radix_sort_tpu.ops.query import merge_rank
+
+        data = np.sort(rng.integers(0, 50, 500, dtype=np.uint32))
+        q = rng.integers(0, 55, 300, dtype=np.uint32)  # heavy ties + misses
+        got = np.asarray(merge_rank(jnp.asarray(data), jnp.asarray(q), side))
+        np.testing.assert_array_equal(got, np.searchsorted(data, q, side=side))
+
+    @pytest.mark.parametrize("side", ["left", "right"])
+    def test_all_equal_and_bounds(self, side):
+        from radix_sort_tpu.ops.query import merge_rank
+
+        data = np.full(64, 7, np.uint32)
+        q = np.array([6, 7, 8, 0, 0xFFFFFFFF], np.uint32)
+        got = np.asarray(
+            merge_rank(jnp.asarray(np.sort(data)), jnp.asarray(q), side)
+        )
+        np.testing.assert_array_equal(got, np.searchsorted(data, q, side=side))
+
+    def test_empty_queries(self):
+        from radix_sort_tpu.ops.query import merge_rank
+
+        data = jnp.asarray(np.arange(16, dtype=np.uint32))
+        got = merge_rank(data, jnp.zeros((0,), jnp.uint32), "left")
+        assert got.shape == (0,)
