@@ -331,14 +331,20 @@ def bucket_extract(
     nchunks = bounds.shape[0]
     assert nchunks == chunks_per_bucket * nbuckets
     assert nchunks % 8 == 0, "nchunks must be a multiple of 8 (bounds blocking)"
+    assert ops[0].shape[0] % nchunks == 0, (
+        f"ops rows ({ops[0].shape[0]}) must divide into {nchunks} chunks"
+    )
     cr = ops[0].shape[0] // nchunks
     assert cap_rows % FLUSH_EROWS == 0
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    ops = list(ops) + [
-        jnp.zeros_like(ops[0]) for _ in range(Wp - num_ops)
-    ]
+    # pad the physical operand count to a power of two by re-using the first
+    # operand (its staged bytes are never flushed — the flush loops stop at
+    # num_ops — so no extra HBM array is allocated or filled; the remaining
+    # cost is streaming it through VMEM, which non-power-of-two sublane
+    # interleave would avoid but Mosaic's vector div/mod math would not)
+    ops = list(ops) + [ops[0] for _ in range(Wp - num_ops)]
 
     kernel = _make_kernel(Wp, num_ops, K, cr, cap_rows, chunks_per_bucket)
     out_rows = nbuckets * K * cap_rows
@@ -394,6 +400,11 @@ def compact_regions(ops, counts, *, cap_rows, interpret=None):
     with a few rows of slack capacity.
     """
     nregions = counts.shape[0]
+    # overflowed regions report counts beyond their capacity; clamp before
+    # using them as run bounds — unclamped, the kernel's append would read
+    # past its chunk buffer (device-UB). Overflow callers discard this
+    # result via their fallback branch anyway.
+    counts = jnp.minimum(counts, np.int32(cap_rows * LANES))
     if nregions % 8 != 0:
         # the bounds SMEM blocking needs chunks % 8 == 0: append zero-count
         # sentinel regions (their bounds are empty, so they contribute nothing)

@@ -247,6 +247,14 @@ def sample_sort_words(
         m = cfg.chunk_elems
     if not m:  # auto: balance rowsort (log^2 m) vs extract appends (N*K/m)
         m = 8192 if ops[0].shape[0] >= (1 << 26) else 4096
+    if m % LANES != 0 or m & (m - 1):
+        # non-multiple-of-128 breaks the kernels' row blocking with opaque
+        # reshape errors; a non-power-of-two silently defeats the odd-stride
+        # splitter-uniformity argument (stride must be coprime with m)
+        raise ValueError(
+            f"chunk_elems must be a power of two and a multiple of {LANES}, "
+            f"got {m}"
+        )
     K = cfg.buckets_per_round if K is None else K
     alpha = cfg.capacity_factor if alpha is None else alpha
     samples1 = cfg.round1_samples_per_chunk if samples1 is None else samples1
@@ -305,7 +313,9 @@ def sample_sort_words(
             margin = max(cap_next - int(alpha * Np / nreg_next), 1)
             p = 1.0 / Kr
             s2_need = int(4.0 * 2 * p * (1 - p) * (parent / margin) ** 2) + 1
-            s2 = min(max(s2_need, samples2 // 4, 4 * Kr, 64), 4096)
+            s2 = min(
+                max(s2_need, samples2, 4 * Kr, 64), max(4096, samples2)
+            )
             sw, sp = _round2_splitters(ops, num_keys, counts, cap, Kr, s2)
             sw = [jnp.repeat(w, cpb, axis=0) for w in sw]  # (nchunks, Kr-1)
             sp = jnp.repeat(sp, cpb, axis=0)

@@ -157,3 +157,22 @@ class TestSampleSort:
         ref = _sorted_by([keys, vals], 1)
         np.testing.assert_array_equal(out[0], ref[0])
         np.testing.assert_array_equal(out[1], ref[1])
+
+    def test_rejects_bad_chunk_elems(self, rng):
+        arrs = [rng.integers(0, 2**32, 2048, dtype=np.uint32)]
+        with pytest.raises(ValueError, match="power of two"):
+            _run(arrs, 1, m=1536)
+        with pytest.raises(ValueError, match="multiple of 128"):
+            _run(arrs, 1, m=96)
+
+    def test_overflow_with_giant_region_counts(self, rng):
+        # counts can exceed region capacity by far more than one append
+        # piece; the compactor must clamp them (device-UB otherwise) and the
+        # fallback must still deliver the exact result
+        n = 512 * 32
+        keys = np.full(n, 3, np.uint32)  # all-equal: one bucket takes all
+        vals = np.arange(n, dtype=np.uint32)
+        out = _run([keys, vals], 1, m=512, K=8, alpha=0.01)
+        ref = _sorted_by([keys, vals], 1)
+        np.testing.assert_array_equal(out[0], ref[0])
+        np.testing.assert_array_equal(out[1], ref[1])
