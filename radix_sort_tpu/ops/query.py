@@ -51,22 +51,110 @@ def merge_rank(sorted_arr, queries, side="left"):
     """
     n_d = sorted_arr.shape[0]
     n_q = queries.shape[0]
-    tq = jnp.int32(0 if side == "left" else 1)
-    td = jnp.int32(1 if side == "left" else 0)
+    if _few_queries(n_d, n_q):
+        return jnp.searchsorted(sorted_arr, queries, side=side).astype(
+            jnp.int32
+        )
+    # tag and query index share one int32 operand: queries carry their index
+    # (< 2^31), data rows a sentinel that ties to the correct side —
+    # INT32_MAX puts data after equal queries (side="left"), -1 before
+    # (side="right")
+    big = jnp.int32(2**31 - 1)
+    sentinel = big if side == "left" else jnp.int32(-1)
     key = jnp.concatenate([sorted_arr, queries])
-    tag = jnp.concatenate(
-        [jnp.full((n_d,), td, jnp.int32), jnp.full((n_q,), tq, jnp.int32)]
+    packed = jnp.concatenate(
+        [jnp.full((n_d,), sentinel), jnp.arange(n_q, dtype=jnp.int32)]
     )
-    idx = jnp.concatenate(
-        [jnp.zeros((n_d,), jnp.int32), jnp.arange(n_q, dtype=jnp.int32)]
-    )
-    _, t2, i2 = _stable_sort([key, tag, idx], num_keys=2)
-    isq = (t2 == tq).astype(jnp.int32)
+    _, p2 = _stable_sort([key, packed], num_keys=2)
+    isq = (p2 != sentinel).astype(jnp.int32)
     rank_q = jnp.cumsum(isq) - isq
     res = jnp.arange(n_d + n_q, dtype=jnp.int32) - rank_q
-    # bring queries (flag 0) to the front in original order
-    _, _, res2 = _stable_sort([1 - isq, i2, res], num_keys=2)
+    # bring queries to the front in original index order (data rows all get
+    # the MAX restore key; their relative order is irrelevant)
+    _, res2 = _stable_sort(
+        [jnp.where(isq == 1, p2, big), res], num_keys=1
+    )
     return res2[:n_q]
+
+
+def _few_queries(n_d, n_q):
+    """True when a direct binary search beats the merge-rank sorts: the
+    device binary search costs ~230 ns per query (24 dependent gather
+    rounds) while each merge-rank sort pays ~25 ns per union element, so
+    searchsorted wins once the query side is ~20x smaller than the data
+    side (measured crossover, scratch/probe_join_fanout.py)."""
+    return n_q > 0 and n_q * 20 <= n_d
+
+
+def merge_rank_pair(sorted_arr, queries):
+    """Both ``searchsorted`` sides at once: returns ``(lo, hi)`` ==
+    ``(merge_rank(..., "left"), merge_rank(..., "right"))`` with TWO variadic
+    sorts instead of four.
+
+    One stable union sort with queries tying before equal data gives each
+    query its left rank directly (union position minus query rank). The
+    right rank adds the query's equal-key data run: the data count at the
+    run's END, backward-filled to every member of the run with a reversed
+    cummin (data counts are non-decreasing, so the nearest run end to the
+    right is the minimum among remaining ends). A final sort restores query
+    order for both outputs together.
+    """
+    n_d = sorted_arr.shape[0]
+    n_q = queries.shape[0]
+    if _few_queries(n_d, n_q):
+        return (
+            jnp.searchsorted(sorted_arr, queries, side="left").astype(
+                jnp.int32
+            ),
+            jnp.searchsorted(sorted_arr, queries, side="right").astype(
+                jnp.int32
+            ),
+        )
+    n = n_d + n_q
+    big = jnp.int32(2**31 - 1)
+    # one packed tag+index operand (see merge_rank): queries carry their
+    # index, data rows INT32_MAX (ties after equal queries = "left" order)
+    key = jnp.concatenate([sorted_arr, queries])
+    packed = jnp.concatenate(
+        [jnp.full((n_d,), big), jnp.arange(n_q, dtype=jnp.int32)]
+    )
+    k2, p2 = _stable_sort([key, packed], num_keys=2)
+    isq = (p2 != big).astype(jnp.int32)
+    rank_q = jnp.cumsum(isq) - isq
+    lo_pos = jnp.arange(n, dtype=jnp.int32) - rank_q
+    cum_data = jnp.cumsum(1 - isq)
+    run_end = jnp.concatenate(
+        [k2[1:] != k2[:-1], jnp.ones((1,), jnp.bool_)]
+    )
+    hi_pos = jax.lax.cummin(
+        jnp.where(run_end, cum_data, big), reverse=True
+    )
+    _, lo2, hi2 = _stable_sort(
+        [jnp.where(isq == 1, p2, big), lo_pos, hi_pos], num_keys=1
+    )
+    return lo2[:n_q], hi2[:n_q]
+
+
+def expand_offsets(starts: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Map output slot t in [0, capacity) to the last row whose (sorted)
+    output offset ``starts[row]`` is <= t — the addressing step of a
+    prefix-sum expansion (equivalent to
+    ``merge_rank(starts, arange(capacity), side="right") - 1``).
+
+    ``starts`` is already sorted, so no rank-by-sorting is needed: scatter
+    each row index at its start slot (max resolves duplicate offsets from
+    zero-match rows to the later row, exactly like a side="right" rank) and
+    forward-fill with a running max. Costs one len(starts)-sized scatter +
+    one capacity-sized cummax instead of two capacity-sized variadic sorts
+    (~2x cheaper at equal sizes, ~free for small ``starts``). Out-of-range
+    offsets (>= capacity, e.g. an INT32_MAX wraparound poison) are dropped.
+    Slots before the first start get -1.
+    """
+    seed = jnp.full((capacity,), -1, jnp.int32)
+    seed = seed.at[starts].max(
+        jnp.arange(starts.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    return jax.lax.cummax(seed)
 
 
 def filter(mask: jnp.ndarray, *arrays: jnp.ndarray):
@@ -179,8 +267,7 @@ def hash_join(
     rk = K.encode(right_keys)
     rks, rvs = _stable_sort([rk, right_values], num_keys=1)
 
-    lo = merge_rank(rks, lk, side="left")
-    hi = merge_rank(rks, lk, side="right")
+    lo, hi = merge_rank_pair(rks, lk)
     matches = hi - lo
     starts = jnp.cumsum(matches) - matches  # output offset per left row
     total = starts[-1] + matches[-1] if matches.shape[0] else jnp.int32(0)
@@ -198,9 +285,9 @@ def hash_join(
     total = jnp.where(wrapped, big, total)
 
     # expansion: output slot t belongs to left row i(t), match ordinal
-    # j(t) = t - starts[i]; i(t) = #offsets <= t via the merge-rank trick
+    # j(t) = t - starts[i]
     t = jnp.arange(capacity, dtype=jnp.int32)
-    i = merge_rank(starts, t, side="right") - 1
+    i = expand_offsets(starts, capacity)
     i = jnp.clip(i, 0, lk.shape[0] - 1)
     j = t - starts[i]
     valid = t < total

@@ -175,8 +175,7 @@ def distributed_hash_join(
         # local sort-merge join: both shards sorted; clamp by valid counts
         # (merge_rank: searchsorted's per-query binary search is ~230 ns on
         # this chip — two variadic sorts give the same indices)
-        lo = query.merge_rank(rws, lws, side="left")
-        hi = query.merge_rank(rws, lws, side="right")
+        lo, hi = query.merge_rank_pair(rws, lws)
         hi = jnp.minimum(hi, rcnt)
         lo = jnp.minimum(lo, hi)
         lvalid = jnp.arange(lws.shape[0]) < lcnt
@@ -192,7 +191,7 @@ def distributed_hash_join(
         total = jnp.where(wrapped, big, total)
 
         t = jnp.arange(capacity_per_shard, dtype=jnp.int32)
-        i = query.merge_rank(starts, t, side="right") - 1
+        i = query.expand_offsets(starts, capacity_per_shard)
         i = jnp.clip(i, 0, lws.shape[0] - 1)
         j = t - starts[i]
         valid = t < jnp.minimum(total, capacity_per_shard)

@@ -172,3 +172,69 @@ class TestMergeRank:
         data = jnp.asarray(np.arange(16, dtype=np.uint32))
         got = merge_rank(data, jnp.zeros((0,), jnp.uint32), "left")
         assert got.shape == (0,)
+
+    def test_pair_matches_numpy(self, rng):
+        from radix_sort_tpu.ops.query import merge_rank_pair
+
+        data = np.sort(rng.integers(0, 50, 500, dtype=np.uint32))
+        q = rng.integers(0, 55, 300, dtype=np.uint32)  # heavy ties + misses
+        lo, hi = merge_rank_pair(jnp.asarray(data), jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(lo), np.searchsorted(data, q, side="left")
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hi), np.searchsorted(data, q, side="right")
+        )
+
+    def test_pair_all_equal_and_bounds(self):
+        from radix_sort_tpu.ops.query import merge_rank_pair
+
+        data = np.full(64, 7, np.uint32)
+        q = np.array([6, 7, 8, 0, 0xFFFFFFFF], np.uint32)
+        lo, hi = merge_rank_pair(jnp.asarray(data), jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(lo), np.searchsorted(data, q, side="left")
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hi), np.searchsorted(data, q, side="right")
+        )
+
+
+    @pytest.mark.parametrize("side", ["left", "right"])
+    def test_few_queries_searchsorted_path(self, rng, side):
+        # n_q * 20 <= n_d takes the device binary-search branch
+        from radix_sort_tpu.ops.query import merge_rank, merge_rank_pair
+
+        data = np.sort(rng.integers(0, 40, 2000, dtype=np.uint32))
+        q = rng.integers(0, 45, 50, dtype=np.uint32)
+        got = np.asarray(merge_rank(jnp.asarray(data), jnp.asarray(q), side))
+        np.testing.assert_array_equal(got, np.searchsorted(data, q, side=side))
+        lo, hi = merge_rank_pair(jnp.asarray(data), jnp.asarray(q))
+        np.testing.assert_array_equal(
+            np.asarray(lo), np.searchsorted(data, q, side="left")
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hi), np.searchsorted(data, q, side="right")
+        )
+
+
+class TestExpandOffsets:
+    """query.expand_offsets must equal searchsorted(starts, t, 'right')-1
+    (the addressing step of the join expansion)."""
+
+    def test_matches_numpy(self, rng):
+        from radix_sort_tpu.ops.query import expand_offsets
+
+        matches = rng.integers(0, 5, 200)
+        starts = (np.cumsum(matches) - matches).astype(np.int32)
+        cap = int(matches.sum()) + 7
+        got = np.asarray(expand_offsets(jnp.asarray(starts), cap))
+        want = np.searchsorted(starts, np.arange(cap), side="right") - 1
+        np.testing.assert_array_equal(got, want)
+
+    def test_out_of_range_offsets_dropped(self):
+        from radix_sort_tpu.ops.query import expand_offsets
+
+        starts = jnp.asarray([0, 2, 2**31 - 1, 2**31 - 1], jnp.int32)
+        got = np.asarray(expand_offsets(starts, 4))
+        np.testing.assert_array_equal(got, [0, 0, 1, 1])
