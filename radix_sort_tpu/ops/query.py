@@ -29,9 +29,10 @@ import jax.numpy as jnp
 
 from radix_sort_tpu import keys as K
 
-__all__ = ["filter", "hash_aggregate", "hash_join", "AGGREGATIONS"]
+__all__ = ["filter", "hash_aggregate", "hash_join", "AGGREGATIONS", "JOIN_HOWS"]
 
-AGGREGATIONS = ("sum", "count", "min", "max")
+AGGREGATIONS = ("sum", "count", "min", "max", "mean")
+JOIN_HOWS = ("inner", "left", "semi", "anti")
 
 
 def _stable_sort(operands, num_keys):
@@ -186,7 +187,8 @@ def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
     contract than a hash aggregate's arbitrary order).
 
     sum/count accumulate in the value dtype (modular for unsigned ints,
-    IEEE for floats); min/max are exact for any supported dtype.
+    IEEE for floats); min/max are exact for any supported dtype; mean is
+    group sum / group count in float32 (float64 values keep float64).
     """
     if agg not in AGGREGATIONS:
         raise ValueError(f"agg must be one of {AGGREGATIONS}, got {agg!r}")
@@ -195,7 +197,15 @@ def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
     n = keys.shape[0]
     if n == 0:
         vdt = jnp.int32 if agg == "count" else values.dtype
+        if agg == "mean":
+            vdt = jnp.float64 if values.dtype == jnp.float64 else jnp.float32
         return keys, jnp.zeros((0,), vdt), jnp.int32(0)
+    if agg == "mean":
+        mdt = jnp.float64 if values.dtype == jnp.float64 else jnp.float32
+        uk, sums, count = hash_aggregate(keys, values, "sum")
+        _, cnts, _ = hash_aggregate(keys, values, "count")
+        means = sums.astype(mdt) / jnp.maximum(cnts, 1).astype(mdt)
+        return uk, means, count
     kw = K.encode(keys)
 
     if agg in ("min", "max"):
@@ -235,49 +245,63 @@ def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
     return out_keys, out_vals, count
 
 
-def hash_join(
-    left_keys: jnp.ndarray,
-    left_values: jnp.ndarray,
-    right_keys: jnp.ndarray,
-    right_values: jnp.ndarray,
-    *,
-    capacity: int,
+def join_expand(
+    lkw, left_values, rvs, lo, hi, *, capacity, how="inner", valid_left=None
 ):
-    """Inner equi-join. Returns ``(keys, left_vals, right_vals, count,
-    overflow)``: rows [0, count) are all (left, right) matching pairs,
-    ordered by left row then right sorted position. ``overflow`` is True if
-    more than ``capacity`` pairs exist (result then holds the first
-    ``capacity``).
-    """
-    if left_values.shape[0] != left_keys.shape[0]:
-        raise ValueError("left keys/values length mismatch")
-    if right_values.shape[0] != right_keys.shape[0]:
-        raise ValueError("right keys/values length mismatch")
-    if left_keys.shape[0] == 0 or right_keys.shape[0] == 0:
-        # an empty side is a normal inner-join input: zero matching pairs
-        z = jnp.zeros((capacity,), left_keys.dtype)
-        return (
-            z,
-            jnp.zeros((capacity,), left_values.dtype),
-            jnp.zeros((capacity,), right_values.dtype),
-            jnp.int32(0),
-            jnp.bool_(False),
-        )
-    lk = K.encode(left_keys)
-    rk = K.encode(right_keys)
-    rks, rvs = _stable_sort([rk, right_values], num_keys=1)
+    """The match-expansion phase shared by the single-chip and distributed
+    joins: given each left row's sorted-right match range [lo, hi), emit the
+    join result for ``how`` into static-``capacity`` output arrays.
 
-    lo, hi = merge_rank_pair(rks, lk)
+    Operates on encoded key words (``lkw``); callers decode. ``valid_left``
+    masks out padding rows (distributed shards). Returns
+    ``(key_words, left_vals, right_vals, count, overflow)``.
+    """
+    if how not in JOIN_HOWS:
+        raise ValueError(f"how must be one of {JOIN_HOWS}, got {how!r}")
+    n_l = lkw.shape[0]
     matches = hi - lo
-    starts = jnp.cumsum(matches) - matches  # output offset per left row
-    total = starts[-1] + matches[-1] if matches.shape[0] else jnp.int32(0)
+    if valid_left is not None:
+        matches = jnp.where(valid_left, matches, 0)
+
+    if how in ("semi", "anti"):
+        # one output row per qualifying LEFT row, in left order — a stable
+        # filter, no expansion
+        sel = (matches > 0) if how == "semi" else (matches == 0)
+        if valid_left is not None:
+            sel = sel & valid_left
+        ck, cv, cnt = filter(sel, lkw, left_values)
+        pad = capacity - n_l
+        if pad >= 0:
+            ck = jnp.concatenate([ck, jnp.zeros((pad,), ck.dtype)])
+            cv = jnp.concatenate([cv, jnp.zeros((pad,), cv.dtype)])
+        else:
+            ck, cv = ck[:capacity], cv[:capacity]
+        t = jnp.arange(capacity, dtype=jnp.int32)
+        valid = t < jnp.minimum(cnt, capacity)
+        return (
+            jnp.where(valid, ck, 0),
+            jnp.where(valid, cv, 0),
+            jnp.zeros((capacity,), rvs.dtype),
+            jnp.minimum(cnt, capacity),
+            cnt > capacity,
+        )
+
+    # inner/left: prefix-sum output addressing. A left join emits exactly one
+    # row (with right value 0) for each unmatched left row.
+    emit = matches
+    if how == "left":
+        emit = jnp.where(matches == 0, 1, matches)
+        if valid_left is not None:
+            emit = jnp.where(valid_left, emit, 0)
+    starts = jnp.cumsum(emit) - emit  # output offset per left row
+    total = starts[-1] + emit[-1] if emit.shape[0] else jnp.int32(0)
 
     # >2^31 total pairs wrap the int32 running sum (duplicate-heavy keys on
     # large inputs). A true prefix sum is non-decreasing, so wrapped entries
     # are exactly those below the running max: poison them to INT32_MAX (all
-    # wrapped rows lie beyond any practical capacity) so the expansion's
-    # binary search still resolves the un-wrapped prefix exactly, and force
-    # the overflow flag — never a silently-negative count.
+    # wrapped rows lie beyond any practical capacity) so the expansion still
+    # resolves the un-wrapped prefix exactly, and force the overflow flag —
+    # never a silently-negative count.
     mono = jax.lax.cummax(starts)
     wrapped = jnp.any(starts != mono) | (total < 0)
     big = jnp.int32(2**31 - 1)
@@ -288,14 +312,80 @@ def hash_join(
     # j(t) = t - starts[i]
     t = jnp.arange(capacity, dtype=jnp.int32)
     i = expand_offsets(starts, capacity)
-    i = jnp.clip(i, 0, lk.shape[0] - 1)
+    i = jnp.clip(i, 0, n_l - 1)
     j = t - starts[i]
     valid = t < total
-    ridx = jnp.clip(lo[i] + j, 0, rks.shape[0] - 1)
+    ridx = jnp.clip(lo[i] + j, 0, rvs.shape[0] - 1)
 
-    out_keys = K.decode(jnp.where(valid, lk[i], 0), left_keys.dtype)
+    out_rv = rvs[ridx]
+    if how == "left":
+        out_rv = jnp.where(matches[i] > 0, out_rv, 0)
+    out_kw = jnp.where(valid, lkw[i], 0)
     out_lv = jnp.where(valid, left_values[i], 0)
-    out_rv = jnp.where(valid, rvs[ridx], 0)
+    out_rv = jnp.where(valid, out_rv, 0)
     count = jnp.minimum(total, capacity)
     overflow = (total > capacity) | wrapped
-    return out_keys, out_lv, out_rv, count, overflow
+    return out_kw, out_lv, out_rv, count, overflow
+
+
+def hash_join(
+    left_keys: jnp.ndarray,
+    left_values: jnp.ndarray,
+    right_keys: jnp.ndarray,
+    right_values: jnp.ndarray,
+    *,
+    capacity: int,
+    how: str = "inner",
+):
+    """Equi-join. Returns ``(keys, left_vals, right_vals, count, overflow)``:
+    rows [0, count) are the result, ordered by left row then right sorted
+    position. ``overflow`` is True if the result exceeds ``capacity`` (the
+    arrays then hold the first ``capacity`` rows).
+
+    ``how``:
+      - ``"inner"``: all (left, right) matching pairs;
+      - ``"left"``: matching pairs plus one row per unmatched left row with
+        ``right_vals`` 0 (callers needing an is-matched indicator can
+        anti-join);
+      - ``"semi"``: each left row with at least one match, once, in left
+        order (``right_vals`` all 0);
+      - ``"anti"``: each left row with no match, once, in left order
+        (``right_vals`` all 0).
+    """
+    if how not in JOIN_HOWS:
+        raise ValueError(f"how must be one of {JOIN_HOWS}, got {how!r}")
+    if left_values.shape[0] != left_keys.shape[0]:
+        raise ValueError("left keys/values length mismatch")
+    if right_values.shape[0] != right_keys.shape[0]:
+        raise ValueError("right keys/values length mismatch")
+    n_l = left_keys.shape[0]
+    if n_l == 0 or (right_keys.shape[0] == 0 and how == "inner"):
+        # an empty side is a normal inner-join input: zero matching pairs
+        z = jnp.zeros((capacity,), left_keys.dtype)
+        return (
+            z,
+            jnp.zeros((capacity,), left_values.dtype),
+            jnp.zeros((capacity,), right_values.dtype),
+            jnp.int32(0),
+            jnp.bool_(False),
+        )
+    lk = K.encode(left_keys)
+    if right_keys.shape[0] == 0:
+        # left/semi/anti against an empty right side: no row matches
+        lo = hi = jnp.zeros((n_l,), jnp.int32)
+        rvs = jnp.zeros((1,), right_values.dtype)
+    else:
+        rk = K.encode(right_keys)
+        rks, rvs = _stable_sort([rk, right_values], num_keys=1)
+        lo, hi = merge_rank_pair(rks, lk)
+
+    out_kw, out_lv, out_rv, count, overflow = join_expand(
+        lk, left_values, rvs, lo, hi, capacity=capacity, how=how
+    )
+    return (
+        K.decode(out_kw, left_keys.dtype),
+        out_lv,
+        out_rv,
+        count,
+        overflow,
+    )

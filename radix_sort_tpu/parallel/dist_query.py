@@ -130,16 +130,22 @@ def distributed_hash_join(
     *,
     capacity_per_shard: int,
     exchange_capacity_factor: float = 2.0,
+    how: str = "inner",
 ):
-    """Inner equi-join over row-sharded relations.
+    """Equi-join over row-sharded relations (``how``: inner/left/semi/anti,
+    see :func:`radix_sort_tpu.ops.query.hash_join`).
 
     Both sides are range-routed with ONE shared splitter sketch (sampled
     from both sides' keys), so matching keys land on the same shard; each
-    shard then runs a local sort-merge join. Returns per-shard padded
-    results ``(keys, left_vals, right_vals, counts, overflow)``: shard s's
-    valid pairs are its first ``counts[s]`` rows; ``overflow`` covers both
-    exchange-capacity and join-capacity overflows.
+    shard then runs a local sort-merge join (co-partitioning places every
+    row with a given key on one shard, so per-left-row match counts — and
+    hence left/semi/anti emission — are locally complete). Returns per-shard
+    padded results ``(keys, left_vals, right_vals, counts, overflow)``:
+    shard s's valid rows are its first ``counts[s]``; ``overflow`` covers
+    both exchange-capacity and join-capacity overflows.
     """
+    if how not in query.JOIN_HOWS:
+        raise ValueError(f"how must be one of {query.JOIN_HOWS}, got {how!r}")
     from radix_sort_tpu import keys as K
     from radix_sort_tpu.parallel import dist_sort
 
@@ -179,29 +185,17 @@ def distributed_hash_join(
         hi = jnp.minimum(hi, rcnt)
         lo = jnp.minimum(lo, hi)
         lvalid = jnp.arange(lws.shape[0]) < lcnt
-        matches = jnp.where(lvalid, hi - lo, 0)
-        starts = jnp.cumsum(matches) - matches
-        total = starts[-1] + matches[-1]
-        # int32 wraparound guard (see ops/query.py hash_join): poison wrapped
-        # prefix entries and force the overflow flag
-        mono = jax.lax.cummax(starts)
-        wrapped = jnp.any(starts != mono) | (total < 0)
-        big = jnp.int32(2**31 - 1)
-        starts = jnp.where(starts == mono, starts, big)
-        total = jnp.where(wrapped, big, total)
-
-        t = jnp.arange(capacity_per_shard, dtype=jnp.int32)
-        i = query.expand_offsets(starts, capacity_per_shard)
-        i = jnp.clip(i, 0, lws.shape[0] - 1)
-        j = t - starts[i]
-        valid = t < jnp.minimum(total, capacity_per_shard)
-        ridx = jnp.clip(lo[i] + j, 0, rws.shape[0] - 1)
-
-        out_k = jnp.where(valid, lws[i], 0)
-        out_lv = jnp.where(valid, lvs[i], 0)
-        out_rv = jnp.where(valid, rvs[ridx], 0)
-        cnt = jnp.minimum(total, capacity_per_shard)
-        ovf = lovf[0] | rovf[0] | (total > capacity_per_shard) | wrapped
+        out_k, out_lv, out_rv, cnt, jovf = query.join_expand(
+            lws,
+            lvs,
+            rvs,
+            lo,
+            hi,
+            capacity=capacity_per_shard,
+            how=how,
+            valid_left=lvalid,
+        )
+        ovf = lovf[0] | rovf[0] | jovf
         gcnt = jax.lax.all_gather(cnt.reshape(1), axis_name, tiled=True)
         govf = jax.lax.psum(ovf.astype(jnp.int32), axis_name) > 0
         return out_k, out_lv, out_rv, gcnt, govf.reshape(1)

@@ -128,3 +128,44 @@ class TestDistributedHashJoin:
         expected = sum(int((lk == k).sum()) * int((rk == k).sum()) for k in np.unique(lk))
         assert not bool(ovf)
         assert int(np.asarray(cnts).sum()) == expected
+
+    @pytest.mark.parametrize("how", ["left", "semi", "anti"])
+    def test_hows_match_single_chip(self, rng, mesh, how):
+        from radix_sort_tpu.ops import query
+
+        nl = nr = 8 * 128
+        # key range chosen so some left keys have no right match
+        lk = rng.integers(0, 300, nl).astype(np.uint32)
+        lv = rng.integers(0, 2**31, nl).astype(np.uint32)
+        rk = rng.integers(0, 150, nr).astype(np.uint32)
+        rv = rng.integers(0, 2**31, nr).astype(np.uint32)
+        lkj, lvj, rkj, rvj = runtime.shard_rows(
+            mesh, jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv)
+        )
+        # asymmetric key ranges (left keys >= 150 have no right rows) skew
+        # the shared-splitter routing of the left side — provision for it
+        jk, jlv, jrv, cnts, ovf = dist_query.distributed_hash_join(
+            lkj, lvj, rkj, rvj, mesh, capacity_per_shard=nl * 8, how=how,
+            exchange_capacity_factor=6.0,
+        )
+        assert not bool(ovf)
+        cnts = np.asarray(cnts)
+        nshards = len(jax.devices())
+        per = np.asarray(jk).shape[0] // nshards
+        trips = []
+        for s in range(nshards):
+            a = slice(s * per, s * per + cnts[s])
+            trips += list(
+                zip(np.asarray(jk)[a], np.asarray(jlv)[a], np.asarray(jrv)[a])
+            )
+        # oracle: the single-chip join with the same how
+        sk, slv, srv, scnt, sovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
+            capacity=nl * 16, how=how,
+        )
+        assert not bool(sovf)
+        scnt = int(scnt)
+        ref = list(
+            zip(np.asarray(sk)[:scnt], np.asarray(slv)[:scnt], np.asarray(srv)[:scnt])
+        )
+        assert sorted(trips) == sorted(ref)

@@ -45,11 +45,21 @@ class TestHashAggregate:
         ref_keys = np.unique(keys)
         assert cnt == len(ref_keys)
         np.testing.assert_array_equal(np.asarray(uk)[:cnt], ref_keys)
-        fns = {"sum": np.sum, "count": len, "min": np.min, "max": np.max}
+        fns = {
+            "sum": np.sum,
+            "count": len,
+            "min": np.min,
+            "max": np.max,
+            "mean": np.mean,
+        }
         ref = np.array([fns[agg](vals[keys == k]) for k in ref_keys])
-        np.testing.assert_array_equal(
-            np.asarray(av)[:cnt].astype(np.int64), ref.astype(np.int64)
-        )
+        if agg == "mean":
+            assert av.dtype == jnp.float32
+            np.testing.assert_allclose(np.asarray(av)[:cnt], ref, rtol=1e-6)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(av)[:cnt].astype(np.int64), ref.astype(np.int64)
+            )
 
     def test_float_values_sum(self, rng):
         n = 4_096
@@ -124,6 +134,86 @@ class TestHashJoin:
             capacity=16,
         )
         assert int(cnt) == 0 and not bool(ovf)
+
+
+class TestJoinHows:
+    def _sides(self, rng, nl=400, nr=250, kmax=60):
+        lk = rng.integers(0, kmax, nl).astype(np.uint32)
+        lv = rng.integers(0, 2**31, nl).astype(np.uint32)
+        rk = rng.integers(0, kmax, nr).astype(np.uint32)
+        rv = rng.integers(0, 2**31, nr).astype(np.uint32)
+        return lk, lv, rk, rv
+
+    def test_left_join(self, rng):
+        lk, lv, rk, rv = self._sides(rng)
+        order = np.argsort(rk, kind="stable")
+        rks, rvs = rk[order], rv[order]
+        ref = []
+        for i in range(len(lk)):
+            ms = [rvs[j] for j in range(len(rks)) if rks[j] == lk[i]]
+            if ms:
+                ref += [(lk[i], lv[i], m) for m in ms]
+            else:
+                ref.append((lk[i], lv[i], 0))
+        cap = len(ref) + 32
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
+            capacity=cap, how="left",
+        )
+        cnt = int(cnt)
+        assert not bool(ovf) and cnt == len(ref)
+        got = list(
+            zip(np.asarray(jk)[:cnt], np.asarray(jlv)[:cnt], np.asarray(jrv)[:cnt])
+        )
+        assert got == ref
+
+    @pytest.mark.parametrize("how", ["semi", "anti"])
+    def test_semi_anti(self, rng, how):
+        lk, lv, rk, rv = self._sides(rng)
+        in_right = np.isin(lk, rk)
+        sel = in_right if how == "semi" else ~in_right
+        cap = len(lk)
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
+            capacity=cap, how=how,
+        )
+        cnt = int(cnt)
+        assert not bool(ovf) and cnt == sel.sum()
+        np.testing.assert_array_equal(np.asarray(jk)[:cnt], lk[sel])
+        np.testing.assert_array_equal(np.asarray(jlv)[:cnt], lv[sel])
+        assert not np.asarray(jrv).any()
+
+    @pytest.mark.parametrize("how", ["left", "semi", "anti"])
+    def test_empty_right_side(self, how, rng):
+        lk = np.array([3, 1, 4], np.uint32)
+        lv = np.array([30, 10, 40], np.uint32)
+        e = jnp.zeros(0, jnp.uint32)
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), e, e, capacity=8, how=how,
+        )
+        cnt = int(cnt)
+        if how == "semi":
+            assert cnt == 0
+        else:  # left and anti both emit every left row once
+            assert cnt == 3
+            np.testing.assert_array_equal(np.asarray(jk)[:cnt], lk)
+            np.testing.assert_array_equal(np.asarray(jlv)[:cnt], lv)
+        assert not bool(ovf)
+
+    def test_semi_capacity_overflow(self, rng):
+        lk = np.zeros(10, np.uint32)
+        rk = np.zeros(4, np.uint32)
+        v = np.arange(10, dtype=np.uint32)
+        _, _, _, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(v), jnp.asarray(rk),
+            jnp.asarray(np.arange(4, dtype=np.uint32)), capacity=6, how="semi",
+        )
+        assert bool(ovf) and int(cnt) == 6
+
+    def test_bad_how_raises(self):
+        z = jnp.zeros(4, jnp.uint32)
+        with pytest.raises(ValueError, match="how must be one of"):
+            query.hash_join(z, z, z, z, capacity=4, how="outer")
 
 
 class TestEdgeCases:
