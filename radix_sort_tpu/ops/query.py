@@ -296,6 +296,26 @@ def join_expand(
     starts = jnp.cumsum(emit) - emit  # output offset per left row
     total = starts[-1] + emit[-1] if emit.shape[0] else jnp.int32(0)
 
+    # High-fanout joins (mean fanout >= 64 by the static capacity/n_left
+    # ratio) take the Pallas run-append kernel: one DMA'd run per left row
+    # instead of three ~9 ns/element gathers — measured 3.9 ns/output
+    # element at fanout 256 vs ~28 ns for the gather path. Below the
+    # crossover (~fanout 32) the per-run overhead (~0.5-1 us) loses to the
+    # gathers, so low-fanout joins keep the XLA path. The interpret-mode
+    # kernel is only engaged at test sizes off-TPU.
+    use_kernel = (
+        n_l > 0
+        and capacity >= 64 * n_l
+        and lkw.dtype == jnp.uint32
+        and left_values.dtype.itemsize == 4
+        and rvs.dtype.itemsize == 4
+        and (jax.default_backend() == "tpu" or capacity <= (1 << 16))
+    )
+    if use_kernel:
+        return _join_expand_kernel(
+            lkw, left_values, rvs, lo, matches, emit, starts, total, capacity
+        )
+
     # >2^31 total pairs wrap the int32 running sum (duplicate-heavy keys on
     # large inputs). A true prefix sum is non-decreasing, so wrapped entries
     # are exactly those below the running max: poison them to INT32_MAX (all
@@ -324,6 +344,55 @@ def join_expand(
     out_lv = jnp.where(valid, left_values[i], 0)
     out_rv = jnp.where(valid, out_rv, 0)
     count = jnp.minimum(total, capacity)
+    overflow = (total > capacity) | wrapped
+    return out_kw, out_lv, out_rv, count, overflow
+
+
+def _join_expand_kernel(
+    lkw, left_values, rvs, lo, matches, emit, starts, total, capacity
+):
+    """Run-append expansion via the Pallas kernel (ops/expand.py). Emission
+    lengths are clamped XLA-side so the cumulative output never exceeds
+    ``capacity`` — the first ``capacity`` rows are exact even on overflow,
+    matching the gather path's contract."""
+    from radix_sort_tpu.ops import expand
+
+    # int32 wraparound guard (identical semantics to the gather path)
+    mono = jax.lax.cummax(starts)
+    wrapped = jnp.any(starts != mono) | (total < 0)
+    big = jnp.int32(2**31 - 1)
+    starts_p = jnp.where(starts == mono, starts, big)
+    total = jnp.where(wrapped, big, total)
+
+    emit_c = jnp.clip(capacity - starts_p, 0, emit)
+    m_copy = jnp.minimum(matches, emit_c)
+    as_i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    n_l = lkw.shape[0]
+    desc = jnp.stack(
+        [
+            as_i32(lkw),
+            as_i32(left_values),
+            lo,
+            m_copy,
+            emit_c,
+            jnp.zeros((n_l,), jnp.int32),
+            jnp.zeros((n_l,), jnp.int32),
+            jnp.zeros((n_l,), jnp.int32),
+        ],
+        axis=1,
+    )
+    okw, olv, orv, _ = expand.expand_join_runs(
+        jax.lax.bitcast_convert_type(rvs, jnp.uint32), desc, capacity=capacity
+    )
+    count = jnp.minimum(total, capacity)
+    valid = jnp.arange(capacity, dtype=jnp.int32) < count
+    out_kw = jnp.where(valid, okw, 0)
+    out_lv = jnp.where(
+        valid, jax.lax.bitcast_convert_type(olv, left_values.dtype), 0
+    )
+    out_rv = jnp.where(
+        valid, jax.lax.bitcast_convert_type(orv, rvs.dtype), 0
+    )
     overflow = (total > capacity) | wrapped
     return out_kw, out_lv, out_rv, count, overflow
 

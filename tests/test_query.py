@@ -216,6 +216,80 @@ class TestJoinHows:
             query.hash_join(z, z, z, z, capacity=4, how="outer")
 
 
+class TestHighFanoutKernelPath:
+    """capacity >= 64 * n_left engages the Pallas run-append expansion
+    (interpret mode off-TPU); results must match the gather path exactly."""
+
+    def _join(self, lk, lv, rk, rv, capacity, how="inner"):
+        return query.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk),
+            jnp.asarray(rv), capacity=capacity, how=how,
+        )
+
+    def test_inner_matches_oracle(self, rng):
+        n_l, fan = 48, 80
+        lk = rng.permutation(n_l).astype(np.uint32)
+        lv = rng.integers(0, 2**31, n_l).astype(np.uint32)
+        rk = np.repeat(np.arange(n_l, dtype=np.uint32), fan)
+        rv = rng.integers(0, 2**31, n_l * fan).astype(np.uint32)
+        cap = n_l * fan + 64  # engages the kernel (>= 64*n_l), > total
+        jk, jlv, jrv, cnt, ovf = self._join(lk, lv, rk, rv, cap)
+        cnt = int(cnt)
+        assert not bool(ovf) and cnt == n_l * fan
+        order = np.argsort(rk, kind="stable")
+        rks, rvs = rk[order], rv[order]
+        ref = []
+        for i in range(n_l):
+            sel = rks == lk[i]
+            ref += list(zip([lk[i]] * fan, [lv[i]] * fan, rvs[sel]))
+        got = list(
+            zip(np.asarray(jk)[:cnt], np.asarray(jlv)[:cnt], np.asarray(jrv)[:cnt])
+        )
+        assert got == ref
+        # tail is zeroed (not sentinel) beyond count
+        assert not np.asarray(jk)[cnt:].any()
+
+    def test_left_join_unmatched_fill(self, rng):
+        lk = np.array([7, 3, 99], np.uint32)  # 99 unmatched
+        lv = np.array([70, 30, 990], np.uint32)
+        rk = np.repeat(np.array([3, 7], np.uint32), 100)
+        rv = rng.integers(1, 2**31, 200).astype(np.uint32)
+        cap = 256  # >= 64*3 engages the kernel; > total 201
+        jk, jlv, jrv, cnt, ovf = self._join(lk, lv, rk, rv, cap, how="left")
+        cnt = int(cnt)
+        assert not bool(ovf) and cnt == 201
+        assert np.asarray(jk)[200] == 99 and np.asarray(jrv)[200] == 0
+        # left row 0 has key 7; its matches are the sorted-right tail rv[100:]
+        np.testing.assert_array_equal(np.asarray(jrv)[:100], rv[100:])
+
+    def test_capacity_truncation_exact(self, rng):
+        # overflow: first `capacity` rows must still be exact
+        n_l, fan = 4, 200
+        lk = np.arange(n_l, dtype=np.uint32)
+        lv = lk * 10
+        rk = np.repeat(lk, fan)
+        rv = np.arange(n_l * fan, dtype=np.uint32)
+        cap = 64 * n_l  # 256 < total 800
+        jk, jlv, jrv, cnt, ovf = self._join(lk, lv, rk, rv, cap)
+        assert bool(ovf) and int(cnt) == cap
+        # rows are ordered by left row then right sorted position
+        ref_rv = rv[np.argsort(rk, kind="stable")][:cap]
+        np.testing.assert_array_equal(np.asarray(jrv), ref_rv[:cap])
+
+    def test_float_values_bitcast(self, rng):
+        n_l = 8
+        lk = np.arange(n_l, dtype=np.uint32)
+        lv = rng.random(n_l).astype(np.float32)
+        rk = np.repeat(lk, 70)
+        rv = rng.random(n_l * 70).astype(np.float32)
+        cap = n_l * 70 + 16
+        jk, jlv, jrv, cnt, ovf = self._join(lk, lv, rk, rv, cap)
+        cnt = int(cnt)
+        assert jlv.dtype == jnp.float32 and jrv.dtype == jnp.float32
+        assert cnt == n_l * 70
+        np.testing.assert_array_equal(np.asarray(jrv)[:70], rv[rk == 0])
+
+
 class TestEdgeCases:
     def test_aggregate_empty(self):
         uk, av, cnt = query.hash_aggregate(
