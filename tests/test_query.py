@@ -72,6 +72,33 @@ class TestHashAggregate:
                 np.asarray(av)[i], vals[keys == k].sum(), rtol=1e-4
             )
 
+    def test_float_sum_large_vs_float64_oracle(self, rng):
+        # spans many _SUM_BLOCK blocks; group sums must track a float64
+        # oracle closely (two-level blocked accumulation)
+        n = 65_536
+        keys = rng.integers(0, 33, n).astype(np.uint32)
+        vals = (rng.random(n).astype(np.float32) - 0.5) * 1000
+        uk, av, cnt = query.hash_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), "sum"
+        )
+        cnt = int(cnt)
+        ref = np.array(
+            [vals[keys == k].astype(np.float64).sum() for k in np.unique(keys)]
+        )
+        np.testing.assert_allclose(
+            np.asarray(av)[:cnt].astype(np.float64), ref, rtol=2e-5, atol=1e-2
+        )
+
+    def test_float_sum_single_group_and_tiny(self, rng):
+        for n in (1, 2, 7):
+            vals = rng.random(n).astype(np.float32)
+            keys = np.zeros(n, np.uint32)
+            uk, av, cnt = query.hash_aggregate(
+                jnp.asarray(keys), jnp.asarray(vals), "sum"
+            )
+            assert int(cnt) == 1
+            np.testing.assert_allclose(np.asarray(av)[0], vals.sum(), rtol=1e-5)
+
     def test_signed_keys(self, rng):
         keys = np.array([-5, 3, -5, 0, 3, -5], np.int32)
         vals = np.arange(6, dtype=np.uint32)
