@@ -23,6 +23,7 @@ from radix_sort_tpu.ops.query import (
     filter,
     hash_aggregate,
     hash_join,
+    repeat,
     AGGREGATIONS,
 )
 
@@ -42,6 +43,7 @@ __all__ = [
     "filter",
     "hash_aggregate",
     "hash_join",
+    "repeat",
     "AGGREGATIONS",
     "IMPLEMENTATIONS",
     "__version__",

@@ -29,7 +29,14 @@ import jax.numpy as jnp
 
 from radix_sort_tpu import keys as K
 
-__all__ = ["filter", "hash_aggregate", "hash_join", "AGGREGATIONS", "JOIN_HOWS"]
+__all__ = [
+    "filter",
+    "hash_aggregate",
+    "hash_join",
+    "repeat",
+    "AGGREGATIONS",
+    "JOIN_HOWS",
+]
 
 AGGREGATIONS = ("sum", "count", "min", "max", "mean")
 JOIN_HOWS = ("inner", "left", "semi", "anti")
@@ -249,6 +256,78 @@ def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
     pick = first if agg == "min" else last
     out_keys, out_vals, count = filter(pick, uk, sv)
     return out_keys, out_vals, count
+
+
+def repeat(values: jnp.ndarray, counts: jnp.ndarray, *, total_size: int):
+    """``np.repeat(values, counts)`` into a static-size output (the unnest
+    primitive): element i is emitted ``counts[i]`` times, in order.
+
+    Returns ``(out, count, overflow)``: rows [0, count) hold the expansion,
+    the tail is 0. ``overflow`` is True if the true expansion exceeds
+    ``total_size`` (the result then holds the first ``total_size`` rows,
+    exactly).
+
+    High mean fanout (``total_size >= 64 * len(values)``, 4-byte values)
+    takes the Pallas run-append kernel's broadcast-fill path; otherwise
+    scatter + cummax addressing and one gather.
+    """
+    if counts.shape[0] != values.shape[0]:
+        raise ValueError("values and counts must have the same length")
+    n = values.shape[0]
+    if n == 0:
+        return (
+            jnp.zeros((total_size,), values.dtype),
+            jnp.int32(0),
+            jnp.bool_(False),
+        )
+    counts = jnp.maximum(counts.astype(jnp.int32), 0)
+    starts = jnp.cumsum(counts) - counts
+    total = starts[-1] + counts[-1]
+    # int32 wraparound guard (see hash_join)
+    mono = jax.lax.cummax(starts)
+    wrapped = jnp.any(starts != mono) | (total < 0)
+    big = jnp.int32(2**31 - 1)
+    starts = jnp.where(starts == mono, starts, big)
+    total = jnp.where(wrapped, big, total)
+    count = jnp.minimum(total, total_size)
+    overflow = (total > total_size) | wrapped
+
+    use_kernel = (
+        total_size >= 64 * n
+        and values.dtype.itemsize == 4
+        and (jax.default_backend() == "tpu" or total_size <= (1 << 16))
+    )
+    if use_kernel:
+        from radix_sort_tpu.ops import expand
+
+        emit_c = jnp.clip(total_size - starts, 0, counts)
+        z = jnp.zeros((n,), jnp.int32)
+        desc = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(values, jnp.int32),
+                z,
+                z,
+                z,  # m_copy = 0: pure broadcast-fill runs
+                emit_c,
+                z,
+                z,
+                z,
+            ],
+            axis=1,
+        )
+        okw, _, _, _ = expand.expand_join_runs(
+            jnp.zeros((1,), jnp.uint32), desc, capacity=total_size
+        )
+        valid = jnp.arange(total_size, dtype=jnp.int32) < count
+        out = jnp.where(
+            valid, jax.lax.bitcast_convert_type(okw, values.dtype), 0
+        )
+        return out, count, overflow
+
+    t = jnp.arange(total_size, dtype=jnp.int32)
+    i = jnp.clip(expand_offsets(starts, total_size), 0, n - 1)
+    out = jnp.where(t < count, values[i], 0)
+    return out, count, overflow
 
 
 def join_expand(

@@ -97,3 +97,74 @@ def test_filter_partition(data, n):
     cnt = int(cnt)
     np.testing.assert_array_equal(np.asarray(xc)[:cnt], x[mask])
     np.testing.assert_array_equal(np.asarray(xc)[cnt:], x[~mask])
+
+
+@_SET
+@given(st.data(), st.integers(1, 60), st.integers(1, 60), st.integers(0, 9))
+def test_join_hows_consistency(data, nl, nr, kmax):
+    """Structural invariants tying the four join variants together:
+    |inner| + #anti == |left|; semi ∪ anti partitions the left side."""
+    lk = np.array(
+        data.draw(st.lists(st.integers(0, kmax), min_size=nl, max_size=nl)),
+        dtype=np.uint32,
+    )
+    rk = np.array(
+        data.draw(st.lists(st.integers(0, kmax), min_size=nr, max_size=nr)),
+        dtype=np.uint32,
+    )
+    lv = np.arange(nl, dtype=np.uint32)
+    rv = np.arange(nr, dtype=np.uint32)
+    cap = nl * nr + nl + 8
+    res = {}
+    for how in ("inner", "left", "semi", "anti"):
+        _, _, _, cnt, ovf = rst.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk),
+            jnp.asarray(rv), capacity=cap, how=how,
+        )
+        assert not bool(ovf)
+        res[how] = int(cnt)
+    n_match = np.isin(lk, rk).sum()
+    assert res["semi"] == n_match
+    assert res["anti"] == nl - n_match
+    assert res["left"] == res["inner"] + res["anti"]
+    # inner count equals the exact pair count
+    ref_pairs = sum(
+        int((lk == k).sum()) * int((rk == k).sum()) for k in np.unique(lk)
+    )
+    assert res["inner"] == ref_pairs
+
+
+@_SET
+@given(st.data(), st.integers(1, 120), st.integers(1, 8))
+def test_aggregate_mean_is_sum_over_count(data, n, ngroups):
+    keys = np.array(
+        data.draw(st.lists(st.integers(0, ngroups), min_size=n, max_size=n)),
+        dtype=np.uint32,
+    )
+    vals = np.array(
+        data.draw(st.lists(st.integers(0, 1000), min_size=n, max_size=n)),
+        dtype=np.uint32,
+    )
+    uk, m, cnt = rst.hash_aggregate(jnp.asarray(keys), jnp.asarray(vals), "mean")
+    cnt = int(cnt)
+    for i, k in enumerate(np.unique(keys)):
+        sel = vals[keys == k]
+        np.testing.assert_allclose(
+            float(np.asarray(m)[i]), sel.sum() / len(sel), rtol=1e-6
+        )
+
+
+@_SET
+@given(st.data(), st.integers(1, 80))
+def test_repeat_matches_numpy(data, n):
+    vals = np.arange(n, dtype=np.uint32) * 7
+    counts = np.array(
+        data.draw(st.lists(st.integers(0, 5), min_size=n, max_size=n)),
+        dtype=np.int32,
+    )
+    ref = np.repeat(vals, counts)
+    out, cnt, ovf = rst.repeat(
+        jnp.asarray(vals), jnp.asarray(counts), total_size=len(ref) + 4
+    )
+    assert int(cnt) == len(ref) and not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(out)[: len(ref)], ref)

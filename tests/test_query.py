@@ -243,6 +243,61 @@ class TestJoinHows:
             query.hash_join(z, z, z, z, capacity=4, how="outer")
 
 
+class TestRepeat:
+    def test_matches_numpy(self, rng):
+        n = 300
+        vals = rng.integers(0, 2**31, n).astype(np.uint32)
+        counts = rng.integers(0, 6, n).astype(np.int32)
+        ref = np.repeat(vals, counts)
+        out, cnt, ovf = query.repeat(
+            jnp.asarray(vals), jnp.asarray(counts), total_size=len(ref) + 16
+        )
+        assert int(cnt) == len(ref) and not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(out)[: len(ref)], ref)
+        assert not np.asarray(out)[len(ref):].any()
+
+    def test_kernel_path_high_fanout(self, rng):
+        # total_size >= 64 * n engages the broadcast-fill kernel
+        n = 32
+        vals = rng.integers(0, 2**31, n).astype(np.uint32)
+        counts = rng.integers(50, 90, n).astype(np.int32)
+        ref = np.repeat(vals, counts)
+        total = 64 * n + 1024
+        out, cnt, ovf = query.repeat(
+            jnp.asarray(vals), jnp.asarray(counts), total_size=total
+        )
+        assert int(cnt) == len(ref) and not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(out)[: len(ref)], ref)
+
+    def test_truncation_and_overflow(self, rng):
+        vals = np.array([1, 2, 3], np.uint32)
+        counts = np.array([4, 4, 4], np.int32)
+        out, cnt, ovf = query.repeat(
+            jnp.asarray(vals), jnp.asarray(counts), total_size=6
+        )
+        assert bool(ovf) and int(cnt) == 6
+        np.testing.assert_array_equal(np.asarray(out), [1, 1, 1, 1, 2, 2])
+
+    def test_float_and_zero_counts(self, rng):
+        vals = np.array([1.5, -2.5, 3.25], np.float32)
+        counts = np.array([0, 2, 0], np.int32)
+        out, cnt, ovf = query.repeat(
+            jnp.asarray(vals), jnp.asarray(counts), total_size=8
+        )
+        assert int(cnt) == 2 and not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(out)[:2], [-2.5, -2.5])
+
+    def test_empty_and_mismatch(self):
+        out, cnt, ovf = query.repeat(
+            jnp.zeros(0, jnp.uint32), jnp.zeros(0, jnp.int32), total_size=4
+        )
+        assert int(cnt) == 0 and not bool(ovf) and out.shape == (4,)
+        with pytest.raises(ValueError, match="same length"):
+            query.repeat(
+                jnp.zeros(3, jnp.uint32), jnp.zeros(2, jnp.int32), total_size=4
+            )
+
+
 class TestHighFanoutKernelPath:
     """capacity >= 64 * n_left engages the Pallas run-append expansion
     (interpret mode off-TPU); results must match the gather path exactly."""
