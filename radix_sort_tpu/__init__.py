@@ -13,6 +13,8 @@ from radix_sort_tpu.ops.sort import (
     argsort,
     sort_pairs,
     sort_limbs,
+    lexsort,
+    top_k,
     sort128,
     argsort128,
     sort_pairs128,
@@ -24,6 +26,7 @@ from radix_sort_tpu.ops.query import (
     hash_aggregate,
     hash_join,
     repeat,
+    unique,
     AGGREGATIONS,
 )
 
@@ -36,6 +39,8 @@ __all__ = [
     "argsort",
     "sort_pairs",
     "sort_limbs",
+    "lexsort",
+    "top_k",
     "sort128",
     "argsort128",
     "sort_pairs128",
@@ -44,6 +49,7 @@ __all__ = [
     "hash_aggregate",
     "hash_join",
     "repeat",
+    "unique",
     "AGGREGATIONS",
     "IMPLEMENTATIONS",
     "__version__",

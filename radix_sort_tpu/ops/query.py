@@ -34,6 +34,7 @@ __all__ = [
     "hash_aggregate",
     "hash_join",
     "repeat",
+    "unique",
     "AGGREGATIONS",
     "JOIN_HOWS",
 ]
@@ -543,3 +544,27 @@ def hash_join(
         count,
         overflow,
     )
+
+
+def unique(keys: jnp.ndarray):
+    """Distinct keys with multiplicities (DISTINCT / GROUP BY COUNT(*)).
+
+    Returns ``(unique_keys, counts, num_unique)``: rows [0, num_unique) hold
+    each distinct key once, ascending under the dtype's total order, with
+    its occurrence count; the tail is padding. Cheaper than
+    ``hash_aggregate(keys, ·, "count")`` — keys-only, so the sort is a
+    1-operand unstable network and counts come from boundary positions.
+    """
+    n = keys.shape[0]
+    if n == 0:
+        return keys, jnp.zeros((0,), jnp.int32), jnp.int32(0)
+    sk = jnp.sort(K.encode(keys), stable=False)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
+    uk = K.decode(sk, keys.dtype)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    out_keys, start, num = filter(first, uk, pos)
+    # counts[i] = next group's start - this group's start (last ends at n)
+    nxt = jnp.concatenate([start[1:], start[:1]])
+    nxt = jnp.where(pos == num - 1, n, nxt)
+    counts = jnp.where(pos < num, nxt - start, 0)
+    return out_keys, counts, num

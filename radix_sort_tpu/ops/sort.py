@@ -29,6 +29,8 @@ __all__ = [
     "argsort",
     "sort_pairs",
     "sort_limbs",
+    "lexsort",
+    "top_k",
     "sort128",
     "argsort128",
     "sort_pairs128",
@@ -85,31 +87,47 @@ def _resolve(implementation: str) -> str:
     return implementation
 
 
-def sort(keys: jnp.ndarray, *, implementation: str = "auto") -> jnp.ndarray:
-    """Stable ascending sort under the dtype's total order.
+def _dir(words: jnp.ndarray, descending: bool) -> jnp.ndarray:
+    """Complement encoded rank words to reverse the order.
+
+    Bitwise NOT reverses unsigned order exactly, so sorting ``~w`` stably
+    ascending == sorting ``w`` descending with equal keys still in input
+    order (stable-descending semantics)."""
+    return ~words if descending else words
+
+
+def sort(keys: jnp.ndarray, *, descending: bool = False,
+         implementation: str = "auto") -> jnp.ndarray:
+    """Stable sort under the dtype's total order (ascending by default).
 
     Equivalent to the reference's ``data.radix_sort()`` on scalar slices
     (mod.rs:61-176): floats order by IEEE total_cmp (incl. -0.0 < +0.0, NaNs
-    by sign/payload), signed ints by value.
+    by sign/payload), signed ints by value. ``descending=True`` reverses the
+    order (a complement in encoded rank space — no extra sort cost).
     """
     if implementation == "auto" and np.dtype(keys.dtype).itemsize == 1:
         # byte-wide keys-only: the single-pass counting sort (mod.rs:40-59)
         # is ~4x the comparator here — two fused compare-sum passes, no
         # element movement at all (keys-only, so stability is vacuous)
-        return K.decode(xla_radix.counting_sort_u8(K.encode(keys)), keys.dtype)
+        w = _dir(xla_radix.counting_sort_u8(_dir(K.encode(keys), descending)),
+                 descending)
+        return K.decode(w, keys.dtype)
     impl = _resolve(implementation)
     sort_words, _ = _words_engines()[impl]
-    return K.decode(sort_words(K.encode(keys)), keys.dtype)
+    w = _dir(sort_words(_dir(K.encode(keys), descending)), descending)
+    return K.decode(w, keys.dtype)
 
 
-def argsort(keys: jnp.ndarray, *, implementation: str = "auto") -> jnp.ndarray:
+def argsort(keys: jnp.ndarray, *, descending: bool = False,
+            implementation: str = "auto") -> jnp.ndarray:
     """Indices of the stable total-order sort."""
     impl = _resolve(implementation)
     _, argsort_words = _words_engines()[impl]
-    return argsort_words(K.encode(keys))
+    return argsort_words(_dir(K.encode(keys), descending))
 
 
-def sort_pairs(keys: jnp.ndarray, values: jnp.ndarray, *, implementation: str = "auto"):
+def sort_pairs(keys: jnp.ndarray, values: jnp.ndarray, *,
+               descending: bool = False, implementation: str = "auto"):
     """Stable sort of (key, payload) rows by key.
 
     Equivalent to the reference's tuple sort (radix_digits.rs:126-136): the
@@ -124,16 +142,19 @@ def sort_pairs(keys: jnp.ndarray, values: jnp.ndarray, *, implementation: str = 
     if impl == "pallas":
         from radix_sort_tpu.ops import pallas_sort
 
-        words, out_vals = pallas_sort.sort_pairs_words(K.encode(keys), values)
-        return K.decode(words, keys.dtype), out_vals
+        words, out_vals = pallas_sort.sort_pairs_words(
+            _dir(K.encode(keys), descending), values
+        )
+        return K.decode(_dir(words, descending), keys.dtype), out_vals
     if impl == "comparator":
         # one variadic sort — argsort + two x[perm] gathers run ~30x slower
         # than the sort itself on this chip (gathers are ~2us/element)
         words, out_vals = jax.lax.sort(
-            [K.encode(keys), values], num_keys=1, is_stable=True
+            [_dir(K.encode(keys), descending), values], num_keys=1,
+            is_stable=True
         )
-        return K.decode(words, keys.dtype), out_vals
-    perm = argsort(keys, implementation=impl)
+        return K.decode(_dir(words, descending), keys.dtype), out_vals
+    perm = argsort(keys, descending=descending, implementation=impl)
     return keys[perm], values[perm]
 
 
@@ -142,7 +163,8 @@ def counting_sort(x: jnp.ndarray) -> jnp.ndarray:
     return xla_radix.counting_sort_u8(x)
 
 
-def sort_limbs(key_words, value_words=(), *, implementation: str = "auto"):
+def sort_limbs(key_words, value_words=(), *, descending: bool = False,
+               implementation: str = "auto"):
     """Stable co-sort by a multi-word big-endian unsigned key.
 
     ``key_words``: most-significant-first uint32 limbs (any count — this is
@@ -161,6 +183,9 @@ def sort_limbs(key_words, value_words=(), *, implementation: str = "auto"):
             raise ValueError("all limbs must be uint32 arrays of equal length")
     impl = _resolve(implementation)
     nk = len(key_words)
+    if descending:
+        # complementing every limb reverses the lexicographic order exactly
+        key_words = [~w for w in key_words]
     if impl == "pallas" and n >= config.get().min_pipeline_n:
         from radix_sort_tpu.ops import sample_sort
 
@@ -169,7 +194,75 @@ def sort_limbs(key_words, value_words=(), *, implementation: str = "auto"):
         out = jax.lax.sort(
             key_words + value_words, num_keys=nk, is_stable=True
         )
-    return list(out[:nk]), list(out[nk:])
+    kw_out = [~w for w in out[:nk]] if descending else list(out[:nk])
+    return kw_out, list(out[nk:])
+
+
+def _column_limbs(col: jnp.ndarray):
+    """Encode one key column into its uint32 rank limbs (msb-first)."""
+    w = K.encode(col)
+    if np.dtype(w.dtype).itemsize == 8:
+        hi, lo = K.split64(w)
+        return [hi, lo]
+    return [w.astype(jnp.uint32)]
+
+
+def lexsort(columns, *, descending: bool = False,
+            implementation: str = "auto") -> jnp.ndarray:
+    """Stable sorting permutation over multiple key columns.
+
+    ``columns`` is a sequence of equal-length arrays (any supported dtype
+    mix); the FIRST column is the primary key (note: numpy's ``lexsort``
+    takes the primary key LAST). Ties across all columns keep input order.
+    Generalizes the reference's tuple keys (radix_digits.rs:126-136) from
+    (key, payload) to arbitrarily many significant columns: each column is
+    encoded into uint32 rank limbs and the concatenation sorts
+    lexicographically via :func:`sort_limbs`.
+    """
+    columns = list(columns)
+    if not columns:
+        raise ValueError("lexsort needs at least one column")
+    n = columns[0].shape[0]
+    limbs = []
+    for c in columns:
+        if c.shape[0] != n:
+            raise ValueError("all columns must have equal length")
+        limbs.extend(_column_limbs(c))
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    _, vals = sort_limbs(limbs, [idx], descending=descending,
+                         implementation=implementation)
+    return vals[0].astype(jnp.int32)
+
+
+def top_k(keys: jnp.ndarray, k: int, *arrays: jnp.ndarray,
+          largest: bool = True):
+    """Top ``k`` rows by key under the dtype's total order.
+
+    Returns ``(top_keys, *top_arrays)`` with the selected rows sorted
+    (descending for ``largest=True``, ascending otherwise); ties are broken
+    by input position (stable). Payload ``arrays`` are co-selected by k
+    gathers — cheap because only k rows move, unlike a full
+    ``sort_pairs`` (the selection itself is ``lax.top_k`` over encoded
+    rank words: O(n) scan instead of a full sort).
+    """
+    n = keys.shape[0]
+    if not 0 <= k <= n:
+        raise ValueError(f"k must be in [0, {n}], got {k}")
+    for a in arrays:
+        if a.shape[0] != n:
+            raise ValueError("all arrays must match the keys length")
+    w = K.encode(keys)
+    if not largest:
+        w = ~w
+    # lax.top_k orders descending and breaks ties by lower index — exactly
+    # stable-descending over the encoded rank word
+    topw, idx = jax.lax.top_k(w, k)
+    if not largest:
+        topw = ~topw
+    out = [K.decode(topw, keys.dtype)]
+    for a in arrays:
+        out.append(a[idx])
+    return tuple(out)
 
 
 def sort128(hi, lo, *, signed: bool = False, implementation: str = "auto"):
