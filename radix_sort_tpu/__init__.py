@@ -15,6 +15,7 @@ from radix_sort_tpu.ops.sort import (
     sort_limbs,
     lexsort,
     top_k,
+    sort_segments,
     sort128,
     argsort128,
     sort_pairs128,
@@ -27,6 +28,7 @@ from radix_sort_tpu.ops.query import (
     hash_join,
     repeat,
     unique,
+    searchsorted,
     AGGREGATIONS,
 )
 
@@ -41,6 +43,7 @@ __all__ = [
     "sort_limbs",
     "lexsort",
     "top_k",
+    "sort_segments",
     "sort128",
     "argsort128",
     "sort_pairs128",
@@ -50,6 +53,7 @@ __all__ = [
     "hash_join",
     "repeat",
     "unique",
+    "searchsorted",
     "AGGREGATIONS",
     "IMPLEMENTATIONS",
     "__version__",

@@ -172,6 +172,35 @@ def decode128(limbs, *, signed: bool = False):
     return hi, lo
 
 
+def encode_limbs(col: jnp.ndarray):
+    """One key column -> its big-endian uint32 rank-space limbs.
+
+    64-bit dtypes produce two limbs (``split64``), narrower dtypes one
+    zero-extended limb; lexicographic unsigned order over the limbs equals
+    the column's total order. This is the canonical form composite
+    (multi-column) keys take through the engine.
+    """
+    w = encode(col)
+    if np.dtype(w.dtype).itemsize == 8:
+        return list(split64(w))
+    return [w.astype(jnp.uint32)]
+
+
+def decode_limbs(limbs, dtype) -> jnp.ndarray:
+    """Inverse of :func:`encode_limbs` for one column."""
+    dtype = np.dtype(dtype)
+    if len(limbs) == 2:
+        return decode(merge64(limbs[0], limbs[1]), dtype)
+    (w,) = limbs
+    edt = encoded_dtype(dtype)
+    return decode(w.astype(edt), dtype)
+
+
+def num_limbs(dtype) -> int:
+    """Limb count :func:`encode_limbs` produces for ``dtype``."""
+    return 2 if np.dtype(encoded_dtype(dtype)).itemsize == 8 else 1
+
+
 def split64(words: jnp.ndarray):
     """uint64 rank-space words -> (hi, lo) uint32 limbs.
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from radix_sort_tpu import keys as K
 
@@ -35,6 +36,7 @@ __all__ = [
     "hash_join",
     "repeat",
     "unique",
+    "searchsorted",
     "AGGREGATIONS",
     "JOIN_HOWS",
 ]
@@ -47,6 +49,41 @@ def _stable_sort(operands, num_keys):
     return jax.lax.sort(list(operands), num_keys=num_keys, is_stable=True)
 
 
+def _as_limb_list(arr_or_limbs):
+    """Canonicalize a key operand: a single word array or a list of
+    big-endian limb arrays -> list of limb arrays."""
+    if isinstance(arr_or_limbs, (list, tuple)):
+        return list(arr_or_limbs)
+    return [arr_or_limbs]
+
+
+def _cols_to_limbs(cols):
+    """Encode key columns -> (flat uint32 limb list, per-column specs)."""
+    limbs, specs = [], []
+    for c in cols:
+        cl = K.encode_limbs(c)
+        limbs.extend(cl)
+        specs.append((c.dtype, len(cl)))
+    return limbs, specs
+
+
+def _limbs_to_cols(limbs, specs):
+    """Inverse of :func:`_cols_to_limbs`."""
+    out, i = [], 0
+    for dt, nl in specs:
+        out.append(K.decode_limbs(limbs[i:i + nl], dt))
+        i += nl
+    return out
+
+
+def _limbs_differ(limbs_a, limbs_b):
+    """Row-wise 'any limb differs' between two equal-shape limb lists."""
+    d = limbs_a[0] != limbs_b[0]
+    for a, b in zip(limbs_a[1:], limbs_b[1:]):
+        d = d | (a != b)
+    return d
+
+
 def merge_rank(sorted_arr, queries, side="left"):
     """``jnp.searchsorted(sorted_arr, queries, side)`` at comparator rate.
 
@@ -57,11 +94,17 @@ def merge_rank(sorted_arr, queries, side="left"):
     side="left" and after for side="right" — then each query's insertion
     index is its union position minus its rank among queries; a second sort
     restores original query order.
+
+    Both key operands may be lists of big-endian uint32 limb arrays
+    (composite / multi-column keys): the union sorts simply take more key
+    operands, everything else is width-independent.
     """
-    n_d = sorted_arr.shape[0]
-    n_q = queries.shape[0]
-    if _few_queries(n_d, n_q):
-        return jnp.searchsorted(sorted_arr, queries, side=side).astype(
+    d_limbs = _as_limb_list(sorted_arr)
+    q_limbs = _as_limb_list(queries)
+    n_d = d_limbs[0].shape[0]
+    n_q = q_limbs[0].shape[0]
+    if len(d_limbs) == 1 and _few_queries(n_d, n_q):
+        return jnp.searchsorted(d_limbs[0], q_limbs[0], side=side).astype(
             jnp.int32
         )
     # tag and query index share one int32 operand: queries carry their index
@@ -70,11 +113,12 @@ def merge_rank(sorted_arr, queries, side="left"):
     # (side="right")
     big = jnp.int32(2**31 - 1)
     sentinel = big if side == "left" else jnp.int32(-1)
-    key = jnp.concatenate([sorted_arr, queries])
+    key = [jnp.concatenate([d, q]) for d, q in zip(d_limbs, q_limbs)]
     packed = jnp.concatenate(
         [jnp.full((n_d,), sentinel), jnp.arange(n_q, dtype=jnp.int32)]
     )
-    _, p2 = _stable_sort([key, packed], num_keys=2)
+    out = _stable_sort([*key, packed], num_keys=len(key) + 1)
+    p2 = out[-1]
     isq = (p2 != sentinel).astype(jnp.int32)
     rank_q = jnp.cumsum(isq) - isq
     res = jnp.arange(n_d + n_q, dtype=jnp.int32) - rank_q
@@ -107,15 +151,19 @@ def merge_rank_pair(sorted_arr, queries):
     cummin (data counts are non-decreasing, so the nearest run end to the
     right is the minimum among remaining ends). A final sort restores query
     order for both outputs together.
+
+    Key operands may be limb lists (composite keys), as in ``merge_rank``.
     """
-    n_d = sorted_arr.shape[0]
-    n_q = queries.shape[0]
-    if _few_queries(n_d, n_q):
+    d_limbs = _as_limb_list(sorted_arr)
+    q_limbs = _as_limb_list(queries)
+    n_d = d_limbs[0].shape[0]
+    n_q = q_limbs[0].shape[0]
+    if len(d_limbs) == 1 and _few_queries(n_d, n_q):
         return (
-            jnp.searchsorted(sorted_arr, queries, side="left").astype(
+            jnp.searchsorted(d_limbs[0], q_limbs[0], side="left").astype(
                 jnp.int32
             ),
-            jnp.searchsorted(sorted_arr, queries, side="right").astype(
+            jnp.searchsorted(d_limbs[0], q_limbs[0], side="right").astype(
                 jnp.int32
             ),
         )
@@ -123,17 +171,19 @@ def merge_rank_pair(sorted_arr, queries):
     big = jnp.int32(2**31 - 1)
     # one packed tag+index operand (see merge_rank): queries carry their
     # index, data rows INT32_MAX (ties after equal queries = "left" order)
-    key = jnp.concatenate([sorted_arr, queries])
+    key = [jnp.concatenate([d, q]) for d, q in zip(d_limbs, q_limbs)]
     packed = jnp.concatenate(
         [jnp.full((n_d,), big), jnp.arange(n_q, dtype=jnp.int32)]
     )
-    k2, p2 = _stable_sort([key, packed], num_keys=2)
+    out = _stable_sort([*key, packed], num_keys=len(key) + 1)
+    k2, p2 = out[:-1], out[-1]
     isq = (p2 != big).astype(jnp.int32)
     rank_q = jnp.cumsum(isq) - isq
     lo_pos = jnp.arange(n, dtype=jnp.int32) - rank_q
     cum_data = jnp.cumsum(1 - isq)
     run_end = jnp.concatenate(
-        [k2[1:] != k2[:-1], jnp.ones((1,), jnp.bool_)]
+        [_limbs_differ([w[1:] for w in k2], [w[:-1] for w in k2]),
+         jnp.ones((1,), jnp.bool_)]
     )
     hi_pos = jax.lax.cummin(
         jnp.where(run_end, cum_data, big), reverse=True
@@ -187,12 +237,16 @@ def filter(mask: jnp.ndarray, *arrays: jnp.ndarray):
     return (*out[1:], count)
 
 
-def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
+def hash_aggregate(keys, values: jnp.ndarray, agg: str = "sum"):
     """Group ``values`` by ``keys`` and reduce with ``agg``.
 
     Returns ``(unique_keys, aggregates, count)``: rows [0, count) hold one
     group each, keys in ascending key order (a deterministic, stronger
     contract than a hash aggregate's arbitrary order).
+
+    ``keys`` may be a list/tuple of equal-length columns (composite GROUP BY
+    key, any supported dtype mix); ``unique_keys`` is then a list of columns
+    and groups order lexicographically (first column primary).
 
     sum/count accumulate in the value dtype (modular for unsigned ints,
     IEEE for floats); min/max are exact for any supported dtype; mean is
@@ -200,9 +254,16 @@ def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
     """
     if agg not in AGGREGATIONS:
         raise ValueError(f"agg must be one of {AGGREGATIONS}, got {agg!r}")
-    if values.shape[0] != keys.shape[0]:
+    multi = isinstance(keys, (list, tuple))
+    cols = list(keys) if multi else [keys]
+    if not cols:
+        raise ValueError("keys must have at least one column")
+    n = cols[0].shape[0]
+    for c in cols:
+        if c.shape[0] != n:
+            raise ValueError("all key columns must have equal length")
+    if values.shape[0] != n:
         raise ValueError("keys and values must have the same length")
-    n = keys.shape[0]
     if n == 0:
         vdt = jnp.int32 if agg == "count" else values.dtype
         if agg == "mean":
@@ -214,22 +275,29 @@ def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
         _, cnts, _ = hash_aggregate(keys, values, "count")
         means = sums.astype(mdt) / jnp.maximum(cnts, 1).astype(mdt)
         return uk, means, count
-    kw = K.encode(keys)
+    limbs, specs = _cols_to_limbs(cols)
+    nk = len(limbs)
 
     if agg in ("min", "max"):
         # sort by (key, value): group min = first row, max = last row
         vw = K.encode(values)
-        sk, sv = _stable_sort([kw, vw], num_keys=2)
-        sv = K.decode(sv, values.dtype)
+        out = _stable_sort([*limbs, vw], num_keys=nk + 1)
+        sk, sv = list(out[:-1]), K.decode(out[-1], values.dtype)
     else:
-        sk, sv = _stable_sort([kw, values], num_keys=1)
+        out = _stable_sort([*limbs, values], num_keys=nk)
+        sk, sv = list(out[:-1]), out[-1]
 
     first = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
+        [jnp.ones((1,), jnp.bool_),
+         _limbs_differ([w[1:] for w in sk], [w[:-1] for w in sk])]
     )
     last = jnp.concatenate([first[1:], jnp.ones((1,), jnp.bool_)])
 
-    uk = K.decode(sk, keys.dtype)
+    uk_cols = _limbs_to_cols(sk, specs)
+
+    def _pack(keys_out):
+        return keys_out if multi else keys_out[0]
+
     if agg in ("sum", "count"):
         if agg == "count":
             sv = jnp.ones((n,), jnp.int32)
@@ -245,18 +313,18 @@ def hash_aggregate(keys: jnp.ndarray, values: jnp.ndarray, agg: str = "sum"):
             # each group independently at ULP(group_sum) accuracy.
             gid = jnp.cumsum(first.astype(jnp.int32)) - 1
             seg = jax.ops.segment_sum(sv, gid, num_segments=n)
-            out_keys, _, count = filter(last, uk, sv)
-            return out_keys, seg, count
+            *out_keys, _, count = filter(last, *uk_cols, sv)
+            return _pack(out_keys), seg, count
         # ints: compact the running total at each group END; consecutive ends
         # then differ by exactly the group's sum (modular arithmetic is exact
         # under wraparound) — no segment fill or gather
         csum = jnp.cumsum(sv)
-        out_keys, csum_c, count = filter(last, uk, csum)
+        *out_keys, csum_c, count = filter(last, *uk_cols, csum)
         prev = jnp.roll(csum_c, 1).at[0].set(0)
-        return out_keys, csum_c - prev, count
+        return _pack(out_keys), csum_c - prev, count
     pick = first if agg == "min" else last
-    out_keys, out_vals, count = filter(pick, uk, sv)
-    return out_keys, out_vals, count
+    *out_keys, out_vals, count = filter(pick, *uk_cols, sv)
+    return _pack(out_keys), out_vals, count
 
 
 def repeat(values: jnp.ndarray, counts: jnp.ndarray, *, total_size: int):
@@ -338,13 +406,17 @@ def join_expand(
     joins: given each left row's sorted-right match range [lo, hi), emit the
     join result for ``how`` into static-``capacity`` output arrays.
 
-    Operates on encoded key words (``lkw``); callers decode. ``valid_left``
-    masks out padding rows (distributed shards). Returns
+    Operates on encoded key words (``lkw``); callers decode. ``lkw`` may be
+    a single word array or a list of big-endian uint32 limb arrays
+    (composite keys) — the returned ``key_words`` matches its shape.
+    ``valid_left`` masks out padding rows (distributed shards). Returns
     ``(key_words, left_vals, right_vals, count, overflow)``.
     """
     if how not in JOIN_HOWS:
         raise ValueError(f"how must be one of {JOIN_HOWS}, got {how!r}")
-    n_l = lkw.shape[0]
+    multi = isinstance(lkw, (list, tuple))
+    lkws = _as_limb_list(lkw)
+    n_l = lkws[0].shape[0]
     matches = hi - lo
     if valid_left is not None:
         matches = jnp.where(valid_left, matches, 0)
@@ -355,17 +427,20 @@ def join_expand(
         sel = (matches > 0) if how == "semi" else (matches == 0)
         if valid_left is not None:
             sel = sel & valid_left
-        ck, cv, cnt = filter(sel, lkw, left_values)
+        *cks, cv, cnt = filter(sel, *lkws, left_values)
         pad = capacity - n_l
         if pad >= 0:
-            ck = jnp.concatenate([ck, jnp.zeros((pad,), ck.dtype)])
+            cks = [jnp.concatenate([ck, jnp.zeros((pad,), ck.dtype)])
+                   for ck in cks]
             cv = jnp.concatenate([cv, jnp.zeros((pad,), cv.dtype)])
         else:
-            ck, cv = ck[:capacity], cv[:capacity]
+            cks = [ck[:capacity] for ck in cks]
+            cv = cv[:capacity]
         t = jnp.arange(capacity, dtype=jnp.int32)
         valid = t < jnp.minimum(cnt, capacity)
+        out_ks = [jnp.where(valid, ck, 0) for ck in cks]
         return (
-            jnp.where(valid, ck, 0),
+            out_ks if multi else out_ks[0],
             jnp.where(valid, cv, 0),
             jnp.zeros((capacity,), rvs.dtype),
             jnp.minimum(cnt, capacity),
@@ -391,15 +466,17 @@ def join_expand(
     # kernel is only engaged at test sizes off-TPU.
     use_kernel = (
         n_l > 0
+        and not multi
         and capacity >= 64 * n_l
-        and lkw.dtype == jnp.uint32
+        and lkws[0].dtype == jnp.uint32
         and left_values.dtype.itemsize == 4
         and rvs.dtype.itemsize == 4
         and (jax.default_backend() == "tpu" or capacity <= (1 << 16))
     )
     if use_kernel:
         return _join_expand_kernel(
-            lkw, left_values, rvs, lo, matches, emit, starts, total, capacity
+            lkws[0], left_values, rvs, lo, matches, emit, starts, total,
+            capacity,
         )
 
     # >2^31 total pairs wrap the int32 running sum (duplicate-heavy keys on
@@ -426,12 +503,12 @@ def join_expand(
     out_rv = rvs[ridx]
     if how == "left":
         out_rv = jnp.where(matches[i] > 0, out_rv, 0)
-    out_kw = jnp.where(valid, lkw[i], 0)
+    out_ks = [jnp.where(valid, w[i], 0) for w in lkws]
     out_lv = jnp.where(valid, left_values[i], 0)
     out_rv = jnp.where(valid, out_rv, 0)
     count = jnp.minimum(total, capacity)
     overflow = (total > capacity) | wrapped
-    return out_kw, out_lv, out_rv, count, overflow
+    return (out_ks if multi else out_ks[0]), out_lv, out_rv, count, overflow
 
 
 def _join_expand_kernel(
@@ -506,39 +583,68 @@ def hash_join(
         order (``right_vals`` all 0);
       - ``"anti"``: each left row with no match, once, in left order
         (``right_vals`` all 0).
+
+    Composite keys: pass a list/tuple of equal-length columns for BOTH
+    ``left_keys`` and ``right_keys`` (matching dtypes per column, any
+    supported mix) — the join key is the tuple of columns and the returned
+    ``keys`` is a list of columns.
     """
     if how not in JOIN_HOWS:
         raise ValueError(f"how must be one of {JOIN_HOWS}, got {how!r}")
-    if left_values.shape[0] != left_keys.shape[0]:
+    multi = isinstance(left_keys, (list, tuple))
+    if multi != isinstance(right_keys, (list, tuple)):
+        raise ValueError("left and right keys must both be single columns "
+                         "or both be column lists")
+    l_cols = list(left_keys) if multi else [left_keys]
+    r_cols = list(right_keys) if multi else [right_keys]
+    if multi and (not l_cols or len(l_cols) != len(r_cols) or any(
+            np.dtype(a.dtype) != np.dtype(b.dtype)
+            for a, b in zip(l_cols, r_cols))):
+        raise ValueError("left and right key columns must be non-empty and "
+                         "match in count and dtypes")
+    n_l = l_cols[0].shape[0]
+    n_r = r_cols[0].shape[0]
+    for c in l_cols:
+        if c.shape[0] != n_l:
+            raise ValueError("left key columns must have equal length")
+    for c in r_cols:
+        if c.shape[0] != n_r:
+            raise ValueError("right key columns must have equal length")
+    if left_values.shape[0] != n_l:
         raise ValueError("left keys/values length mismatch")
-    if right_values.shape[0] != right_keys.shape[0]:
+    if right_values.shape[0] != n_r:
         raise ValueError("right keys/values length mismatch")
-    n_l = left_keys.shape[0]
-    if n_l == 0 or (right_keys.shape[0] == 0 and how == "inner"):
+    if n_l == 0 or (n_r == 0 and how == "inner"):
         # an empty side is a normal inner-join input: zero matching pairs
-        z = jnp.zeros((capacity,), left_keys.dtype)
+        zk = [jnp.zeros((capacity,), c.dtype) for c in l_cols]
         return (
-            z,
+            zk if multi else zk[0],
             jnp.zeros((capacity,), left_values.dtype),
             jnp.zeros((capacity,), right_values.dtype),
             jnp.int32(0),
             jnp.bool_(False),
         )
-    lk = K.encode(left_keys)
-    if right_keys.shape[0] == 0:
+    lk_limbs, specs = _cols_to_limbs(l_cols)
+    if n_r == 0:
         # left/semi/anti against an empty right side: no row matches
         lo = hi = jnp.zeros((n_l,), jnp.int32)
         rvs = jnp.zeros((1,), right_values.dtype)
     else:
-        rk = K.encode(right_keys)
-        rks, rvs = _stable_sort([rk, right_values], num_keys=1)
-        lo, hi = merge_rank_pair(rks, lk)
+        rk_limbs, _ = _cols_to_limbs(r_cols)
+        out = _stable_sort(
+            [*rk_limbs, right_values], num_keys=len(rk_limbs)
+        )
+        rks, rvs = list(out[:-1]), out[-1]
+        lo, hi = merge_rank_pair(rks, lk_limbs)
 
+    lk_arg = lk_limbs if multi or len(lk_limbs) > 1 else lk_limbs[0]
     out_kw, out_lv, out_rv, count, overflow = join_expand(
-        lk, left_values, rvs, lo, hi, capacity=capacity, how=how
+        lk_arg, left_values, rvs, lo, hi, capacity=capacity, how=how
     )
+    out_limbs = _as_limb_list(out_kw)
+    out_cols = _limbs_to_cols(out_limbs, specs)
     return (
-        K.decode(out_kw, left_keys.dtype),
+        out_cols if multi else out_cols[0],
         out_lv,
         out_rv,
         count,
@@ -546,25 +652,64 @@ def hash_join(
     )
 
 
-def unique(keys: jnp.ndarray):
+def searchsorted(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
+                 side: str = "left") -> jnp.ndarray:
+    """``jnp.searchsorted`` under the dtype's total order, at sort rate.
+
+    ``sorted_keys`` must be ascending under the total order (the output of
+    :func:`radix_sort_tpu.sort`); NaNs and mixed-sign zeros rank exactly as
+    the sort places them (IEEE total_cmp), unlike ``jnp.searchsorted``'s
+    comparison order. On this chip the device binary search costs ~230 ns
+    per query (24 dependent gather rounds); the merge-rank formulation
+    (two variadic sorts over the union) is ~25 ns per union element and is
+    selected automatically when the query side is large.
+    """
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    if np.dtype(sorted_keys.dtype) != np.dtype(queries.dtype):
+        raise ValueError("sorted_keys and queries must share a dtype")
+    if queries.shape[0] == 0:
+        return jnp.zeros((0,), jnp.int32)
+    return merge_rank(K.encode(sorted_keys), K.encode(queries), side=side)
+
+
+def unique(keys):
     """Distinct keys with multiplicities (DISTINCT / GROUP BY COUNT(*)).
 
     Returns ``(unique_keys, counts, num_unique)``: rows [0, num_unique) hold
     each distinct key once, ascending under the dtype's total order, with
     its occurrence count; the tail is padding. Cheaper than
     ``hash_aggregate(keys, ·, "count")`` — keys-only, so the sort is a
-    1-operand unstable network and counts come from boundary positions.
+    keys-only unstable network and counts come from boundary positions.
+
+    ``keys`` may be a list/tuple of equal-length columns (composite
+    DISTINCT); ``unique_keys`` is then a list of columns and rows order
+    lexicographically.
     """
-    n = keys.shape[0]
+    multi = isinstance(keys, (list, tuple))
+    cols = list(keys) if multi else [keys]
+    if not cols:
+        raise ValueError("keys must have at least one column")
+    n = cols[0].shape[0]
+    for c in cols:
+        if c.shape[0] != n:
+            raise ValueError("all key columns must have equal length")
     if n == 0:
         return keys, jnp.zeros((0,), jnp.int32), jnp.int32(0)
-    sk = jnp.sort(K.encode(keys), stable=False)
-    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
-    uk = K.decode(sk, keys.dtype)
+    limbs, specs = _cols_to_limbs(cols)
+    if len(limbs) == 1:
+        sk = [jnp.sort(limbs[0], stable=False)]
+    else:
+        sk = list(jax.lax.sort(limbs, num_keys=len(limbs), is_stable=False))
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         _limbs_differ([w[1:] for w in sk], [w[:-1] for w in sk])]
+    )
+    uk_cols = _limbs_to_cols(sk, specs)
     pos = jnp.arange(n, dtype=jnp.int32)
-    out_keys, start, num = filter(first, uk, pos)
+    *out_keys, start, num = filter(first, *uk_cols, pos)
     # counts[i] = next group's start - this group's start (last ends at n)
     nxt = jnp.concatenate([start[1:], start[:1]])
     nxt = jnp.where(pos == num - 1, n, nxt)
     counts = jnp.where(pos < num, nxt - start, 0)
-    return out_keys, counts, num
+    return (out_keys if multi else out_keys[0]), counts, num

@@ -31,6 +31,7 @@ __all__ = [
     "sort_limbs",
     "lexsort",
     "top_k",
+    "sort_segments",
     "sort128",
     "argsort128",
     "sort_pairs128",
@@ -198,13 +199,7 @@ def sort_limbs(key_words, value_words=(), *, descending: bool = False,
     return kw_out, list(out[nk:])
 
 
-def _column_limbs(col: jnp.ndarray):
-    """Encode one key column into its uint32 rank limbs (msb-first)."""
-    w = K.encode(col)
-    if np.dtype(w.dtype).itemsize == 8:
-        hi, lo = K.split64(w)
-        return [hi, lo]
-    return [w.astype(jnp.uint32)]
+_column_limbs = K.encode_limbs
 
 
 def lexsort(columns, *, descending: bool = False,
@@ -232,6 +227,52 @@ def lexsort(columns, *, descending: bool = False,
     _, vals = sort_limbs(limbs, [idx], descending=descending,
                          implementation=implementation)
     return vals[0].astype(jnp.int32)
+
+
+def sort_segments(keys: jnp.ndarray, offsets: jnp.ndarray,
+                  values=(), *, descending: bool = False,
+                  implementation: str = "auto"):
+    """Independently sort each contiguous segment of ``keys`` (stably).
+
+    ``offsets`` is the (S+1,)-element int32 boundary array of the CUB
+    ``DeviceSegmentedRadixSort`` convention: segment ``s`` is rows
+    ``[offsets[s], offsets[s+1])``; ``offsets[0] == 0`` and
+    ``offsets[-1] == len(keys)`` (empty segments allowed). Returns
+    ``(keys_sorted, [values_sorted...])`` with every segment in place and
+    internally sorted; equal keys keep input order (``descending`` reverses
+    key order within each segment only).
+
+    TPU-native formulation: one fused multi-word stable sort by
+    (segment-id, key) — segment ids are non-decreasing over rows, so the
+    global sort leaves segments in place. Segment ids come from a cumsum
+    over boundary scatters, not a per-row binary search.
+    """
+    values = list(values)
+    n = keys.shape[0]
+    for v in values:
+        if v.shape[0] != n:
+            raise ValueError("all value arrays must match the keys length")
+    if n == 0:
+        return keys, values
+    # interior boundaries only; duplicates (empty segments) just skip ids
+    marks = jnp.zeros((n,), jnp.uint32)
+    interior = offsets[1:-1].astype(jnp.int32)
+    if interior.shape[0]:
+        marks = marks.at[jnp.clip(interior, 0, n - 1)].add(
+            jnp.where((interior >= 0) & (interior < n), 1, 0).astype(
+                jnp.uint32
+            )
+        )
+    seg = jnp.cumsum(marks)
+    key_limbs = [_dir(w, descending) for w in _column_limbs(keys)]
+    _resolve(implementation)  # validate; one fused variadic sort either way
+    nk = 1 + len(key_limbs)
+    out = jax.lax.sort(
+        [seg] + key_limbs + values, num_keys=nk, is_stable=True
+    )
+    kw = out[1] if nk == 2 else K.merge64(out[1], out[2])
+    out_keys = K.decode(_dir(kw, descending), keys.dtype)
+    return out_keys, list(out[nk:])
 
 
 def top_k(keys: jnp.ndarray, k: int, *arrays: jnp.ndarray,
