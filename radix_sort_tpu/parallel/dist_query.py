@@ -17,7 +17,13 @@ from jax import shard_map
 
 from radix_sort_tpu.ops import query
 
-__all__ = ["distributed_hash_aggregate", "distributed_filter", "distributed_hash_join"]
+__all__ = [
+    "distributed_hash_aggregate",
+    "distributed_filter",
+    "distributed_hash_join",
+    "distributed_unique",
+    "distributed_top_k",
+]
 
 
 def _identity(dtype, combine):
@@ -91,6 +97,122 @@ def distributed_hash_aggregate(
     )
     fk, fv, fc, ovf = fn(keys, values)
     return fk, fv, fc[0], ovf[0]
+
+
+def distributed_unique(
+    keys: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "x",
+    *,
+    max_unique: int,
+):
+    """Distinct keys + global multiplicities over row-sharded ``keys``.
+
+    Per-shard :func:`radix_sort_tpu.unique`, then an ``all_gather`` of the
+    per-shard distincts and a replicated count-sum combine (the standard
+    two-phase DISTINCT plan — wire traffic is ``max_unique`` rows per shard,
+    not N). Returns replicated ``(unique_keys, counts, num, overflow)``;
+    rows [0, num) are the distinct keys ascending under the dtype's total
+    order. ``overflow`` is True if any shard had more than ``max_unique``
+    local distincts (result then invalid).
+    """
+    from radix_sort_tpu.ops.query import unique as _unique
+
+    def local(k):
+        uk, cts, num = _unique(k)
+        pad = max(0, max_unique - uk.shape[0])
+        if pad:
+            uk = jnp.concatenate([uk, jnp.zeros((pad,), uk.dtype)])
+            cts = jnp.concatenate([cts, jnp.zeros((pad,), cts.dtype)])
+        uk, cts = uk[:max_unique], cts[:max_unique]
+        overflow = num > max_unique
+        valid = jnp.arange(max_unique) < num
+        guk = jax.lax.all_gather(uk, axis_name, tiled=True)
+        gcts = jax.lax.all_gather(cts, axis_name, tiled=True)
+        gvalid = jax.lax.all_gather(valid, axis_name, tiled=True)
+        govf = jax.lax.psum(overflow.astype(jnp.int32), axis_name) > 0
+        # invalid rows: re-key to an existing distinct with count 0 (exact;
+        # see distributed_hash_aggregate's anchor note)
+        any_valid = jnp.any(gvalid)
+        anchor = guk[jnp.argmax(gvalid)]
+        guk2 = jnp.where(gvalid, guk, anchor)
+        gcts2 = jnp.where(gvalid, gcts, 0)
+        fk, fc, num_f = query.hash_aggregate(guk2, gcts2, "sum")
+        num_f = jnp.where(any_valid, num_f, 0)
+        return fk, fc, num_f.reshape(1), govf.reshape(1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name),),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    fk, fc, num, ovf = fn(keys)
+    return fk, fc, num[0], ovf[0]
+
+
+def distributed_top_k(
+    keys: jnp.ndarray,
+    k: int,
+    *arrays: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "x",
+    largest: bool = True,
+):
+    """Global top ``k`` rows over row-sharded keys (+ co-selected arrays).
+
+    Each shard selects its local stable top-k candidates (the global top-k
+    is always contained in the union), candidates ``all_gather`` with their
+    global positions, and a replicated final selection re-sorts by
+    (key, global-position) — so ties break by global input position exactly
+    as the single-chip :func:`radix_sort_tpu.top_k`. Wire traffic is
+    ``k`` rows per shard. Returns replicated ``(top_keys, *top_arrays)``.
+    """
+    from radix_sort_tpu import keys as K
+
+    n = keys.shape[0]
+    if not 0 <= k <= n:
+        raise ValueError(f"k must be in [0, {n}], got {k}")
+    for a in arrays:
+        if a.shape[0] != n:
+            raise ValueError("all arrays must match the keys length")
+    nshards = mesh.shape[axis_name]
+    shard_rows = n // nshards
+    kk = min(k, shard_rows)
+
+    def local(kw, *arrs):
+        # local stable top-kk on encoded words; ties -> lower local index
+        w = kw if largest else ~kw
+        topw, idx = jax.lax.top_k(w, kk)
+        topw = topw if largest else ~topw
+        gpos = (
+            jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_rows
+            + idx.astype(jnp.int32)
+        )
+        cands_w = jax.lax.all_gather(topw, axis_name, tiled=True)
+        cands_pos = jax.lax.all_gather(gpos, axis_name, tiled=True)
+        cands_a = [
+            jax.lax.all_gather(a[idx], axis_name, tiled=True) for a in arrs
+        ]
+        # final stable selection over nshards*kk candidates: sort by
+        # (key-order, global position) and take the first k rows
+        sel = ~cands_w if largest else cands_w
+        out = jax.lax.sort(
+            [sel, cands_pos, *cands_a], num_keys=2, is_stable=False
+        )
+        selw = ~out[0] if largest else out[0]
+        return (selw[:k], *[a[:k] for a in out[2:]])
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * (1 + len(arrays)),
+        out_specs=tuple(P() for _ in range(1 + len(arrays))),
+        check_vma=False,
+    )
+    out = fn(K.encode(keys), *arrays)
+    return (K.decode(out[0], keys.dtype), *out[1:])
 
 
 def distributed_filter(mask, *arrays, mesh: Mesh, axis_name: str = "x"):

@@ -169,3 +169,87 @@ class TestDistributedHashJoin:
             zip(np.asarray(sk)[:scnt], np.asarray(slv)[:scnt], np.asarray(srv)[:scnt])
         )
         assert sorted(trips) == sorted(ref)
+
+
+class TestDistributedUnique:
+    def test_matches_numpy(self, rng, mesh):
+        n = 8 * 1024
+        keys = rng.integers(0, 41, n).astype(np.int32)
+        k = runtime.shard_rows(mesh, jnp.asarray(keys))
+        uk, cts, num, ovf = dist_query.distributed_unique(
+            k, mesh, max_unique=64
+        )
+        assert not bool(ovf)
+        m = int(num)
+        want_k, want_c = np.unique(keys, return_counts=True)
+        assert m == len(want_k)
+        np.testing.assert_array_equal(np.asarray(uk)[:m], want_k)
+        np.testing.assert_array_equal(np.asarray(cts)[:m], want_c)
+
+    def test_shard_local_distincts(self, rng, mesh):
+        # keys partitioned so each shard sees disjoint values
+        n = 8 * 1024
+        keys = (np.arange(n) // 1024 * 100 + rng.integers(0, 3, n)).astype(
+            np.uint32
+        )
+        k = runtime.shard_rows(mesh, jnp.asarray(keys))
+        uk, cts, num, ovf = dist_query.distributed_unique(
+            k, mesh, max_unique=8
+        )
+        assert not bool(ovf)
+        m = int(num)
+        want_k, want_c = np.unique(keys, return_counts=True)
+        assert m == len(want_k)
+        np.testing.assert_array_equal(np.asarray(uk)[:m], want_k)
+        np.testing.assert_array_equal(np.asarray(cts)[:m], want_c)
+
+    def test_overflow(self, rng, mesh):
+        n = 8 * 256
+        keys = np.arange(n, dtype=np.uint32)
+        k = runtime.shard_rows(mesh, jnp.asarray(keys))
+        _, _, _, ovf = dist_query.distributed_unique(k, mesh, max_unique=16)
+        assert bool(ovf)
+
+
+class TestDistributedTopK:
+    @pytest.mark.parametrize("largest", [True, False])
+    def test_matches_single_chip(self, rng, mesh, largest):
+        import radix_sort_tpu as rst
+
+        n = 8 * 1024
+        keys = rng.integers(0, 200, n).astype(np.int32)  # heavy ties
+        vals = np.arange(n, dtype=np.uint32)
+        k, v = runtime.shard_rows(mesh, jnp.asarray(keys), jnp.asarray(vals))
+        kk = 100
+        tk, tv = dist_query.distributed_top_k(
+            k, kk, v, mesh=mesh, largest=largest
+        )
+        want_k, want_v = rst.top_k(
+            jnp.asarray(keys), kk, jnp.asarray(vals), largest=largest
+        )
+        np.testing.assert_array_equal(np.asarray(tk), np.asarray(want_k))
+        np.testing.assert_array_equal(np.asarray(tv), np.asarray(want_v))
+
+    def test_k_larger_than_shard(self, rng, mesh):
+        import radix_sort_tpu as rst
+
+        n = 8 * 64
+        keys = rng.integers(0, 1 << 30, n).astype(np.uint32)
+        k = runtime.shard_rows(mesh, jnp.asarray(keys))
+        kk = 200  # > 64 rows/shard: every shard contributes all rows
+        (tk,) = dist_query.distributed_top_k(k, kk, mesh=mesh)
+        (want,) = rst.top_k(jnp.asarray(keys), kk)
+        np.testing.assert_array_equal(np.asarray(tk), np.asarray(want))
+
+    def test_float_total_order(self, rng, mesh):
+        import radix_sort_tpu as rst
+
+        n = 8 * 128
+        keys = (rng.random(n) * 2 - 1).astype(np.float32)
+        keys[rng.integers(0, n, 4)] = [np.nan, np.inf, -np.inf, -0.0]
+        k = runtime.shard_rows(mesh, jnp.asarray(keys))
+        (tk,) = dist_query.distributed_top_k(k, 16, mesh=mesh)
+        (want,) = rst.top_k(jnp.asarray(keys), 16)
+        np.testing.assert_array_equal(
+            np.asarray(tk).view(np.uint32), np.asarray(want).view(np.uint32)
+        )
