@@ -26,6 +26,17 @@ __all__ = [
 ]
 
 
+def _mix_limbs(limbs):
+    """Routing word for composite keys: a multiplicative hash folded over
+    all uint32 limbs. Equal tuples map to equal words (co-location), while
+    the word's cardinality is the full tuple's — so quantile splitters
+    balance even when the leading column is low-cardinality."""
+    h = jnp.uint32(0x9E3779B9)
+    for w in limbs:
+        h = (h ^ w) * jnp.uint32(0x9E3779B1)
+    return h
+
+
 def _identity(dtype, combine):
     dt = np.dtype(dtype)
     if combine in ("sum", "count"):
@@ -52,23 +63,35 @@ def distributed_hash_aggregate(
     ``(unique_keys, aggregates, count, overflow)``; rows [0, count) are the
     groups in ascending key order. ``overflow`` is True if any shard had
     more than ``max_groups`` local groups (result then invalid).
+
+    ``keys`` may be a list/tuple of equal-length columns (composite
+    GROUP BY), as in :func:`radix_sort_tpu.ops.query.hash_aggregate`;
+    ``unique_keys`` is then a column list.
     """
     if agg not in query.AGGREGATIONS:
         raise ValueError(f"agg must be one of {query.AGGREGATIONS}, got {agg!r}")
     combine = "sum" if agg == "count" else agg
+    multi = isinstance(keys, (list, tuple))
+    cols = list(keys) if multi else [keys]
+    ncols = len(cols)
 
-    def local(k, v):
-        uk, av, cnt = query.hash_aggregate(k, v, agg)
+    def local(*ops):
+        k_cols, v = list(ops[:ncols]), ops[ncols]
+        uk, av, cnt = query.hash_aggregate(
+            k_cols if multi else k_cols[0], v, agg
+        )
+        uks = list(uk) if multi else [uk]
         # pad/trim to exactly max_groups (a shard may hold fewer rows)
-        pad = max(0, max_groups - uk.shape[0])
+        pad = max(0, max_groups - uks[0].shape[0])
         if pad:
-            uk = jnp.concatenate([uk, jnp.zeros((pad,), uk.dtype)])
+            uks = [jnp.concatenate([u, jnp.zeros((pad,), u.dtype)])
+                   for u in uks]
             av = jnp.concatenate([av, jnp.zeros((pad,), av.dtype)])
-        uk = uk[:max_groups]
+        uks = [u[:max_groups] for u in uks]
         av = av[:max_groups]
         overflow = cnt > max_groups
         valid = jnp.arange(max_groups) < cnt
-        guk = jax.lax.all_gather(uk, axis_name, tiled=True)
+        guks = [jax.lax.all_gather(u, axis_name, tiled=True) for u in uks]
         gav = jax.lax.all_gather(av, axis_name, tiled=True)
         gvalid = jax.lax.all_gather(valid, axis_name, tiled=True)
         govf = jax.lax.psum(overflow.astype(jnp.int32), axis_name) > 0
@@ -80,23 +103,28 @@ def distributed_hash_aggregate(
         # shard 0's first slot: shard 0 may legitimately contribute zero
         # groups (empty shard / uneven sharding).
         any_valid = jnp.any(gvalid)
-        anchor = guk[jnp.argmax(gvalid)]
-        guk2 = jnp.where(gvalid, guk, anchor)
+        a_idx = jnp.argmax(gvalid)
+        guks2 = [jnp.where(gvalid, g, g[a_idx]) for g in guks]
         ident = _identity(gav.dtype, combine)
         gav2 = jnp.where(gvalid, gav, ident)
-        fk, fv, fc = query.hash_aggregate(guk2, gav2, combine)
+        fk, fv, fc = query.hash_aggregate(
+            guks2 if multi else guks2[0], gav2, combine
+        )
+        fks = tuple(fk) if multi else (fk,)
         fc = jnp.where(any_valid, fc, 0)  # all-invalid: zero groups, not one
-        return fk, fv, fc.reshape(1), govf.reshape(1)
+        return (*fks, fv, fc.reshape(1), govf.reshape(1))
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P(), P()),
+        in_specs=(P(axis_name),) * (ncols + 1),
+        out_specs=(P(),) * (ncols + 3),
         check_vma=False,
     )
-    fk, fv, fc, ovf = fn(keys, values)
-    return fk, fv, fc[0], ovf[0]
+    out = fn(*cols, values)
+    fk_cols = list(out[:ncols])
+    fv, fc, ovf = out[ncols], out[ncols + 1], out[ncols + 2]
+    return (fk_cols if multi else fk_cols[0]), fv, fc[0], ovf[0]
 
 
 def distributed_unique(
@@ -115,41 +143,56 @@ def distributed_unique(
     rows [0, num) are the distinct keys ascending under the dtype's total
     order. ``overflow`` is True if any shard had more than ``max_unique``
     local distincts (result then invalid).
+
+    ``keys`` may be a list/tuple of equal-length columns (composite
+    DISTINCT); ``unique_keys`` is then a column list.
     """
     from radix_sort_tpu.ops.query import unique as _unique
 
-    def local(k):
-        uk, cts, num = _unique(k)
-        pad = max(0, max_unique - uk.shape[0])
+    multi = isinstance(keys, (list, tuple))
+    cols = list(keys) if multi else [keys]
+    ncols = len(cols)
+
+    def local(*k_cols):
+        uk, cts, num = _unique(list(k_cols) if multi else k_cols[0])
+        uks = list(uk) if multi else [uk]
+        pad = max(0, max_unique - uks[0].shape[0])
         if pad:
-            uk = jnp.concatenate([uk, jnp.zeros((pad,), uk.dtype)])
+            uks = [jnp.concatenate([u, jnp.zeros((pad,), u.dtype)])
+                   for u in uks]
             cts = jnp.concatenate([cts, jnp.zeros((pad,), cts.dtype)])
-        uk, cts = uk[:max_unique], cts[:max_unique]
+        uks = [u[:max_unique] for u in uks]
+        cts = cts[:max_unique]
         overflow = num > max_unique
         valid = jnp.arange(max_unique) < num
-        guk = jax.lax.all_gather(uk, axis_name, tiled=True)
+        guks = [jax.lax.all_gather(u, axis_name, tiled=True) for u in uks]
         gcts = jax.lax.all_gather(cts, axis_name, tiled=True)
         gvalid = jax.lax.all_gather(valid, axis_name, tiled=True)
         govf = jax.lax.psum(overflow.astype(jnp.int32), axis_name) > 0
         # invalid rows: re-key to an existing distinct with count 0 (exact;
         # see distributed_hash_aggregate's anchor note)
         any_valid = jnp.any(gvalid)
-        anchor = guk[jnp.argmax(gvalid)]
-        guk2 = jnp.where(gvalid, guk, anchor)
+        a_idx = jnp.argmax(gvalid)
+        guks2 = [jnp.where(gvalid, g, g[a_idx]) for g in guks]
         gcts2 = jnp.where(gvalid, gcts, 0)
-        fk, fc, num_f = query.hash_aggregate(guk2, gcts2, "sum")
+        fk, fc, num_f = query.hash_aggregate(
+            guks2 if multi else guks2[0], gcts2, "sum"
+        )
+        fks = tuple(fk) if multi else (fk,)
         num_f = jnp.where(any_valid, num_f, 0)
-        return fk, fc, num_f.reshape(1), govf.reshape(1)
+        return (*fks, fc, num_f.reshape(1), govf.reshape(1))
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis_name),),
-        out_specs=(P(), P(), P(), P()),
+        in_specs=(P(axis_name),) * ncols,
+        out_specs=(P(),) * (ncols + 3),
         check_vma=False,
     )
-    fk, fc, num, ovf = fn(keys)
-    return fk, fc, num[0], ovf[0]
+    out = fn(*cols)
+    fk_cols = list(out[:ncols])
+    fc, num, ovf = out[ncols], out[ncols + 1], out[ncols + 2]
+    return (fk_cols if multi else fk_cols[0]), fc, num[0], ovf[0]
 
 
 def distributed_top_k(
@@ -265,6 +308,14 @@ def distributed_hash_join(
     padded results ``(keys, left_vals, right_vals, counts, overflow)``:
     shard s's valid rows are its first ``counts[s]``; ``overflow`` covers
     both exchange-capacity and join-capacity overflows.
+
+    Composite keys: pass column lists for both sides (matching dtypes), as
+    in :func:`radix_sort_tpu.ops.query.hash_join`. Rows are then routed on a
+    hash word mixed over ALL key limbs — equal composite keys share it, so
+    they still co-locate, and the routing cardinality is the full tuple's
+    rather than the leading column's (a low-cardinality leading column would
+    otherwise collapse the partition onto few shards); the returned ``keys``
+    is a column list.
     """
     if how not in query.JOIN_HOWS:
         raise ValueError(f"how must be one of {query.JOIN_HOWS}, got {how!r}")
@@ -272,31 +323,55 @@ def distributed_hash_join(
     from radix_sort_tpu.parallel import dist_sort
 
     nshards = mesh.shape[axis_name]
-    lkw = K.encode(left_keys)
-    rkw = K.encode(right_keys)
-    sentinel = jnp.asarray(
-        np.iinfo(np.dtype(lkw.dtype)).max, dtype=lkw.dtype
-    )
-    n_left = lkw.shape[0]
-    n_right = rkw.shape[0]
+    multi = isinstance(left_keys, (list, tuple))
+    if multi != isinstance(right_keys, (list, tuple)):
+        raise ValueError("left and right keys must both be single columns "
+                         "or both be column lists")
+    l_cols = list(left_keys) if multi else [left_keys]
+    r_cols = list(right_keys) if multi else [right_keys]
+    if multi and (not l_cols or len(l_cols) != len(r_cols) or any(
+            np.dtype(a.dtype) != np.dtype(b.dtype)
+            for a, b in zip(l_cols, r_cols))):
+        raise ValueError("left and right key columns must be non-empty and "
+                         "match in count and dtypes")
+    lk_limbs, specs = query._cols_to_limbs(l_cols)
+    rk_limbs, _ = query._cols_to_limbs(r_cols)
+    nk = len(lk_limbs)
+    sentinel = jnp.asarray(np.iinfo(np.uint32).max, dtype=jnp.uint32)
+    n_left = lk_limbs[0].shape[0]
+    n_right = rk_limbs[0].shape[0]
     # per-device receive capacity (the ragged exchange lands exact counts;
     # the factor provisions for key-skew imbalance, which key-only routing
     # cannot bound — overflow is flagged)
     cap_l = max(128, -(-int(n_left // nshards * exchange_capacity_factor) // 128) * 128)
     cap_r = max(128, -(-int(n_right // nshards * exchange_capacity_factor) // 128) * 128)
 
-    def local(lw, lv, rw, rv):
-        # one splitter sketch over both sides' local sorted keys
-        ls = jnp.sort(lw)
-        rs = jnp.sort(rw)
-        merged = jnp.sort(jnp.concatenate([ls, rs]))
+    def local(*ops):
+        lw = list(ops[:nk])
+        lv = ops[nk]
+        rw = list(ops[nk + 1:2 * nk + 1])
+        rv = ops[2 * nk + 1]
+        if nk > 1:
+            # composite keys: route on a hash word mixed over all limbs
+            # (prepended as the leading sort/exchange key; dropped from the
+            # output). Quantile splitters over the hash see the tuple's
+            # cardinality, so a low-cardinality leading column cannot
+            # collapse the partition.
+            lw = [_mix_limbs(lw), *lw]
+            rw = [_mix_limbs(rw), *rw]
+        # one splitter sketch over both sides' local routing words
+        merged = jnp.sort(jnp.concatenate([lw[0], rw[0]]))
         splitters = dist_sort._key_splitters(merged, axis_name, nshards)
 
+        lk_arg = lw if nk > 1 else lw[0]
+        rk_arg = rw if nk > 1 else rw[0]
         lws, lvs, lcnt, lovf = dist_sort._local_exchange(
-            lw, lv, axis_name, nshards, cap_l, sentinel, splitters=splitters
+            lk_arg, lv, axis_name, nshards, cap_l, sentinel,
+            splitters=splitters,
         )
         rws, rvs, rcnt, rovf = dist_sort._local_exchange(
-            rw, rv, axis_name, nshards, cap_r, sentinel, splitters=splitters
+            rk_arg, rv, axis_name, nshards, cap_r, sentinel,
+            splitters=splitters,
         )
         lcnt, rcnt = lcnt[0], rcnt[0]
 
@@ -306,7 +381,7 @@ def distributed_hash_join(
         lo, hi = query.merge_rank_pair(rws, lws)
         hi = jnp.minimum(hi, rcnt)
         lo = jnp.minimum(lo, hi)
-        lvalid = jnp.arange(lws.shape[0]) < lcnt
+        lvalid = jnp.arange(cap_l) < lcnt
         out_k, out_lv, out_rv, cnt, jovf = query.join_expand(
             lws,
             lvs,
@@ -320,18 +395,25 @@ def distributed_hash_join(
         ovf = lovf[0] | rovf[0] | jovf
         gcnt = jax.lax.all_gather(cnt.reshape(1), axis_name, tiled=True)
         govf = jax.lax.psum(ovf.astype(jnp.int32), axis_name) > 0
-        return out_k, out_lv, out_rv, gcnt, govf.reshape(1)
+        out_ks = query._as_limb_list(out_k)
+        if nk > 1:
+            out_ks = out_ks[1:]  # drop the routing hash word
+        return (*out_ks, out_lv, out_rv, gcnt, govf.reshape(1))
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis_name),) * 4,
-        out_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P()),
+        in_specs=(P(axis_name),) * (2 * nk + 2),
+        out_specs=(P(axis_name),) * (nk + 2) + (P(), P()),
         check_vma=False,
     )
-    k, lv, rv, cnts, ovf = fn(lkw, left_values, rkw, right_values)
+    out = fn(*lk_limbs, left_values, *rk_limbs, right_values)
+    k_limbs, lv, rv, cnts, ovf = (
+        list(out[:nk]), out[nk], out[nk + 1], out[nk + 2], out[nk + 3]
+    )
+    out_cols = query._limbs_to_cols(k_limbs, specs)
     return (
-        K.decode(k, left_keys.dtype),
+        out_cols if multi else out_cols[0],
         lv,
         rv,
         cnts[:nshards],

@@ -383,26 +383,53 @@ def _pipelined_exchange(words, values, axis_name, num_devices, capacity,
 
 def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
                     splitters=None, exchange=None):
-    """Body run per device under shard_map. words: (n_local,) rank-space.
+    """Body run per device under shard_map. words: (n_local,) rank-space —
+    or a LIST of big-endian uint32 limb arrays (composite keys; rows then
+    order by the full limb tuple and routing compares the leading limb,
+    which co-locates equal composite keys because equal tuples share it).
+    ``values`` likewise may be None, one array, or a list.
 
     ``splitters``: optional externally chosen key-only (P-1,) range
-    splitters (e.g. a join routing both sides on one shared sketch); when
-    None, composite regular-sampled splitters are drawn from this data and
-    the partition is deterministically balanced for any distribution.
+    splitters over the LEADING limb (e.g. a join routing both sides on one
+    shared sketch); when None, composite regular-sampled splitters are
+    drawn from this data and the partition is deterministically balanced
+    for any distribution (single-limb keys only).
     ``exchange``: "ragged" | "gather" | "pipelined" (default by backend;
     "pipelined" stripes the shard to overlap collectives with compute and
-    picks ragged/gather per backend underneath).
+    picks ragged/gather per backend underneath; single-limb only).
     """
     if exchange is None:
         exchange = default_exchange()
+    multi_k = isinstance(words, (list, tuple))
+    multi_v = isinstance(values, (list, tuple))
+    key_ops = list(words) if multi_k else [words]
+    val_ops = (
+        [] if values is None else (list(values) if multi_v else [values])
+    )
+    nk = len(key_ops)
+
+    def _shape_out(recv_k, recv_v, n_valid, overflow):
+        ow = recv_k if multi_k else recv_k[0]
+        if values is None:
+            ov = None
+        else:
+            ov = recv_v if multi_v else recv_v[0]
+        return ow, ov, n_valid.astype(jnp.int32).reshape(1), overflow.reshape(1)
+
     if exchange == "pipelined":
         if splitters is not None:
             raise ValueError("pipelined exchange draws its own splitters")
+        if multi_k or multi_v:
+            raise ValueError("pipelined exchange supports single-word keys")
         return _pipelined_exchange(
             words, values, axis_name, num_devices, capacity, sentinel
         )
-    operands = [words] if values is None else [words, values]
-    sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    if nk > 1 and splitters is None:
+        raise ValueError(
+            "composite self-drawn splitters are single-limb; multi-limb "
+            "keys need external leading-limb splitters"
+        )
+    sorted_ops = jax.lax.sort(key_ops + val_ops, num_keys=nk, is_stable=True)
     s_words = sorted_ops[0]
 
     if splitters is None:
@@ -411,19 +438,17 @@ def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
     else:
         bounds = ("key", splitters, None)
 
-    sentinels = [sentinel] + ([jnp.zeros((), sorted_ops[1].dtype)]
-                              if values is not None else [])
+    sentinels = (
+        [sentinel]
+        + [jnp.asarray(np.iinfo(np.dtype(w.dtype)).max, w.dtype)
+           for w in key_ops[1:]]
+        + [jnp.zeros((), v.dtype) for v in val_ops]
+    )
     if exchange == "gather":
         recv, n_valid, overflow = _gather_exchange(
             sorted_ops, sentinels, bounds, axis_name, num_devices, capacity
         )
-        out_words, out_vals = recv[0], (recv[1] if values is not None else None)
-        return (
-            out_words,
-            out_vals,
-            n_valid.astype(jnp.int32).reshape(1),
-            overflow.reshape(1),
-        )
+        return _shape_out(recv[:nk], recv[nk:], n_valid, overflow)
 
     if bounds[0] == "composite":
         starts = _composite_starts(s_words, sw, sp, axis_name, num_devices)
@@ -438,14 +463,10 @@ def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
     # source position) order -> global stability
     invalid = (jnp.arange(capacity, dtype=jnp.int32) >= n_valid).astype(jnp.int32)
     ops = [invalid] + recv
-    sorted_final = jax.lax.sort(ops, num_keys=2, is_stable=True)
-    out_words = sorted_final[1]
-    out_vals = sorted_final[2] if values is not None else None
-    return (
-        out_words,
-        out_vals,
-        n_valid.astype(jnp.int32).reshape(1),
-        overflow.reshape(1),
+    sorted_final = jax.lax.sort(ops, num_keys=1 + nk, is_stable=True)
+    return _shape_out(
+        list(sorted_final[1:1 + nk]), list(sorted_final[1 + nk:]),
+        n_valid, overflow,
     )
 
 

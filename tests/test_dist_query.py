@@ -253,3 +253,95 @@ class TestDistributedTopK:
         np.testing.assert_array_equal(
             np.asarray(tk).view(np.uint32), np.asarray(want).view(np.uint32)
         )
+
+
+class TestDistributedMultiColumn:
+    def _np_groups(self, cols):
+        rec = np.rec.fromarrays(cols)
+        order = np.lexsort(tuple(reversed(cols)))
+        srec = rec[order]
+        first = np.concatenate([[True], srec[1:] != srec[:-1]])
+        gid = np.empty(len(rec), np.int64)
+        gid[order] = np.cumsum(first) - 1
+        return srec[first], gid
+
+    def test_aggregate(self, rng, mesh):
+        n = 8 * 512
+        a = rng.integers(0, 5, n).astype(np.int32)
+        b = rng.integers(0, 4, n, dtype=np.uint64)
+        vals = rng.integers(0, 100, n).astype(np.uint32)
+        ka, kb, v = runtime.shard_rows(
+            mesh, jnp.asarray(a), jnp.asarray(b), jnp.asarray(vals)
+        )
+        uk, av, cnt, ovf = dist_query.distributed_hash_aggregate(
+            [ka, kb], v, mesh, "sum", max_groups=32
+        )
+        assert not bool(ovf)
+        m = int(cnt)
+        want_keys, gid = self._np_groups((a, b))
+        assert m == len(want_keys)
+        np.testing.assert_array_equal(np.asarray(uk[0])[:m], want_keys.f0)
+        np.testing.assert_array_equal(np.asarray(uk[1])[:m], want_keys.f1)
+        want = np.array([vals[gid == g].sum() for g in range(m)], np.uint32)
+        np.testing.assert_array_equal(np.asarray(av)[:m], want)
+
+    def test_unique(self, rng, mesh):
+        n = 8 * 512
+        a = rng.integers(0, 6, n).astype(np.uint16)
+        b = (rng.random(n) * 3).round().astype(np.float32)
+        ka, kb = runtime.shard_rows(mesh, jnp.asarray(a), jnp.asarray(b))
+        uk, cts, num, ovf = dist_query.distributed_unique(
+            [ka, kb], mesh, max_unique=32
+        )
+        assert not bool(ovf)
+        m = int(num)
+        want_keys, gid = self._np_groups((a, b))
+        assert m == len(want_keys)
+        np.testing.assert_array_equal(np.asarray(uk[0])[:m], want_keys.f0)
+        np.testing.assert_array_equal(np.asarray(uk[1])[:m], want_keys.f1)
+        np.testing.assert_array_equal(
+            np.asarray(cts)[:m], np.bincount(gid, minlength=m)
+        )
+
+    @pytest.mark.parametrize("how", ["inner", "semi", "anti"])
+    def test_join(self, rng, mesh, how):
+        n = 8 * 256
+        la = rng.integers(0, 4, n).astype(np.int32)
+        lb = rng.integers(0, 3, n, dtype=np.uint64)
+        lv = np.arange(n, dtype=np.uint32)
+        ra = rng.integers(0, 4, n).astype(np.int32)
+        rb = rng.integers(0, 3, n, dtype=np.uint64)
+        rv = np.arange(n, dtype=np.uint32) + 50_000
+        sla, slb, slv, sra, srb, srv = runtime.shard_rows(
+            mesh, *[jnp.asarray(x) for x in (la, lb, lv, ra, rb, rv)]
+        )
+        cap = 1 << 19
+        keys, olv, orv, cnts, ovf = dist_query.distributed_hash_join(
+            [sla, slb], slv, [sra, srb], srv, mesh,
+            capacity_per_shard=cap, how=how,
+        )
+        assert not bool(ovf)
+        # single-chip oracle
+        import radix_sort_tpu as rst
+        wk, wlv, wrv, wcnt, wovf = rst.hash_join(
+            [jnp.asarray(la), jnp.asarray(lb)], jnp.asarray(lv),
+            [jnp.asarray(ra), jnp.asarray(rb)], jnp.asarray(rv),
+            capacity=8 * cap, how=how,
+        )
+        wm = int(wcnt)
+        cnts = np.asarray(cnts)
+        # collect per-shard valid prefixes
+        got = []
+        k0 = np.asarray(keys[0]).reshape(8, -1)
+        k1 = np.asarray(keys[1]).reshape(8, -1)
+        gl = np.asarray(olv).reshape(8, -1)
+        gr = np.asarray(orv).reshape(8, -1)
+        for s in range(8):
+            c = int(cnts[s])
+            got += list(zip(k0[s][:c].tolist(), k1[s][:c].tolist(),
+                            gl[s][:c].tolist(), gr[s][:c].tolist()))
+        want = list(zip(np.asarray(wk[0])[:wm].tolist(),
+                        np.asarray(wk[1])[:wm].tolist(),
+                        np.asarray(wlv)[:wm].tolist(),
+                        np.asarray(wrv)[:wm].tolist()))
+        assert sorted(got) == sorted(want)
