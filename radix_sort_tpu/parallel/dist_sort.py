@@ -52,7 +52,12 @@ from jax import shard_map
 
 from radix_sort_tpu import keys as K
 
-__all__ = ["distributed_sort", "distributed_sort_pairs", "exchange_capacity"]
+__all__ = [
+    "distributed_sort",
+    "distributed_sort_pairs",
+    "distributed_sort_limbs",
+    "exchange_capacity",
+]
 
 from radix_sort_tpu.config import DEFAULT as _CFG
 
@@ -93,18 +98,22 @@ def _regular_sample_positions(n_local: int, m: int) -> jnp.ndarray:
     return pos + n_local // (2 * m)
 
 
-def _sketch_quantiles(samp_w, samp_p, axis_name, num_devices, per_shard):
-    """Gather every shard's (key, pos) samples, sort the pooled sketch by
-    the composite order, return the P-1 quantile splitters."""
-    sk_w = jax.lax.all_gather(samp_w, axis_name, tiled=True)  # (P*per_shard,)
+def _sketch_quantiles(samp_ws, samp_p, axis_name, num_devices, per_shard):
+    """Gather every shard's (key limbs..., pos) samples, sort the pooled
+    sketch by the composite order, return the P-1 quantile splitters."""
+    sk_ws = [jax.lax.all_gather(w, axis_name, tiled=True) for w in samp_ws]
     sk_p = jax.lax.all_gather(samp_p, axis_name, tiled=True)
-    sk_w, sk_p = jax.lax.sort([sk_w, sk_p], num_keys=2, is_stable=True)
+    out = jax.lax.sort(
+        sk_ws + [sk_p], num_keys=len(sk_ws) + 1, is_stable=True
+    )
     ranks = (jnp.arange(num_devices - 1, dtype=jnp.int32) + 1) * per_shard - 1
-    return sk_w[ranks], sk_p[ranks]
+    return [w[ranks] for w in out[:-1]], out[-1][ranks]
 
 
-def _composite_splitters(s_words, axis_name, num_devices):
-    """(P-1,) composite splitters (key word, device-major sorted position).
+def _composite_splitters(s_limbs, axis_name, num_devices):
+    """(P-1,) composite splitters (key limbs..., device-major sorted
+    position) — ``s_limbs`` is a list of sorted key limb arrays (one entry
+    for plain word keys).
 
     Positions are ``rank * n_local + sorted_index``. Among EQUAL keys the
     stable local sort preserves original order, so sorted-index order equals
@@ -112,35 +121,45 @@ def _composite_splitters(s_words, axis_name, num_devices):
     tiebreak, so routing on sorted positions preserves global input order
     exactly as original positions would.
     """
-    n_local = s_words.shape[0]
+    n_local = s_limbs[0].shape[0]
     m = _num_samples(n_local, num_devices)
     pos = _regular_sample_positions(n_local, m)
     r = jax.lax.axis_index(axis_name).astype(jnp.int32)
     return _sketch_quantiles(
-        s_words[pos], r * np.int32(n_local) + pos, axis_name, num_devices, m
+        [w[pos] for w in s_limbs], r * np.int32(n_local) + pos,
+        axis_name, num_devices, m,
     )
 
 
-def _below_starts(s_words, gpos, splitter_w, splitter_p):
+def _lex_below(ws, p, sws, sp):
+    """Row-wise (ws..., p) < (sws..., sp) in lexicographic (composite key)
+    order; each ``ws`` entry broadcasts against its ``sws`` entry."""
+    below = p < sp
+    for w, sw in zip(reversed(ws), reversed(sws)):
+        below = (w < sw) | ((w == sw) & below)
+    return below
+
+
+def _below_starts(s_limbs, gpos, splitter_ws, splitter_p):
     """Run-start offsets: count of rows lexicographically below each
-    composite splitter (the shard is sorted by (key, position), so each
-    destination's rows are a contiguous slice). One compare-sum per
+    composite splitter (the shard is sorted by (key limbs, position), so
+    each destination's rows are a contiguous slice). One compare-sum per
     splitter — a searchsorted has no multi-key form and gathers are slow
     on TPU."""
-    w = s_words[:, None]
-    p = gpos[:, None]
-    below = (w < splitter_w[None, :]) | (
-        (w == splitter_w[None, :]) & (p < splitter_p[None, :])
+    below = _lex_below(
+        [w[:, None] for w in s_limbs], gpos[:, None],
+        [sw[None, :] for sw in splitter_ws], splitter_p[None, :],
     )
     starts = below.astype(jnp.int32).sum(axis=0)  # (P-1,)
     return jnp.concatenate([jnp.zeros((1,), jnp.int32), starts])
 
 
-def _composite_starts(s_words, splitter_w, splitter_p, axis_name, num_devices):
-    n_local = s_words.shape[0]
+def _composite_starts(s_limbs, splitter_ws, splitter_p, axis_name,
+                      num_devices):
+    n_local = s_limbs[0].shape[0]
     r = jax.lax.axis_index(axis_name).astype(jnp.int32)
     gpos = r * np.int32(n_local) + jnp.arange(n_local, dtype=jnp.int32)
-    return _below_starts(s_words, gpos, splitter_w, splitter_p)
+    return _below_starts(s_limbs, gpos, splitter_ws, splitter_p)
 
 
 def _key_splitters(s_words, axis_name, num_devices):
@@ -164,13 +183,17 @@ def _key_starts(s_words, splitters):
     return jnp.concatenate([jnp.zeros((1,), jnp.int32), starts])
 
 
-def _lex_ge(w, p, sw, sp):
-    """(w, p) >= (sw, sp) lexicographically (composite key order)."""
-    return (w > sw) | ((w == sw) & (p >= sp))
+def _lex_ge(ws, p, sws, sp):
+    """(ws..., p) >= (sws..., sp) lexicographically (composite key order);
+    ``ws``/``sws`` are matching-length limb lists."""
+    ge = p >= sp
+    for w, sw in zip(reversed(ws), reversed(sws)):
+        ge = (w > sw) | ((w == sw) & ge)
+    return ge
 
 
 def _gather_exchange(sorted_ops, sentinels, bounds, axis_name, num_devices,
-                     capacity, gpos_local=None):
+                     capacity, gpos_local=None, num_keys=1):
     """all_gather-based exchange: every device gathers all shards (in
     source-major order — gpos == flat index, so stability is free) and
     selects its own splitter range with one stable local sort.
@@ -179,10 +202,12 @@ def _gather_exchange(sorted_ops, sentinels, bounds, axis_name, num_devices,
     supported on every backend — this is the CPU virtual-mesh path (XLA:CPU
     has no ragged-all-to-all thunk) and the reference semantics the ragged
     path is tested against. ``bounds``: (kind, lo, hi) where kind is
-    "composite" (lo/hi are ((P-1,) key, (P-1,) pos) pairs) or "key".
-    ``gpos_local``: explicit per-row global positions (striped callers,
-    where the gathered flat index is not the global original position);
-    default is the flat gathered index.
+    "composite" (lo/hi are ((P-1,) key limb list, (P-1,) pos) pairs) or
+    "key" (leading word only). ``gpos_local``: explicit per-row global
+    positions (striped callers, where the gathered flat index is not the
+    global original position); default is the flat gathered index.
+    ``num_keys``: leading entries of ``sorted_ops`` that form the composite
+    key (the restore sort orders by all of them).
     """
     me = jax.lax.axis_index(axis_name).astype(jnp.int32)
     g = [jax.lax.all_gather(x, axis_name, tiled=True) for x in sorted_ops]
@@ -195,11 +220,16 @@ def _gather_exchange(sorted_ops, sentinels, bounds, axis_name, num_devices,
 
     kind, lo, hi = bounds
     if kind == "composite":
-        sw, sp = lo
+        sws, sp = lo
+        ks = g[:num_keys]
         i_lo = jnp.clip(me - 1, 0, num_devices - 2)
-        ge_lo = (me == 0) | _lex_ge(w, gpos, sw[i_lo], sp[i_lo])
+        ge_lo = (me == 0) | _lex_ge(
+            ks, gpos, [sw[i_lo] for sw in sws], sp[i_lo]
+        )
         i_hi = jnp.clip(me, 0, num_devices - 2)
-        lt_hi = (me == num_devices - 1) | ~_lex_ge(w, gpos, sw[i_hi], sp[i_hi])
+        lt_hi = (me == num_devices - 1) | ~_lex_ge(
+            ks, gpos, [sw[i_hi] for sw in sws], sp[i_hi]
+        )
     else:
         sk = lo
         i_lo = jnp.clip(me - 1, 0, num_devices - 2)
@@ -209,7 +239,7 @@ def _gather_exchange(sorted_ops, sentinels, bounds, axis_name, num_devices,
     valid = ge_lo & lt_hi
 
     invalid = (~valid).astype(jnp.int32)
-    srt = jax.lax.sort([invalid] + g, num_keys=2, is_stable=True)
+    srt = jax.lax.sort([invalid] + g, num_keys=1 + num_keys, is_stable=True)
     n_valid = valid.astype(jnp.int32).sum()
     overflow = n_valid > capacity
     outs = []
@@ -311,8 +341,8 @@ def _pipelined_exchange(words, values, axis_name, num_devices, capacity,
     samp_p = jnp.concatenate(
         [r * np.int32(n_local) + np.int32(s * sl) + pos for s in range(stripes)]
     )
-    sw, sp = _sketch_quantiles(
-        samp_w, samp_p, axis_name, num_devices, stripes * m
+    sws, sp = _sketch_quantiles(
+        [samp_w], samp_p, axis_name, num_devices, stripes * m
     )
 
     big_invalid, big_w, big_g, big_v = [], [], [], []
@@ -329,7 +359,7 @@ def _pipelined_exchange(words, values, axis_name, num_devices, capacity,
             [jnp.zeros((), srt[s][1].dtype)] if has_vals else []
         )
         if use_ragged:
-            starts = _below_starts(s_words, gpos, sw, sp)
+            starts = _below_starts([s_words], gpos, sws, sp)
             recv, nv, ovf, oo = _ragged_exchange(
                 srt[s], sentinels, starts, axis_name, num_devices, capacity
             )
@@ -347,7 +377,7 @@ def _pipelined_exchange(words, values, axis_name, num_devices, capacity,
             recv_all, nv, ovf = _gather_exchange(
                 list(srt[s]) + [gpos],
                 sentinels + [jnp.asarray(np.int32(2**31 - 1))],
-                ("composite", (sw, sp), None),
+                ("composite", (sws, sp), None),
                 axis_name,
                 num_devices,
                 capacity,
@@ -384,16 +414,16 @@ def _pipelined_exchange(words, values, axis_name, num_devices, capacity,
 def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
                     splitters=None, exchange=None):
     """Body run per device under shard_map. words: (n_local,) rank-space —
-    or a LIST of big-endian uint32 limb arrays (composite keys; rows then
-    order by the full limb tuple and routing compares the leading limb,
-    which co-locates equal composite keys because equal tuples share it).
+    or a LIST of big-endian uint32 limb arrays (composite keys; rows order
+    and partition by the full lexicographic limb tuple).
     ``values`` likewise may be None, one array, or a list.
 
     ``splitters``: optional externally chosen key-only (P-1,) range
     splitters over the LEADING limb (e.g. a join routing both sides on one
-    shared sketch); when None, composite regular-sampled splitters are
-    drawn from this data and the partition is deterministically balanced
-    for any distribution (single-limb keys only).
+    shared sketch — equal tuples share the leading limb, so they still
+    co-locate); when None, composite regular-sampled (key limbs...,
+    position) splitters are drawn from this data and the partition is
+    deterministically balanced for any distribution and any limb count.
     ``exchange``: "ragged" | "gather" | "pipelined" (default by backend;
     "pipelined" stripes the shard to overlap collectives with compute and
     picks ragged/gather per backend underneath; single-limb only).
@@ -424,17 +454,13 @@ def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
         return _pipelined_exchange(
             words, values, axis_name, num_devices, capacity, sentinel
         )
-    if nk > 1 and splitters is None:
-        raise ValueError(
-            "composite self-drawn splitters are single-limb; multi-limb "
-            "keys need external leading-limb splitters"
-        )
     sorted_ops = jax.lax.sort(key_ops + val_ops, num_keys=nk, is_stable=True)
+    s_limbs = list(sorted_ops[:nk])
     s_words = sorted_ops[0]
 
     if splitters is None:
-        sw, sp = _composite_splitters(s_words, axis_name, num_devices)
-        bounds = ("composite", (sw, sp), None)
+        sws, sp = _composite_splitters(s_limbs, axis_name, num_devices)
+        bounds = ("composite", (sws, sp), None)
     else:
         bounds = ("key", splitters, None)
 
@@ -446,12 +472,13 @@ def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
     )
     if exchange == "gather":
         recv, n_valid, overflow = _gather_exchange(
-            sorted_ops, sentinels, bounds, axis_name, num_devices, capacity
+            sorted_ops, sentinels, bounds, axis_name, num_devices, capacity,
+            num_keys=nk,
         )
         return _shape_out(recv[:nk], recv[nk:], n_valid, overflow)
 
     if bounds[0] == "composite":
-        starts = _composite_starts(s_words, sw, sp, axis_name, num_devices)
+        starts = _composite_starts(s_limbs, sws, sp, axis_name, num_devices)
     else:
         starts = _key_starts(s_words, splitters)
     recv, n_valid, overflow, _ = _ragged_exchange(
@@ -471,7 +498,7 @@ def _local_exchange(words, values, axis_name, num_devices, capacity, sentinel,
 
 
 def distributed_sort(
-    keys: jnp.ndarray,
+    keys,
     mesh: Mesh,
     axis_name: str = "x",
     *,
@@ -479,6 +506,11 @@ def distributed_sort(
     exchange: str | None = None,
 ):
     """Sort ``keys`` (sharded or shardable over ``mesh``'s ``axis_name``).
+
+    ``keys`` may be one column of any supported dtype, or a LIST of
+    equal-length columns — rows then sort lexicographically by the column
+    tuple (the distributed ``lexsort``, primary column first) and the
+    sorted columns come back as a list.
 
     Returns ``(sorted_padded, counts, overflow)`` where ``sorted_padded``
     has shape (num_devices * capacity,) sharded over the mesh; device d's
@@ -493,15 +525,16 @@ def distributed_sort(
     the output is ALWAYS exact; ``overflow`` then reports that the fallback
     path was taken.
     """
-    out_words, _, counts, overflow = _dist_sort_impl(
-        K.encode(keys), None, mesh, axis_name, capacity, exchange
+    limbs, decode = _encode_key_arg(keys)
+    ows, _, counts, overflow = _dist_sort_impl(
+        limbs, None, mesh, axis_name, capacity, exchange
     )
-    return K.decode(out_words, keys.dtype), counts, overflow
+    return decode(ows), counts, overflow
 
 
 def distributed_sort_pairs(
-    keys: jnp.ndarray,
-    values: jnp.ndarray,
+    keys,
+    values,
     mesh: Mesh,
     axis_name: str = "x",
     *,
@@ -509,36 +542,89 @@ def distributed_sort_pairs(
     exchange: str | None = None,
 ):
     """Key/payload variant of :func:`distributed_sort` (stable; the tuple
-    semantics of the reference, src/radix_sort/radix_digits.rs:126-136)."""
-    out_words, out_vals, counts, overflow = _dist_sort_impl(
-        K.encode(keys), values, mesh, axis_name, capacity, exchange
+    semantics of the reference, src/radix_sort/radix_digits.rs:126-136).
+    ``keys`` and/or ``values`` may be column lists (composite keys / a
+    multi-column table riding one sort)."""
+    limbs, decode = _encode_key_arg(keys)
+    ows, ovs, counts, overflow = _dist_sort_impl(
+        limbs, values, mesh, axis_name, capacity, exchange
     )
-    return K.decode(out_words, keys.dtype), out_vals, counts, overflow
+    return decode(ows), ovs, counts, overflow
 
 
-def _global_sort_fallback(words, values, num_devices, capacity, sentinel):
+def distributed_sort_limbs(
+    limbs,
+    values=None,
+    *,
+    mesh: Mesh,
+    axis_name: str = "x",
+    capacity: int | None = None,
+    exchange: str | None = None,
+):
+    """Raw multi-word variant: ``limbs`` is a list of big-endian unsigned
+    limb arrays already in rank space (the distributed analogue of
+    :func:`radix_sort_tpu.sort_limbs` — e.g. ``keys.encode128`` output for
+    128-bit keys). Returns ``(sorted_limbs, values, counts, overflow)`` in
+    the padded per-device layout of :func:`distributed_sort`."""
+    if not isinstance(limbs, (list, tuple)) or not limbs:
+        raise ValueError("limbs must be a non-empty list of limb arrays")
+    for w in limbs:
+        if np.dtype(w.dtype).kind != "u":
+            raise ValueError(
+                f"limbs must be unsigned rank-space words, got {w.dtype}"
+            )
+    ows, ovs, counts, overflow = _dist_sort_impl(
+        list(limbs), values, mesh, axis_name, capacity, exchange
+    )
+    return ows, ovs, counts, overflow
+
+
+def _encode_key_arg(keys):
+    """Canonicalize a public key operand -> (limb list, decode fn)."""
+    if isinstance(keys, (list, tuple)):
+        from radix_sort_tpu.ops import query as _q
+
+        cols = list(keys)
+        limbs, specs = _q._cols_to_limbs(cols)
+        return limbs, lambda ows: _q._limbs_to_cols(ows, specs)
+    word = K.encode(keys)
+    return [word], lambda ows: K.decode(ows[0], keys.dtype)
+
+
+def _global_sort_fallback(limbs, val_ops, num_devices, capacity, sentinels):
     """Replicated exact path in the padded per-device layout (overflow
     insurance — mirrors the single-chip pipeline's comparator fallback,
     ops/sample_sort.py)."""
-    n = words.shape[0]
+    n = limbs[0].shape[0]
     n_local = n // num_devices
-    operands = [words] if values is None else [words, values]
-    srt = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    nk = len(limbs)
+    srt = jax.lax.sort(list(limbs) + list(val_ops), num_keys=nk,
+                       is_stable=True)
 
     def pad_out(x, fill):
         x = x.reshape(num_devices, n_local)
         pad = jnp.full((num_devices, capacity - n_local), fill, x.dtype)
         return jnp.concatenate([x, pad], axis=1).reshape(-1)
 
-    ow = pad_out(srt[0], sentinel)
-    ov = pad_out(srt[1], jnp.zeros((), srt[1].dtype)) if values is not None else None
+    outs = [pad_out(x, s) for x, s in zip(srt, sentinels)]
     counts = jnp.full((num_devices,), n_local, jnp.int32)
-    return ow, ov, counts
+    return outs[:nk], outs[nk:], counts
 
 
-def _dist_sort_impl(words, values, mesh, axis_name, capacity=None, exchange=None):
+def _dist_sort_impl(limbs, values, mesh, axis_name, capacity=None,
+                    exchange=None):
+    """Core distributed sort over a key limb LIST plus 0..M value operands.
+
+    Returns ``(key_limbs, value_list, counts, overflow)``; the value list
+    mirrors the input form (None stays None, one array stays one array)."""
+    multi_v = isinstance(values, (list, tuple))
+    val_ops = [] if values is None else (list(values) if multi_v else [values])
+    nk, nv = len(limbs), len(val_ops)
     num_devices = mesh.shape[axis_name]
-    n = words.shape[0]
+    n = limbs[0].shape[0]
+    for x in limbs[1:] + val_ops:
+        if x.shape[0] != n:
+            raise ValueError("all key/value operands must share a length")
     if n % num_devices != 0:
         raise ValueError(
             f"n ({n}) must be divisible by the mesh axis ({num_devices}); pad upstream"
@@ -558,19 +644,33 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity=None, exchange=None
             "exchange must be one of None (auto), 'ragged', 'gather', "
             f"'pipelined'; got {exchange!r}"
         )
+    if exchange == "pipelined" and (nk > 1 or nv > 1):
+        raise ValueError("pipelined exchange supports one key word and at "
+                         "most one value operand")
     if capacity is None:
         capacity = exchange_capacity(n_local, num_devices)
     if capacity < n_local:
         raise ValueError(f"capacity ({capacity}) must be >= n_local ({n_local})")
-    sentinel = np.array(np.iinfo(words.dtype).max, dtype=words.dtype)
+    sentinel = np.array(np.iinfo(limbs[0].dtype).max, dtype=limbs[0].dtype)
+    sentinels = (
+        [sentinel]
+        + [np.array(np.iinfo(np.dtype(w.dtype)).max, w.dtype)
+           for w in limbs[1:]]
+        + [np.zeros((), v.dtype) for v in val_ops]
+    )
+
+    def _shape_vals(ovs):
+        if values is None:
+            return None
+        return list(ovs) if multi_v else ovs[0]
 
     if num_devices == 1:
         # degenerate mesh: no exchange, just the local stable sort in the
         # same padded-layout contract
-        ow, ov, cnt = _global_sort_fallback(
-            words, values, 1, capacity, sentinel
+        ows, ovs, cnt = _global_sort_fallback(
+            limbs, val_ops, 1, capacity, sentinels
         )
-        return ow, ov, cnt, jnp.asarray(False)
+        return ows, _shape_vals(ovs), cnt, jnp.asarray(False)
 
     body = functools.partial(
         _local_exchange,
@@ -581,45 +681,38 @@ def _dist_sort_impl(words, values, mesh, axis_name, capacity=None, exchange=None
         exchange=exchange,
     )
 
+    def fn(*ops):
+        w = list(ops[:nk]) if nk > 1 else ops[0]
+        if nv == 0:
+            v = None
+        elif nv == 1 and not multi_v:
+            v = ops[nk]
+        else:
+            v = list(ops[nk:])
+        ow, ov, cnt, ovf = body(w, v)
+        ows = list(ow) if nk > 1 else [ow]
+        ovs = [] if nv == 0 else (list(ov) if isinstance(ov, list) else [ov])
+        return (*ows, *ovs, cnt, ovf)
+
+    out = shard_map(
+        fn, mesh=mesh, in_specs=(P(axis_name),) * (nk + nv),
+        out_specs=(P(axis_name),) * (nk + nv + 2),
+        check_vma=False,
+    )(*limbs, *val_ops)
+    ows, ovs = list(out[:nk]), list(out[nk:nk + nv])
+    cnt, ovf = out[-2], out[-1]
+    overflow = jnp.any(ovf)
+
     # The replicated fallback lives INSIDE its cond branch: it all-gathers
     # the whole input and sorts it on every device, so it must only execute
     # on the (override-forced) overflow path, never eagerly.
-    if values is None:
-        def fn(w):
-            ow, _, cnt, ovf = body(w, None)
-            return ow, cnt, ovf
-
-        ow, cnt, ovf = shard_map(
-            fn, mesh=mesh, in_specs=(P(axis_name),),
-            out_specs=(P(axis_name), P(axis_name), P(axis_name)),
-            check_vma=False,
-        )(words)
-        overflow = jnp.any(ovf)
-
-        def fb(_):
-            fw, _, fc = _global_sort_fallback(
-                words, None, num_devices, capacity, sentinel
-            )
-            return fw, fc
-
-        ow, cnt = jax.lax.cond(overflow, fb, lambda t: t, (ow, cnt))
-        return ow, None, cnt, overflow
-
-    def fn2(w, v):
-        ow, ov, cnt, ovf = body(w, v)
-        return ow, ov, cnt, ovf
-
-    ow, ov, cnt, ovf = shard_map(
-        fn2, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name),) * 4,
-        check_vma=False,
-    )(words, values)
-    overflow = jnp.any(ovf)
-
-    def fb2(_):
-        return _global_sort_fallback(
-            words, values, num_devices, capacity, sentinel
+    def fb(_):
+        fw, fv, fc = _global_sort_fallback(
+            limbs, val_ops, num_devices, capacity, sentinels
         )
+        return fw, fv, fc
 
-    ow, ov, cnt = jax.lax.cond(overflow, fb2, lambda t: t, (ow, ov, cnt))
-    return ow, ov, cnt, overflow
+    ows, ovs, cnt = jax.lax.cond(
+        overflow, fb, lambda t: t, (ows, ovs, cnt)
+    )
+    return ows, _shape_vals(ovs), cnt, overflow

@@ -207,3 +207,128 @@ def test_multiprocess_init_failure_is_not_swallowed(monkeypatch):
         runtime.initialize_multihost(num_processes=4, process_id=2)
     # ... while the documented no-arg single-process case stays a no-op
     runtime.initialize_multihost()
+
+
+class TestDistributedMultiLimb:
+    """Composite / multi-limb distributed sort: lexicographic splitters
+    partition on the full limb tuple (dist_sort._composite_splitters)."""
+
+    def test_multi_column_lexsort(self, rng):
+        mesh = _mesh()
+        n = 8 * 2048
+        a = rng.integers(0, 4, n).astype(np.int32)       # low cardinality
+        b = rng.standard_normal(n).astype(np.float32)
+        cols, counts, overflow = dist_sort.distributed_sort([
+            jnp.asarray(a), jnp.asarray(b)
+        ], mesh)
+        assert not bool(overflow)
+        ga = _collect(cols[0], counts, 8)
+        gb = _collect(cols[1], counts, 8)
+        order = np.lexsort((b, a))  # primary a, secondary b
+        np.testing.assert_array_equal(ga, a[order])
+        np.testing.assert_array_equal(gb, b[order])
+
+    def test_all_equal_composite_balances(self, rng):
+        # every row identical in BOTH columns: the position tiebreak must
+        # still split rows evenly instead of flooding one device
+        mesh = _mesh()
+        n = 8 * 1024
+        a = np.full(n, 7, np.uint32)
+        b = np.full(n, 9, np.uint64)
+        cols, counts, overflow = dist_sort.distributed_sort([
+            jnp.asarray(a), jnp.asarray(b)
+        ], mesh)
+        assert not bool(overflow)
+        cnt = np.asarray(counts)
+        assert cnt.sum() == n
+        assert cnt.max() <= dist_sort.exchange_capacity(n // 8, 8)
+        assert cnt.min() > 0
+        np.testing.assert_array_equal(_collect(cols[0], counts, 8), a)
+        np.testing.assert_array_equal(_collect(cols[1], counts, 8), b)
+
+    def test_sort_pairs_composite_multi_value(self, rng):
+        mesh = _mesh()
+        n = 8 * 1024
+        a = rng.integers(0, 100, n, dtype=np.uint64)
+        b = rng.integers(0, 3, n).astype(np.uint8)
+        v1 = np.arange(n, dtype=np.uint32)
+        v2 = rng.standard_normal(n).astype(np.float32)
+        cols, vals, counts, overflow = dist_sort.distributed_sort_pairs(
+            [jnp.asarray(a), jnp.asarray(b)],
+            [jnp.asarray(v1), jnp.asarray(v2)],
+            mesh,
+        )
+        assert not bool(overflow)
+        order = np.lexsort((np.arange(n), b, a))  # stable by (a, b)
+        np.testing.assert_array_equal(_collect(cols[0], counts, 8), a[order])
+        np.testing.assert_array_equal(_collect(cols[1], counts, 8), b[order])
+        np.testing.assert_array_equal(_collect(vals[0], counts, 8), v1[order])
+        np.testing.assert_array_equal(_collect(vals[1], counts, 8), v2[order])
+
+    def test_sort_limbs_128bit(self, rng):
+        from radix_sort_tpu import keys as K
+        mesh = _mesh()
+        n = 8 * 1024
+        # 128-bit keys as 4 big-endian u32 limbs; duplicate-heavy hi words
+        hi = rng.integers(0, 3, n, dtype=np.uint64)
+        lo = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+        limbs = K.encode128(jnp.asarray(hi), jnp.asarray(lo), signed=False)
+        out_limbs, _, counts, overflow = dist_sort.distributed_sort_limbs(
+            limbs, mesh=_mesh()
+        )
+        assert not bool(overflow)
+        got = [
+            _collect(w, counts, 8).astype(np.uint64) for w in out_limbs
+        ]
+        order = np.lexsort((lo, hi))
+        want_hi, want_lo = hi[order], lo[order]
+        np.testing.assert_array_equal((got[0] << 32) | got[1], want_hi)
+        np.testing.assert_array_equal((got[2] << 32) | got[3], want_lo)
+
+    def test_limbs_rejects_signed(self, rng):
+        with pytest.raises(ValueError, match="unsigned"):
+            dist_sort.distributed_sort_limbs(
+                [jnp.zeros(8, jnp.int32)], mesh=_mesh()
+            )
+
+    def test_gather_exchange_composite(self, rng):
+        # force the all_gather emulation path explicitly (it restores order
+        # with a full multi-key sort)
+        mesh = _mesh()
+        n = 8 * 512
+        a = rng.integers(0, 2, n).astype(np.uint32)
+        b = rng.integers(0, 1 << 16, n).astype(np.uint16)
+        cols, counts, overflow = dist_sort.distributed_sort(
+            [jnp.asarray(a), jnp.asarray(b)], mesh, exchange="gather"
+        )
+        assert not bool(overflow)
+        order = np.lexsort((b, a))
+        np.testing.assert_array_equal(_collect(cols[0], counts, 8), a[order])
+        np.testing.assert_array_equal(_collect(cols[1], counts, 8), b[order])
+
+
+def test_below_starts_lexicographic_oracle(rng):
+    # unit oracle for the ragged path's run-start computation (the TPU-only
+    # exchange): counts below each (limb..., pos) splitter must equal the
+    # numpy lexicographic rank
+    n, p = 512, 8
+    a = rng.integers(0, 4, n).astype(np.uint32)
+    b = rng.integers(0, 6, n).astype(np.uint32)
+    order = np.lexsort((b, a))
+    sa, sb = a[order], b[order]
+    gpos = np.arange(n, dtype=np.int32)
+    sw0 = rng.integers(0, 4, p - 1).astype(np.uint32)
+    sw1 = rng.integers(0, 6, p - 1).astype(np.uint32)
+    sp = rng.integers(0, n, p - 1).astype(np.int32)
+    starts = np.asarray(dist_sort._below_starts(
+        [jnp.asarray(sa), jnp.asarray(sb)], jnp.asarray(gpos),
+        [jnp.asarray(sw0), jnp.asarray(sw1)], jnp.asarray(sp),
+    ))
+    for t in range(p - 1):
+        want = int(np.sum(
+            (sa < sw0[t])
+            | ((sa == sw0[t]) & (sb < sw1[t]))
+            | ((sa == sw0[t]) & (sb == sw1[t]) & (gpos < sp[t]))
+        ))
+        assert starts[t + 1] == want
+    assert starts[0] == 0
