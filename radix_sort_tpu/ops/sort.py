@@ -285,13 +285,35 @@ def top_k(keys: jnp.ndarray, k: int, *arrays: jnp.ndarray,
     gathers — cheap because only k rows move, unlike a full
     ``sort_pairs`` (the selection itself is ``lax.top_k`` over encoded
     rank words: O(n) scan instead of a full sort).
+
+    ``keys`` may be a list/tuple of equal-length columns (composite
+    ORDER BY ... LIMIT k, selection by the lexicographic column tuple);
+    ``top_keys`` is then a column list and the selection runs as one
+    variadic sort over the uint32 limbs (no multi-key ``lax.top_k``).
     """
-    n = keys.shape[0]
+    multi = isinstance(keys, (list, tuple))
+    cols = list(keys) if multi else [keys]
+    n = cols[0].shape[0]
     if not 0 <= k <= n:
         raise ValueError(f"k must be in [0, {n}], got {k}")
-    for a in arrays:
+    for a in list(cols[1:]) + list(arrays):
         if a.shape[0] != n:
             raise ValueError("all arrays must match the keys length")
+    if multi:
+        from radix_sort_tpu.ops import query as _q
+
+        limbs, specs = _q._cols_to_limbs(cols)
+        sel = [~w for w in limbs] if largest else limbs
+        idx_all = jnp.arange(n, dtype=jnp.int32)
+        srt = jax.lax.sort(
+            sel + [idx_all], num_keys=len(sel) + 1, is_stable=False
+        )
+        top_limbs = [(~w if largest else w)[:k] for w in srt[:len(sel)]]
+        idx = srt[len(sel)][:k]
+        out = [_q._limbs_to_cols(top_limbs, specs)]
+        for a in arrays:
+            out.append(a[idx])
+        return tuple(out)
     w = K.encode(keys)
     if not largest:
         w = ~w

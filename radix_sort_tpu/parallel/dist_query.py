@@ -211,50 +211,77 @@ def distributed_top_k(
     (key, global-position) — so ties break by global input position exactly
     as the single-chip :func:`radix_sort_tpu.top_k`. Wire traffic is
     ``k`` rows per shard. Returns replicated ``(top_keys, *top_arrays)``.
+
+    ``keys`` may be a list/tuple of equal-length columns (composite
+    ORDER BY ... LIMIT k); ``top_keys`` is then a column list.
     """
     from radix_sort_tpu import keys as K
 
-    n = keys.shape[0]
+    multi = isinstance(keys, (list, tuple))
+    cols = list(keys) if multi else [keys]
+    n = cols[0].shape[0]
     if not 0 <= k <= n:
         raise ValueError(f"k must be in [0, {n}], got {k}")
-    for a in arrays:
+    for a in list(cols[1:]) + list(arrays):
         if a.shape[0] != n:
             raise ValueError("all arrays must match the keys length")
     nshards = mesh.shape[axis_name]
     shard_rows = n // nshards
     kk = min(k, shard_rows)
+    if multi:
+        limbs, specs = query._cols_to_limbs(cols)
+    else:
+        limbs = [K.encode(cols[0])]
+    nkw = len(limbs)
 
-    def local(kw, *arrs):
-        # local stable top-kk on encoded words; ties -> lower local index
-        w = kw if largest else ~kw
-        topw, idx = jax.lax.top_k(w, kk)
-        topw = topw if largest else ~topw
-        gpos = (
-            jax.lax.axis_index(axis_name).astype(jnp.int32) * shard_rows
-            + idx.astype(jnp.int32)
-        )
-        cands_w = jax.lax.all_gather(topw, axis_name, tiled=True)
+    def local(*ops):
+        kws, arrs = list(ops[:nkw]), ops[nkw:]
+        r = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        if nkw == 1:
+            # fast path: local stable top-kk via lax.top_k on the single
+            # encoded word; ties -> lower local index
+            w = kws[0] if largest else ~kws[0]
+            topw, idx = jax.lax.top_k(w, kk)
+            top_limbs = [topw if largest else ~topw]
+        else:
+            # composite keys: one variadic stable sort by (key order, local
+            # index) and take the first kk rows
+            sel = [~w for w in kws] if largest else kws
+            idx_all = jnp.arange(shard_rows, dtype=jnp.int32)
+            srt = jax.lax.sort(
+                sel + [idx_all], num_keys=nkw + 1, is_stable=False
+            )
+            top_limbs = [
+                (~w if largest else w)[:kk] for w in srt[:nkw]
+            ]
+            idx = srt[nkw][:kk]
+        gpos = r * shard_rows + idx.astype(jnp.int32)
+        cands_w = [
+            jax.lax.all_gather(w, axis_name, tiled=True) for w in top_limbs
+        ]
         cands_pos = jax.lax.all_gather(gpos, axis_name, tiled=True)
         cands_a = [
             jax.lax.all_gather(a[idx], axis_name, tiled=True) for a in arrs
         ]
         # final stable selection over nshards*kk candidates: sort by
         # (key-order, global position) and take the first k rows
-        sel = ~cands_w if largest else cands_w
+        sel = [~w for w in cands_w] if largest else cands_w
         out = jax.lax.sort(
-            [sel, cands_pos, *cands_a], num_keys=2, is_stable=False
+            [*sel, cands_pos, *cands_a], num_keys=nkw + 1, is_stable=False
         )
-        selw = ~out[0] if largest else out[0]
-        return (selw[:k], *[a[:k] for a in out[2:]])
+        selw = [(~w if largest else w)[:k] for w in out[:nkw]]
+        return (*selw, *[a[:k] for a in out[nkw + 1:]])
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis_name),) * (1 + len(arrays)),
-        out_specs=tuple(P() for _ in range(1 + len(arrays))),
+        in_specs=(P(axis_name),) * (nkw + len(arrays)),
+        out_specs=tuple(P() for _ in range(nkw + len(arrays))),
         check_vma=False,
     )
-    out = fn(K.encode(keys), *arrays)
+    out = fn(*limbs, *arrays)
+    if multi:
+        return (query._limbs_to_cols(list(out[:nkw]), specs), *out[nkw:])
     return (K.decode(out[0], keys.dtype), *out[1:])
 
 

@@ -502,6 +502,7 @@ def distributed_sort(
     mesh: Mesh,
     axis_name: str = "x",
     *,
+    descending: bool = False,
     capacity: int | None = None,
     exchange: str | None = None,
 ):
@@ -518,6 +519,9 @@ def distributed_sort(
     prefixes is the globally sorted array (stable, total_cmp float order —
     the reference's semantics, src/radix_sort/tests.rs:7-23).
 
+    ``descending=True`` reverses the key order (stable-descending: equal
+    keys keep global input order), as on the single-chip entry points.
+
     ``capacity`` (test/tuning override) replaces the provisioned
     :func:`exchange_capacity` bound. If the exchange overflows — impossible
     at the provisioned bound, reachable only through the override — the
@@ -525,7 +529,7 @@ def distributed_sort(
     the output is ALWAYS exact; ``overflow`` then reports that the fallback
     path was taken.
     """
-    limbs, decode = _encode_key_arg(keys)
+    limbs, decode = _encode_key_arg(keys, descending)
     ows, _, counts, overflow = _dist_sort_impl(
         limbs, None, mesh, axis_name, capacity, exchange
     )
@@ -538,6 +542,7 @@ def distributed_sort_pairs(
     mesh: Mesh,
     axis_name: str = "x",
     *,
+    descending: bool = False,
     capacity: int | None = None,
     exchange: str | None = None,
 ):
@@ -545,7 +550,7 @@ def distributed_sort_pairs(
     semantics of the reference, src/radix_sort/radix_digits.rs:126-136).
     ``keys`` and/or ``values`` may be column lists (composite keys / a
     multi-column table riding one sort)."""
-    limbs, decode = _encode_key_arg(keys)
+    limbs, decode = _encode_key_arg(keys, descending)
     ows, ovs, counts, overflow = _dist_sort_impl(
         limbs, values, mesh, axis_name, capacity, exchange
     )
@@ -558,6 +563,7 @@ def distributed_sort_limbs(
     *,
     mesh: Mesh,
     axis_name: str = "x",
+    descending: bool = False,
     capacity: int | None = None,
     exchange: str | None = None,
 ):
@@ -573,22 +579,43 @@ def distributed_sort_limbs(
             raise ValueError(
                 f"limbs must be unsigned rank-space words, got {w.dtype}"
             )
+    limb_list = [~w for w in limbs] if descending else list(limbs)
     ows, ovs, counts, overflow = _dist_sort_impl(
-        list(limbs), values, mesh, axis_name, capacity, exchange
+        limb_list, values, mesh, axis_name, capacity, exchange
     )
+    if descending:
+        ows = [~w for w in ows]
     return ows, ovs, counts, overflow
 
 
-def _encode_key_arg(keys):
-    """Canonicalize a public key operand -> (limb list, decode fn)."""
+def _encode_key_arg(keys, descending=False):
+    """Canonicalize a public key operand -> (limb list, decode fn).
+    ``descending`` complements every rank-space limb (stable-descending:
+    complement + stable ascending sort reverses key order while equal keys
+    keep input order), mirroring ops/sort.py's ``_dir``."""
     if isinstance(keys, (list, tuple)):
         from radix_sort_tpu.ops import query as _q
 
         cols = list(keys)
         limbs, specs = _q._cols_to_limbs(cols)
-        return limbs, lambda ows: _q._limbs_to_cols(ows, specs)
+        if descending:
+            limbs = [~w for w in limbs]
+
+        def decode(ows):
+            if descending:
+                ows = [~w for w in ows]
+            return _q._limbs_to_cols(ows, specs)
+
+        return limbs, decode
     word = K.encode(keys)
-    return [word], lambda ows: K.decode(ows[0], keys.dtype)
+    if descending:
+        word = ~word
+
+    def decode1(ows):
+        w = ~ows[0] if descending else ows[0]
+        return K.decode(w, keys.dtype)
+
+    return [word], decode1
 
 
 def _global_sort_fallback(limbs, val_ops, num_devices, capacity, sentinels):

@@ -345,3 +345,29 @@ class TestDistributedMultiColumn:
                         np.asarray(wlv)[:wm].tolist(),
                         np.asarray(wrv)[:wm].tolist()))
         assert sorted(got) == sorted(want)
+
+
+class TestDistributedTopKComposite:
+    def test_matches_single_chip(self, rng, mesh):
+        import radix_sort_tpu as rst
+        n = 8 * 512
+        a = rng.integers(0, 4, n).astype(np.int32)
+        b = rng.standard_normal(n).astype(np.float32)
+        v = np.arange(n, dtype=np.uint32)
+        sa, sb, sv = runtime.shard_rows(
+            mesh, jnp.asarray(a), jnp.asarray(b), jnp.asarray(v)
+        )
+        for largest in (True, False):
+            tk, tv = dist_query.distributed_top_k(
+                [sa, sb], 37, sv, mesh=mesh, largest=largest
+            )
+            wk, wv = rst.top_k(
+                [jnp.asarray(a), jnp.asarray(b)], 37, jnp.asarray(v),
+                largest=largest,
+            )
+            np.testing.assert_array_equal(np.asarray(tk[0]), np.asarray(wk[0]))
+            np.testing.assert_array_equal(
+                np.asarray(tk[1]).view(np.uint32),
+                np.asarray(wk[1]).view(np.uint32),
+            )
+            np.testing.assert_array_equal(np.asarray(tv), np.asarray(wv))

@@ -332,3 +332,39 @@ def test_below_starts_lexicographic_oracle(rng):
         ))
         assert starts[t + 1] == want
     assert starts[0] == 0
+
+
+@pytest.mark.parametrize("dtype", [np.uint32, np.float32])
+def test_distributed_sort_descending(rng, dtype):
+    mesh = _mesh()
+    n = 8 * 1024
+    if np.dtype(dtype).kind == "f":
+        x = rng.standard_normal(n).astype(dtype)
+    else:
+        x = rng.integers(0, 100, n, dtype=dtype)  # duplicates exercise ties
+    v = np.arange(n, dtype=np.uint32)
+    out, vals, counts, overflow = dist_sort.distributed_sort_pairs(
+        jnp.asarray(x), jnp.asarray(v), mesh, descending=True
+    )
+    assert not bool(overflow)
+    got_k = _collect(out, counts, 8)
+    got_v = _collect(vals, counts, 8)
+    # stable-descending oracle: stable argsort of the complemented rank word
+    order = np.argsort(-x.astype(np.float64) if np.dtype(dtype).kind == "f"
+                       else x.max() - x, kind="stable")
+    np.testing.assert_array_equal(got_k, x[order])
+    np.testing.assert_array_equal(got_v, v[order])
+
+
+def test_distributed_sort_descending_composite(rng):
+    mesh = _mesh()
+    n = 8 * 512
+    a = rng.integers(0, 5, n).astype(np.int32)
+    b = rng.integers(0, 7, n).astype(np.uint32)
+    cols, counts, overflow = dist_sort.distributed_sort(
+        [jnp.asarray(a), jnp.asarray(b)], mesh, descending=True
+    )
+    assert not bool(overflow)
+    order = np.lexsort((-b.astype(np.int64), -a.astype(np.int64)))
+    np.testing.assert_array_equal(_collect(cols[0], counts, 8), a[order])
+    np.testing.assert_array_equal(_collect(cols[1], counts, 8), b[order])

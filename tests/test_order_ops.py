@@ -223,3 +223,32 @@ class TestUnique:
         want_k, want_c = np.unique(x, return_counts=True)
         assert np.array_equal(np.asarray(uk)[:m], want_k)
         assert np.array_equal(np.asarray(counts)[:m], want_c)
+
+
+class TestTopKComposite:
+    def test_composite_vs_lexsort_oracle(self, rng):
+        n = 4096
+        a = rng.integers(0, 8, n).astype(np.int16)
+        b = rng.standard_normal(n).astype(np.float32)
+        v = np.arange(n, dtype=np.uint32)
+        k = 97
+        for largest in (True, False):
+            tk, tv = rst.top_k(
+                [jnp.asarray(a), jnp.asarray(b)], k, jnp.asarray(v),
+                largest=largest,
+            )
+            order = np.lexsort((np.arange(n), b, a))  # stable asc by (a, b)
+            if largest:
+                # stable-descending oracle: lexsort on negated unsigned rank
+                # words (total_cmp order), ties keep input position
+                u = b.view(np.uint32).astype(np.int64)
+                rank = np.where(u >= 2**31, (2**32 - 1) - u, u + 2**31)
+                order = np.lexsort(
+                    (np.arange(n), -rank, -a.astype(np.int64))
+                )
+            perm = order[:k]
+            np.testing.assert_array_equal(np.asarray(tk[0]), a[perm])
+            np.testing.assert_array_equal(
+                np.asarray(tk[1]).view(np.uint32), b[perm].view(np.uint32)
+            )
+            np.testing.assert_array_equal(np.asarray(tv), v[perm])
