@@ -237,7 +237,7 @@ def filter(mask: jnp.ndarray, *arrays: jnp.ndarray):
     return (*out[1:], count)
 
 
-def hash_aggregate(keys, values: jnp.ndarray, agg: str = "sum"):
+def hash_aggregate(keys, values, agg: str = "sum"):
     """Group ``values`` by ``keys`` and reduce with ``agg``.
 
     Returns ``(unique_keys, aggregates, count)``: rows [0, count) hold one
@@ -248,10 +248,25 @@ def hash_aggregate(keys, values: jnp.ndarray, agg: str = "sum"):
     key, any supported dtype mix); ``unique_keys`` is then a list of columns
     and groups order lexicographically (first column primary).
 
+    ``values`` and ``agg`` may be parallel lists — the SQL multi-aggregate
+    ``SELECT sum(a), min(b), count(*) ... GROUP BY k`` — sharing ONE key
+    sort (see :func:`_hash_aggregate_multi`); ``aggregates`` is then a list.
+
     sum/count accumulate in the value dtype (modular for unsigned ints,
     IEEE for floats); min/max are exact for any supported dtype; mean is
     group sum / group count in float32 (float64 values keep float64).
     """
+    if isinstance(agg, (list, tuple)) or isinstance(values, (list, tuple)):
+        if not (isinstance(agg, (list, tuple))
+                and isinstance(values, (list, tuple))):
+            raise ValueError(
+                "multi-aggregate needs BOTH values and agg as lists"
+            )
+        if len(values) != len(agg) or not values:
+            raise ValueError(
+                "values and agg lists must be non-empty and equal-length"
+            )
+        return _hash_aggregate_multi(keys, list(values), list(agg))
     if agg not in AGGREGATIONS:
         raise ValueError(f"agg must be one of {AGGREGATIONS}, got {agg!r}")
     multi = isinstance(keys, (list, tuple))
@@ -325,6 +340,109 @@ def hash_aggregate(keys, values: jnp.ndarray, agg: str = "sum"):
     pick = first if agg == "min" else last
     *out_keys, out_vals, count = filter(pick, *uk_cols, sv)
     return _pack(out_keys), out_vals, count
+
+
+def _hash_aggregate_multi(keys, val_cols, aggs):
+    """Several aggregations over one GROUP BY, sharing a single key sort.
+
+    All value columns ride the ONE stable sort by key limbs; per-group
+    reductions then come from gid-indexed segment ops (float sums, min,
+    max — `jax.ops.segment_*` with sorted segment ids) or the exact
+    cumsum-difference trick (integer sums, counts), with every
+    compacted-at-group-end quantity going through one shared
+    :func:`filter` call. Group j of every output is the j-th distinct key
+    in ascending order. Returns ``(unique_keys, [aggregates...], count)``.
+    """
+    for a in aggs:
+        if a not in AGGREGATIONS:
+            raise ValueError(
+                f"agg must be one of {AGGREGATIONS}, got {a!r}"
+            )
+    multi_k = isinstance(keys, (list, tuple))
+    cols = list(keys) if multi_k else [keys]
+    if not cols:
+        raise ValueError("keys must have at least one column")
+    n = cols[0].shape[0]
+    for x in cols[1:] + val_cols:
+        if x.shape[0] != n:
+            raise ValueError("all key/value columns must have equal length")
+
+    def _mean_dt(dt):
+        return jnp.float64 if dt == jnp.float64 else jnp.float32
+
+    def _out_dt(a, dt):
+        if a == "count":
+            return jnp.int32
+        if a == "mean":
+            return _mean_dt(dt)
+        return dt
+
+    if n == 0:
+        outs = [jnp.zeros((0,), _out_dt(a, v.dtype))
+                for a, v in zip(aggs, val_cols)]
+        return keys, outs, jnp.int32(0)
+
+    limbs, specs = _cols_to_limbs(cols)
+    nk = len(limbs)
+    out = _stable_sort([*limbs, *val_cols], num_keys=nk)
+    sk, svs = list(out[:nk]), list(out[nk:])
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         _limbs_differ([w[1:] for w in sk], [w[:-1] for w in sk])]
+    )
+    last = jnp.concatenate([first[1:], jnp.ones((1,), jnp.bool_)])
+    gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    uk_cols = _limbs_to_cols(sk, specs)
+
+    # everything compacted at group ends goes through ONE filter: key
+    # columns, the group-end position (-> per-group counts), and the
+    # running cumsum of every integer-sum column (exact under modular
+    # wraparound; see the single-agg path)
+    needs_sum = [a in ("sum", "count", "mean") for a in aggs]
+    int_sum_idx = [
+        i for i, (a, sv) in enumerate(zip(aggs, svs))
+        if needs_sum[i] and a != "count"
+        and not jnp.issubdtype(sv.dtype, jnp.floating)
+    ]
+    csums = [jnp.cumsum(svs[i]) for i in int_sum_idx]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    *compacted, count = filter(last, *uk_cols, pos, *csums)
+    out_keys = compacted[:len(uk_cols)]
+    pos_c = compacted[len(uk_cols)]
+    csums_c = compacted[len(uk_cols) + 1:]
+    group_n = pos_c - (jnp.roll(pos_c, 1).at[0].set(-1))
+
+    def _diff(c):
+        return c - jnp.roll(c, 1).at[0].set(0)
+
+    int_sums = {i: _diff(c) for i, c in zip(int_sum_idx, csums_c)}
+
+    results = []
+    for i, (a, sv) in enumerate(zip(aggs, svs)):
+        if a == "count":
+            results.append(group_n.astype(jnp.int32))
+            continue
+        is_float = jnp.issubdtype(sv.dtype, jnp.floating)
+        if a in ("sum", "mean"):
+            if is_float:
+                s = jax.ops.segment_sum(
+                    sv, gid, num_segments=n, indices_are_sorted=True
+                )
+            else:
+                s = int_sums[i]
+            if a == "mean":
+                mdt = _mean_dt(sv.dtype)
+                s = s.astype(mdt) / jnp.maximum(group_n, 1).astype(mdt)
+            results.append(s)
+        else:  # min / max — gid-indexed segment reduction on rank words
+            w = K.encode(sv)
+            seg = (jax.ops.segment_min if a == "min" else jax.ops.segment_max)(
+                w, gid, num_segments=n, indices_are_sorted=True
+            )
+            # untouched segments hold the op identity (max/min word) in the
+            # tail; rows [0, count) are all touched, so decode is exact there
+            results.append(K.decode(seg, sv.dtype))
+    return (out_keys if multi_k else out_keys[0]), results, count
 
 
 def repeat(values: jnp.ndarray, counts: jnp.ndarray, *, total_size: int):

@@ -67,7 +67,24 @@ def distributed_hash_aggregate(
     ``keys`` may be a list/tuple of equal-length columns (composite
     GROUP BY), as in :func:`radix_sort_tpu.ops.query.hash_aggregate`;
     ``unique_keys`` is then a column list.
+
+    ``values`` and ``agg`` may be parallel lists (the SQL multi-aggregate,
+    one shared local sort + one gathered combine); ``aggregates`` is then
+    a list.
     """
+    if isinstance(agg, (list, tuple)) or isinstance(values, (list, tuple)):
+        if not (isinstance(agg, (list, tuple))
+                and isinstance(values, (list, tuple))):
+            raise ValueError(
+                "multi-aggregate needs BOTH values and agg as lists"
+            )
+        if len(values) != len(agg) or not values:
+            raise ValueError(
+                "values and agg lists must be non-empty and equal-length"
+            )
+        return _distributed_hash_aggregate_multi(
+            keys, list(values), list(agg), mesh, axis_name, max_groups
+        )
     if agg not in query.AGGREGATIONS:
         raise ValueError(f"agg must be one of {query.AGGREGATIONS}, got {agg!r}")
     combine = "sum" if agg == "count" else agg
@@ -125,6 +142,99 @@ def distributed_hash_aggregate(
     fk_cols = list(out[:ncols])
     fv, fc, ovf = out[ncols], out[ncols + 1], out[ncols + 2]
     return (fk_cols if multi else fk_cols[0]), fv, fc[0], ovf[0]
+
+
+def _distributed_hash_aggregate_multi(keys, val_cols, aggs, mesh, axis_name,
+                                      max_groups):
+    """Multi-aggregate distributed GROUP BY: each agg decomposes into
+    combinable partials (mean -> sum + count; count -> sum of counts) so
+    one local multi-aggregate + one gathered multi-combine produce every
+    output; means divide at the end. Same contract/anchoring as
+    :func:`distributed_hash_aggregate`."""
+    for a in aggs:
+        if a not in query.AGGREGATIONS:
+            raise ValueError(
+                f"agg must be one of {query.AGGREGATIONS}, got {a!r}"
+            )
+    multi_k = isinstance(keys, (list, tuple))
+    cols = list(keys) if multi_k else [keys]
+    ncols = len(cols)
+    # partial plan: (source value index, local partial agg, gather combine)
+    parts = []
+    for i, a in enumerate(aggs):
+        if a == "mean":
+            parts.append((i, "sum", "sum"))
+            parts.append((i, "count", "sum"))
+        elif a == "count":
+            parts.append((i, "count", "sum"))
+        else:
+            parts.append((i, a, a))
+    np_ = len(parts)
+    combines = [c for _, _, c in parts]
+
+    def local(*ops):
+        k_cols, vs = list(ops[:ncols]), list(ops[ncols:])
+        uk, outs, cnt = query.hash_aggregate(
+            k_cols if multi_k else k_cols[0],
+            [vs[i] for i, _, _ in parts],
+            [pa for _, pa, _ in parts],
+        )
+        uks = list(uk) if multi_k else [uk]
+        pad = max(0, max_groups - uks[0].shape[0])
+        if pad:
+            uks = [jnp.concatenate([u, jnp.zeros((pad,), u.dtype)])
+                   for u in uks]
+            outs = [jnp.concatenate([o, jnp.zeros((pad,), o.dtype)])
+                    for o in outs]
+        uks = [u[:max_groups] for u in uks]
+        outs = [o[:max_groups] for o in outs]
+        overflow = cnt > max_groups
+        valid = jnp.arange(max_groups) < cnt
+        guks = [jax.lax.all_gather(u, axis_name, tiled=True) for u in uks]
+        gouts = [jax.lax.all_gather(o, axis_name, tiled=True) for o in outs]
+        gvalid = jax.lax.all_gather(valid, axis_name, tiled=True)
+        govf = jax.lax.psum(overflow.astype(jnp.int32), axis_name) > 0
+        # invalid-row anchoring: see distributed_hash_aggregate
+        any_valid = jnp.any(gvalid)
+        a_idx = jnp.argmax(gvalid)
+        guks2 = [jnp.where(gvalid, g, g[a_idx]) for g in guks]
+        gouts2 = [
+            jnp.where(gvalid, g, _identity(g.dtype, c))
+            for g, c in zip(gouts, combines)
+        ]
+        fk, fouts, fc = query.hash_aggregate(
+            guks2 if multi_k else guks2[0], gouts2, combines
+        )
+        fks = tuple(fk) if multi_k else (fk,)
+        fc = jnp.where(any_valid, fc, 0)
+        return (*fks, *fouts, fc.reshape(1), govf.reshape(1))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * (ncols + len(val_cols)),
+        out_specs=(P(),) * (ncols + np_ + 2),
+        check_vma=False,
+    )
+    out = fn(*cols, *val_cols)
+    fk_cols = list(out[:ncols])
+    fparts = list(out[ncols:ncols + np_])
+    fc, ovf = out[ncols + np_][0], out[ncols + np_ + 1][0]
+
+    # reassemble per-agg outputs (divide means)
+    results = []
+    pi = 0
+    for i, a in enumerate(aggs):
+        if a == "mean":
+            s, c = fparts[pi], fparts[pi + 1]
+            pi += 2
+            mdt = (jnp.float64 if val_cols[i].dtype == jnp.float64
+                   else jnp.float32)
+            results.append(s.astype(mdt) / jnp.maximum(c, 1).astype(mdt))
+        else:
+            results.append(fparts[pi])
+            pi += 1
+    return (fk_cols if multi_k else fk_cols[0]), results, fc, ovf
 
 
 def distributed_unique(

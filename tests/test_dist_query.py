@@ -371,3 +371,59 @@ class TestDistributedTopKComposite:
                 np.asarray(wk[1]).view(np.uint32),
             )
             np.testing.assert_array_equal(np.asarray(tv), np.asarray(wv))
+
+
+class TestDistributedMultiAggregate:
+    def test_mixed_aggs(self, rng, mesh):
+        n = 8 * 512
+        k = rng.integers(0, 12, n).astype(np.uint32)
+        a = rng.integers(0, 1000, n).astype(np.uint32)
+        b = rng.standard_normal(n).astype(np.float32)
+        sk, sa, sb = runtime.shard_rows(
+            mesh, jnp.asarray(k), jnp.asarray(a), jnp.asarray(b)
+        )
+        uk, outs, cnt, ovf = dist_query.distributed_hash_aggregate(
+            sk, [sa, sb, sa, sb], mesh, ["sum", "min", "count", "mean"],
+            max_groups=32,
+        )
+        assert not bool(ovf)
+        m = int(cnt)
+        want_keys = np.unique(k)
+        assert m == len(want_keys)
+        np.testing.assert_array_equal(np.asarray(uk)[:m], want_keys)
+        for g, key in enumerate(want_keys):
+            sel = k == key
+            assert np.asarray(outs[0])[g] == a[sel].sum(dtype=np.uint32)
+            assert np.asarray(outs[1])[g] == b[sel].min()
+            assert np.asarray(outs[2])[g] == sel.sum()
+            np.testing.assert_allclose(
+                np.asarray(outs[3])[g], b[sel].astype(np.float64).mean(),
+                rtol=1e-5,
+            )
+
+    def test_composite_keys(self, rng, mesh):
+        n = 8 * 256
+        ka = rng.integers(0, 3, n).astype(np.int32)
+        kb = rng.integers(0, 4, n).astype(np.uint16)
+        v = rng.integers(0, 50, n).astype(np.int32)
+        ska, skb, sv = runtime.shard_rows(
+            mesh, jnp.asarray(ka), jnp.asarray(kb), jnp.asarray(v)
+        )
+        uk, outs, cnt, ovf = dist_query.distributed_hash_aggregate(
+            [ska, skb], [sv, sv], mesh, ["max", "sum"], max_groups=16
+        )
+        assert not bool(ovf)
+        m = int(cnt)
+        for g in range(m):
+            sel = (ka == np.asarray(uk[0])[g]) & (kb == np.asarray(uk[1])[g])
+            assert sel.any()
+            assert np.asarray(outs[0])[g] == v[sel].max()
+            assert np.asarray(outs[1])[g] == v[sel].sum(dtype=np.int32)
+
+    def test_bad_args(self, mesh):
+        k = jnp.zeros(8 * 8, jnp.uint32)
+        v = jnp.zeros(8 * 8, jnp.uint32)
+        with pytest.raises(ValueError, match="BOTH"):
+            dist_query.distributed_hash_aggregate(
+                k, [v], mesh, "sum", max_groups=8
+            )
