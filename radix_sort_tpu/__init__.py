@@ -31,6 +31,7 @@ from radix_sort_tpu.ops.query import (
     searchsorted,
     AGGREGATIONS,
 )
+from radix_sort_tpu.ops.window import window, WINDOW_OPS
 
 __version__ = "0.1.0"
 
@@ -54,6 +55,8 @@ __all__ = [
     "repeat",
     "unique",
     "searchsorted",
+    "window",
+    "WINDOW_OPS",
     "AGGREGATIONS",
     "IMPLEMENTATIONS",
     "__version__",

@@ -1,0 +1,228 @@
+"""Window-function tests: every op vs a per-partition numpy oracle.
+
+The oracle evaluates each window op row-at-a-time per partition (the SQL
+semantics, directly transcribed); the engine computes all ops from one
+stable variadic sort + segment math (ops/window.py). Oracle pattern per
+the reference's tests.rs:7-23 — exact equality, with ties resolved by
+input order (our documented deterministic contract).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import radix_sort_tpu as rst
+
+N = 4_097
+
+
+@pytest.fixture
+def data(rng):
+    part = rng.integers(0, 37, size=N).astype(np.int32)      # ~110 rows/part
+    order = rng.integers(0, 23, size=N).astype(np.uint32)    # heavy ties
+    vals_i = rng.integers(-1000, 1000, size=N).astype(np.int32)
+    vals_f = rng.standard_normal(N).astype(np.float32)
+    return part, order, vals_i, vals_f
+
+
+def _oracle(name, part, order, vals=None, offset=1, fill=0):
+    """Row-at-a-time per-partition evaluation in input-order-stable
+    (partition, order) sorted order, results mapped back to input rows."""
+    n = len(part)
+    out = np.zeros(n, dtype=np.float64)
+    for p in np.unique(part):
+        idx = np.nonzero(part == p)[0]  # input order within partition
+        if order is not None:
+            idx = idx[np.argsort(order[idx], kind="stable")]
+        m = len(idx)
+        o = order[idx] if order is not None else np.zeros(m)
+        v = vals[idx].astype(np.float64) if vals is not None else None
+        for j, row in enumerate(idx):
+            ties_before = np.nonzero(o[: j + 1] == o[j])[0]
+            if name == "row_number":
+                out[row] = j + 1
+            elif name == "rank":
+                out[row] = ties_before[0] + 1
+            elif name == "dense_rank":
+                out[row] = len(np.unique(o[: j + 1]))
+            elif name == "count":
+                out[row] = m
+            elif name == "sum":
+                out[row] = v.sum()
+            elif name == "min":
+                out[row] = v.min()
+            elif name == "max":
+                out[row] = v.max()
+            elif name == "mean":
+                out[row] = v.mean()
+            elif name == "cumsum":
+                out[row] = v[: j + 1].sum()
+            elif name == "cummin":
+                out[row] = v[: j + 1].min()
+            elif name == "cummax":
+                out[row] = v[: j + 1].max()
+            elif name == "first_value":
+                out[row] = v[0]
+            elif name == "last_value":
+                out[row] = v[-1]
+            elif name == "lag":
+                out[row] = v[j - offset] if j >= offset else fill
+            elif name == "lead":
+                out[row] = v[j + offset] if j + offset < m else fill
+    return out
+
+
+RANK_OPS = ["row_number", "rank", "dense_rank", "count"]
+
+
+@pytest.mark.parametrize("name", RANK_OPS)
+def test_rank_ops(data, name):
+    part, order, _, _ = data
+    got = rst.window(name, partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    want = _oracle(name, part, order)
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.int32))
+
+
+INT_VALUE_OPS = ["sum", "min", "max", "cumsum", "cummin", "cummax",
+                 "first_value", "last_value", "lag", "lead"]
+
+
+@pytest.mark.parametrize("name", INT_VALUE_OPS)
+def test_int_value_ops(data, name):
+    part, order, vals, _ = data
+    got = rst.window((name, jnp.asarray(vals)),
+                     partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    want = _oracle(name, part, order, vals)
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.int32))
+
+
+@pytest.mark.parametrize("name", ["sum", "mean", "cumsum", "cummin",
+                                  "cummax", "first_value", "last_value"])
+def test_float_value_ops(data, name):
+    part, order, _, vals = data
+    got = rst.window((name, jnp.asarray(vals)),
+                     partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    want = _oracle(name, part, order, vals)
+    if name in ("sum", "mean", "cumsum"):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                                   atol=2e-5)
+    else:
+        np.testing.assert_array_equal(np.asarray(got),
+                                      want.astype(np.float32))
+
+
+def test_lag_lead_offset_fill(data):
+    part, order, vals, _ = data
+    for name in ("lag", "lead"):
+        got = rst.window((name, jnp.asarray(vals), 3, -7),
+                         partition_by=jnp.asarray(part),
+                         order_by=jnp.asarray(order))
+        want = _oracle(name, part, order, vals, offset=3, fill=-7)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      want.astype(np.int32))
+
+
+def test_multi_op_shared_sort(data):
+    """Several specs in one call == each spec alone (shared sorts)."""
+    part, order, vals_i, vals_f = data
+    p, o = jnp.asarray(part), jnp.asarray(order)
+    vi, vf = jnp.asarray(vals_i), jnp.asarray(vals_f)
+    specs = ["row_number", "rank", ("sum", vi), ("cummax", vi),
+             ("mean", vf), ("lag", vi, 2)]
+    outs = rst.window(specs, partition_by=p, order_by=o)
+    assert len(outs) == len(specs)
+    for spec, got in zip(specs, outs):
+        alone = rst.window(spec, partition_by=p, order_by=o)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(alone))
+
+
+def test_no_order_by_ties_keep_input_order(data):
+    part, _, vals, _ = data
+    rn = rst.window("row_number", partition_by=jnp.asarray(part))
+    want = _oracle("row_number", part, None)
+    np.testing.assert_array_equal(np.asarray(rn), want.astype(np.int32))
+    # rank/dense_rank with no order: every row ties -> 1
+    rk = rst.window("rank", partition_by=jnp.asarray(part))
+    assert np.all(np.asarray(rk) == 1)
+    # running sum accumulates in input order
+    cs = rst.window(("cumsum", jnp.asarray(vals)),
+                    partition_by=jnp.asarray(part))
+    want = _oracle("cumsum", part, None, vals)
+    np.testing.assert_array_equal(np.asarray(cs), want.astype(np.int32))
+
+
+def test_no_partition_whole_input(data):
+    _, order, vals, _ = data
+    got = rst.window(("cummax", jnp.asarray(vals)),
+                     order_by=jnp.asarray(order))
+    want = _oracle("cummax", np.zeros(N, np.int32), order, vals)
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.int32))
+
+
+def test_no_partition_no_order_identity_layout(data):
+    """Neither partition nor order: the input order IS the window order
+    (no sorts at all on this path)."""
+    _, _, vals, _ = data
+    got = rst.window(("cumsum", jnp.asarray(vals)))
+    np.testing.assert_array_equal(np.asarray(got), np.cumsum(vals))
+    rn = rst.window("row_number", order_by=jnp.zeros(N, jnp.uint32))
+    np.testing.assert_array_equal(np.asarray(rn), np.arange(1, N + 1))
+
+
+def test_multicol_partition_and_order(rng):
+    p1 = rng.integers(0, 5, size=N).astype(np.int32)
+    p2 = rng.integers(0, 4, size=N).astype(np.uint64)
+    o1 = rng.integers(0, 6, size=N).astype(np.int16)
+    o2 = rng.standard_normal(N).astype(np.float32)
+    vals = rng.integers(0, 100, size=N).astype(np.int32)
+    got = rst.window(
+        ["row_number", ("cumsum", jnp.asarray(vals))],
+        partition_by=[jnp.asarray(p1), jnp.asarray(p2)],
+        order_by=[jnp.asarray(o1), jnp.asarray(o2)],
+    )
+    # oracle on a fused composite partition / order key
+    part = p1.astype(np.int64) * 100 + p2.astype(np.int64)
+    order = np.argsort(
+        np.lexsort((o2, o1)), kind="stable"
+    )  # rank of each row under (o1, o2): order-equivalent scalar key
+    rn = _oracle("row_number", part, order)
+    cs = _oracle("cumsum", part, order, vals)
+    np.testing.assert_array_equal(np.asarray(got[0]), rn.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(got[1]), cs.astype(np.int32))
+
+
+def test_float_order_total_order(rng):
+    """order_by on floats with specials ranks per IEEE total order."""
+    vals = rng.standard_normal(N).astype(np.float32)
+    order = vals.copy()
+    order[:8] = [np.nan, -np.nan, np.inf, -np.inf, 0.0, -0.0, 1.0, -1.0]
+    part = np.zeros(N, np.int32)
+    got = rst.window("row_number", partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    # total-order oracle via the package's own encode (tested vs total_cmp
+    # in test_keys.py)
+    from radix_sort_tpu import keys as K
+    w = np.asarray(K.encode(jnp.asarray(order)))
+    want = np.argsort(np.argsort(w, kind="stable"), kind="stable") + 1
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_empty_and_validation():
+    z = jnp.zeros((0,), jnp.int32)
+    out = rst.window(["row_number", ("sum", z)], partition_by=z)
+    assert out[0].shape == (0,) and out[1].shape == (0,)
+    with pytest.raises(ValueError):
+        rst.window("bogus_op", partition_by=jnp.zeros(4, jnp.int32))
+    with pytest.raises(ValueError):
+        rst.window("rank")  # nothing to infer length from
+    with pytest.raises(ValueError):
+        rst.window(("sum",), partition_by=jnp.zeros(4, jnp.int32))
+    with pytest.raises(ValueError):
+        rst.window(("lag", jnp.zeros(4, jnp.int32), 0),
+                   partition_by=jnp.zeros(4, jnp.int32))
+    with pytest.raises(ValueError):
+        rst.window("row_number", partition_by=jnp.zeros(4, jnp.int32),
+                   order_by=jnp.zeros(5, jnp.uint32))
