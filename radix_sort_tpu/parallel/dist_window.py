@@ -1,0 +1,562 @@
+"""Distributed window functions over a device mesh.
+
+The distributed form of :func:`radix_sort_tpu.ops.window.window`: rows are
+row-sharded, partitions may span shards, and results come back row-aligned
+with the input sharding. The plan is the classic MPP window strategy,
+built from this package's exchange machinery:
+
+  1. **Global sort** by (partition limbs, order limbs) with the composite
+     position-tiebroken splitters of :mod:`parallel.dist_sort` — balanced
+     for ANY distribution (a single giant partition spans shards instead of
+     flooding one), stable (ties keep global input order, the same
+     deterministic contract as the single-chip op). Each row's original
+     global position rides the exchange.
+  2. **Local window math per shard** (same segment formulation as
+     ops/window.py), plus a tiny per-shard boundary summary: head/tail
+     partition and order keys, head/tail run counts/sums/min/max words,
+     first/last values. Summaries ``all_gather`` (a few dozen scalars per
+     shard) and every shard replays the P-step carry chain — the
+     distributed segmented scan: a partition spanning shards t..s
+     accumulates its prefix stats left-to-right (for running ops and
+     ranks) and its suffix stats right-to-left (for partition-wide
+     aggregates), chaining THROUGH shards wholly covered by the partition.
+  3. **Route back**: results exchange home by original position (fixed
+     position splitters; every destination receives exactly its rows plus
+     its own padding — deterministically within capacity), and one stable
+     sort by position restores the input layout.
+
+Wire traffic: one data exchange each way plus O(P × ops) scalars — no
+replication of the relation anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from radix_sort_tpu import keys as K
+from radix_sort_tpu.ops import query
+from radix_sort_tpu.ops import window as W
+from radix_sort_tpu.parallel import dist_sort
+
+__all__ = ["distributed_window"]
+
+_BIG = np.int32(2**31 - 1)
+
+
+def _stack_gather(vals, axis_name, dtype):
+    """Stack per-shard scalars and all_gather -> (P, len(vals))."""
+    v = jnp.stack([jnp.asarray(x, dtype) for x in vals])
+    return jax.lax.all_gather(v, axis_name, tiled=False)
+
+
+def _eq_rows(a, b):
+    """Row-wise equality of two (P,)-limb lists at python index level."""
+    e = a[0] == b[0]
+    for x, y in zip(a[1:], b[1:]):
+        e = e & (x == y)
+    return e
+
+
+def distributed_window(
+    ops,
+    *,
+    partition_by=None,
+    order_by=None,
+    mesh: Mesh,
+    axis_name: str = "x",
+    capacity: int | None = None,
+):
+    """Evaluate window functions over row-sharded columns.
+
+    Same specs and semantics as :func:`radix_sort_tpu.window` (rank ops,
+    partition-wide aggregates, running aggregates, first/last value —
+    ``lag``/``lead`` are not yet supported distributed), with
+    ``partition_by`` / ``order_by`` as columns or column lists sharded over
+    ``mesh``'s ``axis_name``. Returns the result columns sharded exactly
+    like the inputs, row-aligned: element i of every output corresponds to
+    input row i. Ties in ``order_by`` break by global input position
+    (deterministic, matching the single-chip op bit-for-bit).
+
+    ``capacity`` overrides the provisioned per-shard exchange bound
+    (test/tuning knob, as in :func:`distributed_sort`).
+    """
+    single = isinstance(ops, (str, tuple))
+    specs = [W._normalize_spec(ops)] if single else [
+        W._normalize_spec(s) for s in ops
+    ]
+    if not specs:
+        raise ValueError("ops must contain at least one window op")
+    for name, _, _, _ in specs:
+        if name in ("lag", "lead"):
+            raise ValueError(
+                f"{name!r} is not supported by distributed_window yet"
+            )
+
+    p_cols = ([] if partition_by is None else
+              list(partition_by) if isinstance(partition_by, (list, tuple))
+              else [partition_by])
+    o_cols = ([] if order_by is None else
+              list(order_by) if isinstance(order_by, (list, tuple))
+              else [order_by])
+
+    n = None
+    for c in p_cols + o_cols + [s[1] for s in specs if s[1] is not None]:
+        if n is None:
+            n = c.shape[0]
+        elif c.shape[0] != n:
+            raise ValueError("all partition/order/value columns must have "
+                             "equal length")
+    if n is None:
+        raise ValueError("distributed_window needs at least one column")
+
+    num_devices = mesh.shape[axis_name]
+    if num_devices == 1:
+        out = W.window(ops, partition_by=partition_by, order_by=order_by)
+        return out
+    if n % num_devices != 0:
+        raise ValueError(
+            f"n ({n}) must be divisible by the mesh axis ({num_devices})"
+        )
+    n_local = n // num_devices
+    if n >= 2**31:
+        raise ValueError("distributed_window supports < 2**31 rows")
+
+    # partition limbs; a constant limb when there is no partition_by keeps
+    # the boundary/exchange machinery uniform (splitters stay balanced via
+    # the position tiebreak)
+    if p_cols:
+        p_limbs = W._cols_to_limbs(p_cols)
+    else:
+        p_limbs = [jnp.zeros((n,), jnp.uint32)]
+    o_limbs = W._cols_to_limbs(o_cols)
+    npl, nol = len(p_limbs), len(o_limbs)
+
+    # distinct value columns ride the exchange once
+    val_ids, val_arrays = {}, []
+    for _, v, _, _ in specs:
+        if v is not None and id(v) not in val_ids:
+            val_ids[id(v)] = len(val_arrays)
+            val_arrays.append(v)
+    nv = len(val_arrays)
+
+    cap1 = capacity if capacity is not None else dist_sort.exchange_capacity(
+        n_local, num_devices
+    )
+    cap2 = -(-(cap1 + n_local) // 8) * 8
+    sentinel = np.uint32(np.iinfo(np.uint32).max)
+    splitters_back = jnp.asarray(
+        [(r + 1) * n_local for r in range(num_devices - 1)], jnp.uint32
+    )
+
+    body = functools.partial(
+        _window_shard,
+        specs=specs,
+        npl=npl,
+        nol=nol,
+        nv=nv,
+        val_ids=val_ids,
+        axis_name=axis_name,
+        num_devices=num_devices,
+        n_local=n_local,
+        cap1=cap1,
+        cap2=cap2,
+        sentinel=sentinel,
+        splitters_back=splitters_back,
+    )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * (npl + nol + nv),
+        out_specs=(P(axis_name),) * (len(specs) + 1),
+        check_vma=False,
+    )
+    out = fn(*p_limbs, *o_limbs, *val_arrays)
+    results, ovf = list(out[:-1]), out[-1]
+    overflow = jnp.any(ovf)
+
+    # The provisioned bounds make overflow impossible; a capacity override
+    # can force it, in which case the exact replicated single-chip path runs
+    # instead (inside the cond, so it never executes eagerly) — the result
+    # is ALWAYS exact, mirroring distributed_sort's fallback contract.
+    def fb(_):
+        fres = W.window(
+            [(_respec(s)) for s in specs],
+            partition_by=partition_by, order_by=order_by,
+        )
+        return tuple(fres)
+
+    results = list(jax.lax.cond(
+        overflow, fb, lambda t: t, tuple(results)
+    ))
+    return results[0] if single else results
+
+
+def _respec(spec):
+    """(name, values, offset, fill) -> the public spec tuple form."""
+    name, values, offset, fill = spec
+    if values is None:
+        return name
+    if name in ("lag", "lead"):
+        return (name, values, offset, 0 if fill is None else fill)
+    return (name, values)
+
+
+def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
+                  num_devices, n_local, cap1, cap2, sentinel, splitters_back):
+    """Per-device body: exchange by (partition, order), local window math +
+    carry chains, route results home by original position."""
+    p_in = list(operands[:npl])
+    o_in = list(operands[npl:npl + nol])
+    vals_in = list(operands[npl + nol:])
+    r = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    gpos = (r * np.int32(n_local)
+            + jnp.arange(n_local, dtype=jnp.int32)).astype(jnp.uint32)
+
+    # ---- exchange 1: global stable sort by (partition, order) ----
+    keys1 = p_in + o_in
+    vals1 = [gpos] + vals_in
+    ow, ov, cnt1, ovf1 = dist_sort._local_exchange(
+        keys1, vals1, axis_name, num_devices, cap1, sentinel
+    )
+    ow, ov = list(ow), list(ov)
+    cnt = cnt1[0]
+    sp, so = ow[:npl], ow[npl:]
+    gpos_s = ov[0]
+    vals_s = ov[1:]
+    cap = sp[0].shape[0]
+
+    # ---- local segment structure (validity leads the partition key so
+    # exchange padding forms one trailing pseudo-partition) ----
+    i = jnp.arange(cap, dtype=jnp.int32)
+    v = i < cnt
+    inv = (~v).astype(jnp.uint32)
+    pf = W._boundary([inv, *sp], cap)
+    of = pf | (W._boundary([inv, *sp, *so], cap) if so else pf)
+    start = jax.lax.cummax(jnp.where(pf, i, -1))
+    part_last = jnp.concatenate([pf[1:], jnp.ones((1,), jnp.bool_)])
+    pend = jax.lax.cummin(jnp.where(part_last, i, _BIG), reverse=True)
+    rn0 = i - start
+    gid = jnp.cumsum(pf.astype(jnp.int32)) - 1
+    rid = jnp.cumsum(of.astype(jnp.int32)) - 1
+    last_idx = jnp.clip(cnt - 1, 0, cap - 1)
+    gid_last = gid[last_idx]
+    rid_last = rid[last_idx]
+    headm = v & (gid == 0)
+    tailm = v & (gid == gid_last)
+    in_first_run = v & (rid == 0)
+
+    # ---- per-shard boundary summaries ----
+    h_cnt = jnp.sum(headm.astype(jnp.int32))
+    t_cnt = jnp.sum(tailm.astype(jnp.int32))
+    t_tie = jnp.sum((v & (rid == rid_last)).astype(jnp.int32))
+    h_runs = jnp.max(jnp.where(headm, rid, -1)) + 1
+    rid_tail_start = jnp.min(jnp.where(tailm, rid, _BIG))
+    t_runs = jnp.where(cnt > 0, rid_last - rid_tail_start + 1, 0)
+    valid_s = cnt > 0
+    whole_s = valid_s & (gid_last == 0)
+    tie_span = t_tie == cnt  # tail tie run covers every valid row
+
+    ig = _stack_gather(
+        [cnt, h_cnt, t_cnt, t_tie, h_runs, t_runs,
+         valid_s.astype(jnp.int32), whole_s.astype(jnp.int32),
+         tie_span.astype(jnp.int32)],
+        axis_name, jnp.int32,
+    )  # (P, 9)
+    g_cnt, g_hcnt, g_tcnt, g_ttie, g_hruns, g_truns = (
+        ig[:, 0], ig[:, 1], ig[:, 2], ig[:, 3], ig[:, 4], ig[:, 5]
+    )
+    g_valid = ig[:, 6] > 0
+    g_whole = ig[:, 7] > 0
+    g_tiespan = ig[:, 8] > 0
+
+    hp = [w[0] for w in sp]
+    tp = [w[last_idx] for w in sp]
+    ho = [w[0] for w in so]
+    to = [w[last_idx] for w in so]
+    lg = _stack_gather(hp + tp + ho + to, axis_name, jnp.uint32)  # (P, L)
+    g_hp = [lg[:, l] for l in range(npl)]
+    g_tp = [lg[:, npl + l] for l in range(npl)]
+    g_ho = [lg[:, 2 * npl + l] for l in range(nol)]
+    g_to = [lg[:, 2 * npl + nol + l] for l in range(nol)]
+
+    # per-value-column stats: raw (sums / first / last) + encoded words
+    # (min / max). Head stats feed the backward chain, tail the forward.
+    col_stats = []
+    for vc in vals_s:
+        wc = K.encode(vc)
+        maxw = jnp.asarray(np.iinfo(np.dtype(wc.dtype)).max, wc.dtype)
+        zero = jnp.zeros((), vc.dtype)
+        h_first = vc[0]
+        t_last = vc[last_idx]
+        t_first = vc[jnp.argmax(tailm)]
+        h_last = vc[jnp.max(jnp.where(headm, i, 0))]
+        raw = _stack_gather(
+            [jnp.sum(jnp.where(tailm, vc, zero)),
+             jnp.sum(jnp.where(headm, vc, zero)),
+             h_first, t_first, h_last, t_last],
+            axis_name, vc.dtype,
+        )  # (P, 6): t_sum, h_sum, h_first, t_first, h_last, t_last
+        words = _stack_gather(
+            [jnp.min(jnp.where(tailm, wc, maxw)),
+             jnp.max(jnp.where(tailm, wc, jnp.zeros((), wc.dtype))),
+             jnp.min(jnp.where(headm, wc, maxw)),
+             jnp.max(jnp.where(headm, wc, jnp.zeros((), wc.dtype)))],
+            axis_name, wc.dtype,
+        )  # (P, 4): t_minw, t_maxw, h_minw, h_maxw
+        col_stats.append((wc, maxw, raw, words))
+
+    # ---- forward carry chain: for each shard, stats of its HEAD partition
+    # accumulated over all earlier shards (replicated P-step replay) ----
+    nP = num_devices
+    z32 = jnp.int32(0)
+    st = {
+        "has": jnp.bool_(False),
+        "p": [jnp.uint32(0)] * npl,
+        "o": [jnp.uint32(0)] * nol,
+        "cnt": z32, "tie": z32, "runs": z32,
+        "sum": [jnp.zeros((), vc.dtype) for vc in vals_s],
+        "minw": [mw for (_, mw, _, _) in col_stats],
+        "maxw": [jnp.zeros((), wc.dtype) for (wc, _, _, _) in col_stats],
+        "first": [jnp.zeros((), vc.dtype) for vc in vals_s],
+    }
+    cin = {k: [] for k in
+           ("cnt", "tie", "runs", "ov", "sum", "minw", "maxw", "first")}
+    for s in range(nP):
+        sv = g_valid[s]
+        cont = st["has"] & sv & _eq_rows(st["p"], [g[s] for g in g_hp]) \
+            if npl else (st["has"] & sv)
+        oeq = cont & (_eq_rows(st["o"], [g[s] for g in g_ho])
+                      if nol else jnp.bool_(True))
+        cin["cnt"].append(jnp.where(cont, st["cnt"], 0))
+        cin["tie"].append(jnp.where(oeq, st["tie"], 0))
+        cin["runs"].append(jnp.where(cont, st["runs"], 0))
+        cin["ov"].append(jnp.where(oeq, 1, 0).astype(jnp.int32))
+        cin["sum"].append([jnp.where(cont, x, jnp.zeros((), x.dtype))
+                           for x in st["sum"]])
+        cin["minw"].append([jnp.where(cont, x, mw)
+                            for x, (_, mw, _, _) in
+                            zip(st["minw"], col_stats)])
+        cin["maxw"].append([jnp.where(cont, x, jnp.zeros((), x.dtype))
+                            for x in st["maxw"]])
+        cin["first"].append([jnp.where(cont, x, jnp.zeros((), x.dtype))
+                             for x in st["first"]])
+        # fold shard s into the open-partition state
+        acc = cont & g_whole[s]
+        tie_acc = oeq & g_whole[s] & g_tiespan[s]
+        n_cnt = g_tcnt[s] + jnp.where(acc, st["cnt"], 0)
+        n_tie = g_ttie[s] + jnp.where(tie_acc, st["tie"], 0)
+        n_runs = g_truns[s] + jnp.where(
+            acc, st["runs"] - jnp.where(oeq, 1, 0), 0
+        )
+        n_sum = [rw[s, 0] + jnp.where(acc, x, jnp.zeros((), x.dtype))
+                 for x, (_, _, rw, _) in zip(st["sum"], col_stats)]
+        n_minw = [jnp.minimum(wd[s, 0], jnp.where(acc, x, mw))
+                  for x, (_, mw, _, wd) in zip(st["minw"], col_stats)]
+        n_maxw = [jnp.maximum(wd[s, 1],
+                              jnp.where(acc, x, jnp.zeros((), x.dtype)))
+                  for x, (_, _, _, wd) in zip(st["maxw"], col_stats)]
+        n_first = [jnp.where(acc, x, rw[s, 3])
+                   for x, (_, _, rw, _) in zip(st["first"], col_stats)]
+        st = {
+            "has": st["has"] | sv,
+            "p": [jnp.where(sv, g[s], x) for x, g in zip(st["p"], g_tp)],
+            "o": [jnp.where(sv, g[s], x) for x, g in zip(st["o"], g_to)],
+            "cnt": jnp.where(sv, n_cnt, st["cnt"]),
+            "tie": jnp.where(sv, n_tie, st["tie"]),
+            "runs": jnp.where(sv, n_runs, st["runs"]),
+            "sum": [jnp.where(sv, a, b) for a, b in zip(n_sum, st["sum"])],
+            "minw": [jnp.where(sv, a, b)
+                     for a, b in zip(n_minw, st["minw"])],
+            "maxw": [jnp.where(sv, a, b)
+                     for a, b in zip(n_maxw, st["maxw"])],
+            "first": [jnp.where(sv, a, b)
+                      for a, b in zip(n_first, st["first"])],
+        }
+    my_cin = {
+        k: jnp.stack(vv)[r] for k, vv in cin.items()
+        if k in ("cnt", "tie", "runs", "ov")
+    }
+    my_cin_sum = [jnp.stack([row[c] for row in cin["sum"]])[r]
+                  for c in range(nv)]
+    my_cin_minw = [jnp.stack([row[c] for row in cin["minw"]])[r]
+                   for c in range(nv)]
+    my_cin_maxw = [jnp.stack([row[c] for row in cin["maxw"]])[r]
+                   for c in range(nv)]
+    my_cin_first = [jnp.stack([row[c] for row in cin["first"]])[r]
+                    for c in range(nv)]
+
+    # ---- backward carry chain: stats of each shard's TAIL partition over
+    # all later shards (for partition-wide aggregates / last_value) ----
+    st = {
+        "has": jnp.bool_(False),
+        "p": [jnp.uint32(0)] * npl,
+        "cnt": z32,
+        "sum": [jnp.zeros((), vc.dtype) for vc in vals_s],
+        "minw": [mw for (_, mw, _, _) in col_stats],
+        "maxw": [jnp.zeros((), wc.dtype) for (wc, _, _, _) in col_stats],
+        "last": [jnp.zeros((), vc.dtype) for vc in vals_s],
+    }
+    cout = {k: [None] * nP for k in ("cnt", "sum", "minw", "maxw", "last")}
+    for s in range(nP - 1, -1, -1):
+        sv = g_valid[s]
+        cont = st["has"] & sv & _eq_rows(st["p"], [g[s] for g in g_tp]) \
+            if npl else (st["has"] & sv)
+        cout["cnt"][s] = jnp.where(cont, st["cnt"], 0)
+        cout["sum"][s] = [jnp.where(cont, x, jnp.zeros((), x.dtype))
+                          for x in st["sum"]]
+        cout["minw"][s] = [jnp.where(cont, x, mw)
+                           for x, (_, mw, _, _) in
+                           zip(st["minw"], col_stats)]
+        cout["maxw"][s] = [jnp.where(cont, x, jnp.zeros((), x.dtype))
+                           for x in st["maxw"]]
+        cout["last"][s] = [jnp.where(cont, x, jnp.zeros((), x.dtype))
+                           for x in st["last"]]
+        acc = cont & g_whole[s]
+        n_cnt = g_hcnt[s] + jnp.where(acc, st["cnt"], 0)
+        n_sum = [rw[s, 1] + jnp.where(acc, x, jnp.zeros((), x.dtype))
+                 for x, (_, _, rw, _) in zip(st["sum"], col_stats)]
+        n_minw = [jnp.minimum(wd[s, 2], jnp.where(acc, x, mw))
+                  for x, (_, mw, _, wd) in zip(st["minw"], col_stats)]
+        n_maxw = [jnp.maximum(wd[s, 3],
+                              jnp.where(acc, x, jnp.zeros((), x.dtype)))
+                  for x, (_, _, _, wd) in zip(st["maxw"], col_stats)]
+        n_last = [jnp.where(acc, x, rw[s, 4])
+                  for x, (_, _, rw, _) in zip(st["last"], col_stats)]
+        st = {
+            "has": st["has"] | sv,
+            "p": [jnp.where(sv, g[s], x) for x, g in zip(st["p"], g_hp)],
+            "cnt": jnp.where(sv, n_cnt, st["cnt"]),
+            "sum": [jnp.where(sv, a, b) for a, b in zip(n_sum, st["sum"])],
+            "minw": [jnp.where(sv, a, b)
+                     for a, b in zip(n_minw, st["minw"])],
+            "maxw": [jnp.where(sv, a, b)
+                     for a, b in zip(n_maxw, st["maxw"])],
+            "last": [jnp.where(sv, a, b)
+                     for a, b in zip(n_last, st["last"])],
+        }
+    my_cout_cnt = jnp.stack(cout["cnt"])[r]
+    my_cout_sum = [jnp.stack([row[c] for row in cout["sum"]])[r]
+                   for c in range(nv)]
+    my_cout_minw = [jnp.stack([row[c] for row in cout["minw"]])[r]
+                    for c in range(nv)]
+    my_cout_maxw = [jnp.stack([row[c] for row in cout["maxw"]])[r]
+                    for c in range(nv)]
+    my_cout_last = [jnp.stack([row[c] for row in cout["last"]])[r]
+                    for c in range(nv)]
+
+    # ---- per-spec results on the sorted-local view ----
+    headm_i = headm.astype(jnp.int32)
+    tailm_i = tailm.astype(jnp.int32)
+    results = []
+    for name, vcol, offset, fill in specs:
+        c = val_ids[id(vcol)] if vcol is not None else None
+        if name == "row_number":
+            res = rn0 + 1 + headm_i * my_cin["cnt"]
+        elif name == "rank":
+            run_start = jax.lax.cummax(jnp.where(of, i, -1))
+            local = run_start - start + 1
+            adj = jnp.where(in_first_run,
+                            my_cin["cnt"] - my_cin["tie"], my_cin["cnt"])
+            res = local + headm_i * adj
+        elif name == "dense_rank":
+            rid_start = jax.lax.cummax(jnp.where(pf, rid, 0))
+            local = rid - rid_start + 1
+            res = local + headm_i * (my_cin["runs"] - my_cin["ov"])
+        elif name == "count":
+            local = pend - start + 1
+            res = (local + headm_i * my_cin["cnt"]
+                   + tailm_i * my_cout_cnt)
+        elif name in ("sum", "mean"):
+            sv = vals_s[c]
+            seg = jax.ops.segment_sum(
+                sv, gid, num_segments=cap, indices_are_sorted=True
+            )
+            total = (seg[gid]
+                     + jnp.where(headm, my_cin_sum[c],
+                                 jnp.zeros((), sv.dtype))
+                     + jnp.where(tailm, my_cout_sum[c],
+                                 jnp.zeros((), sv.dtype)))
+            if name == "mean":
+                mdt = W._mean_dt(sv.dtype)
+                cnt_adj = (pend - start + 1 + headm_i * my_cin["cnt"]
+                           + tailm_i * my_cout_cnt)
+                total = total.astype(mdt) / cnt_adj.astype(mdt)
+            res = total
+        elif name in ("min", "max"):
+            sv = vals_s[c]
+            wc, maxw, _, _ = col_stats[c]
+            if name == "min":
+                seg = jax.ops.segment_min(
+                    wc, gid, num_segments=cap, indices_are_sorted=True
+                )
+                wres = jnp.minimum(
+                    jnp.minimum(seg[gid],
+                                jnp.where(headm, my_cin_minw[c], maxw)),
+                    jnp.where(tailm, my_cout_minw[c], maxw),
+                )
+            else:
+                zero = jnp.zeros((), wc.dtype)
+                seg = jax.ops.segment_max(
+                    wc, gid, num_segments=cap, indices_are_sorted=True
+                )
+                wres = jnp.maximum(
+                    jnp.maximum(seg[gid],
+                                jnp.where(headm, my_cin_maxw[c], zero)),
+                    jnp.where(tailm, my_cout_maxw[c], zero),
+                )
+            res = K.decode(wres, sv.dtype)
+        elif name == "cumsum":
+            sv = vals_s[c]
+            if jnp.issubdtype(sv.dtype, jnp.floating):
+                run = W._seg_scan(sv, rn0, jnp.add, sv.dtype.type(0))
+            else:
+                csum = jnp.cumsum(sv)
+                before = jnp.where(
+                    start > 0, csum[jnp.maximum(start - 1, 0)], 0
+                )
+                run = csum - before
+            res = run + jnp.where(headm, my_cin_sum[c],
+                                  jnp.zeros((), sv.dtype))
+        elif name in ("cummin", "cummax"):
+            sv = vals_s[c]
+            wc, maxw, _, _ = col_stats[c]
+            if name == "cummin":
+                run = W._seg_scan(wc, rn0, jnp.minimum, maxw)
+                wres = jnp.minimum(
+                    run, jnp.where(headm, my_cin_minw[c], maxw)
+                )
+            else:
+                zero = jnp.zeros((), wc.dtype)
+                run = W._seg_scan(wc, rn0, jnp.maximum, zero)
+                wres = jnp.maximum(
+                    run, jnp.where(headm, my_cin_maxw[c], zero)
+                )
+            res = K.decode(wres, sv.dtype)
+        elif name == "first_value":
+            sv = vals_s[c]
+            res = jnp.where(headm & (my_cin["cnt"] > 0),
+                            my_cin_first[c], sv[start])
+        else:  # last_value
+            sv = vals_s[c]
+            res = jnp.where(tailm & (my_cout_cnt > 0),
+                            my_cout_last[c], sv[jnp.minimum(pend, cap - 1)])
+        results.append(jnp.where(v, res, jnp.zeros((), res.dtype)))
+
+    # ---- route results home by original position ----
+    fake = inv  # 1 on exchange padding
+    home_last = (r + 1) * np.uint32(n_local) - np.uint32(1)
+    gpos2 = jnp.where(v, gpos_s, home_last)
+    ow2, ov2, cnt2, ovf2 = dist_sort._local_exchange(
+        [gpos2, fake], results, axis_name, num_devices, cap2,
+        np.uint32(np.iinfo(np.uint32).max), splitters=splitters_back,
+    )
+    outs = [x[:n_local] for x in (ov2 if isinstance(ov2, list) else [ov2])]
+    ovf = (ovf1[0] | ovf2[0]).reshape(1)
+    return (*outs, ovf)

@@ -1,0 +1,149 @@
+"""Distributed window functions vs the single-chip op on the 8-virtual-device
+CPU mesh.
+
+The single-chip ``rst.window`` is the oracle (itself oracle-tested in
+test_window.py); ``distributed_window`` must match it row-for-row on the
+original layout, across partition shapes that exercise the carry chains:
+many small partitions, a few giant partitions spanning shards, one global
+partition, duplicate-heavy order keys whose tie runs span shards.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+import radix_sort_tpu as rst
+from radix_sort_tpu.parallel.dist_window import distributed_window
+
+N = 8 * 256
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()), ("x",))
+
+
+ALL_OPS = ["row_number", "rank", "dense_rank", "count"]
+VALUE_OPS = ["sum", "min", "max", "mean", "cumsum", "cummin", "cummax",
+             "first_value", "last_value"]
+
+
+def _check(part, order, vals, *, n_part_cols=1):
+    mesh = _mesh()
+    p = ([jnp.asarray(c) for c in part] if isinstance(part, list)
+         else (jnp.asarray(part) if part is not None else None))
+    o = ([jnp.asarray(c) for c in order] if isinstance(order, list)
+         else (jnp.asarray(order) if order is not None else None))
+    v = jnp.asarray(vals)
+    specs = ALL_OPS + [(nm, v) for nm in VALUE_OPS]
+    got = distributed_window(specs, partition_by=p, order_by=o, mesh=mesh)
+    want = rst.window(specs, partition_by=p, order_by=o)
+    for spec, g, w in zip(specs, got, want):
+        nm = spec if isinstance(spec, str) else spec[0]
+        g, w = np.asarray(g), np.asarray(w)
+        if nm in ("mean", "sum", "cumsum") and np.issubdtype(
+                w.dtype, np.floating):
+            np.testing.assert_allclose(g, w, rtol=2e-5, atol=2e-5,
+                                       err_msg=nm)
+        else:
+            np.testing.assert_array_equal(g, w, err_msg=nm)
+
+
+def test_many_small_partitions(rng):
+    part = rng.integers(0, 97, size=N).astype(np.int32)
+    order = rng.integers(0, 11, size=N).astype(np.uint32)  # heavy ties
+    vals = rng.integers(-50, 50, size=N).astype(np.int32)
+    _check(part, order, vals)
+
+
+def test_giant_partitions_span_shards(rng):
+    part = rng.integers(0, 3, size=N).astype(np.uint8)  # ~680 rows each
+    order = rng.integers(0, 5, size=N).astype(np.int16)  # runs span shards
+    vals = rng.integers(0, 1000, size=N).astype(np.uint32)
+    _check(part, order, vals)
+
+
+def test_single_global_partition(rng):
+    part = np.zeros(N, np.int32)
+    order = rng.integers(0, 7, size=N).astype(np.uint32)
+    vals = rng.integers(-9, 9, size=N).astype(np.int64)
+    _check(part, order, vals)
+
+
+def test_all_rows_tie_everywhere(rng):
+    # one partition, one order value: every row is one global tie run
+    part = np.zeros(N, np.int32)
+    order = np.full(N, 42, np.uint32)
+    vals = rng.integers(0, 100, size=N).astype(np.int32)
+    _check(part, order, vals)
+
+
+def test_float_values(rng):
+    part = rng.integers(0, 13, size=N).astype(np.int32)
+    order = rng.integers(0, 23, size=N).astype(np.uint32)
+    vals = rng.standard_normal(N).astype(np.float32)
+    _check(part, order, vals)
+
+
+def test_no_order_by(rng):
+    part = rng.integers(0, 29, size=N).astype(np.int32)
+    vals = rng.integers(-100, 100, size=N).astype(np.int32)
+    _check(part, None, vals)
+
+
+def test_no_partition_by(rng):
+    order = rng.integers(0, 17, size=N).astype(np.uint32)
+    vals = rng.integers(0, 50, size=N).astype(np.int32)
+    _check(None, order, vals)
+
+
+def test_multicol_partition_and_order(rng):
+    p1 = rng.integers(0, 4, size=N).astype(np.int32)
+    p2 = rng.integers(0, 3, size=N).astype(np.uint64)
+    o1 = rng.integers(0, 4, size=N).astype(np.int16)
+    o2 = rng.standard_normal(N).astype(np.float32)
+    vals = rng.integers(0, 100, size=N).astype(np.int32)
+    _check([p1, p2], [o1, o2], vals)
+
+
+def test_overflow_fallback_is_exact(rng):
+    """A tiny capacity override forces exchange overflow; the replicated
+    fallback must still return the exact answer."""
+    mesh = _mesh()
+    part = rng.integers(0, 5, size=N).astype(np.int32)
+    order = rng.integers(0, 7, size=N).astype(np.uint32)
+    vals = rng.integers(0, 100, size=N).astype(np.int32)
+    p, o, v = jnp.asarray(part), jnp.asarray(order), jnp.asarray(vals)
+    specs = ["row_number", ("cumsum", v)]
+    got = distributed_window(specs, partition_by=p, order_by=o, mesh=mesh,
+                             capacity=N // 8)  # == n_local: must overflow
+    want = rst.window(specs, partition_by=p, order_by=o)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_single_spec_and_jit(rng):
+    mesh = _mesh()
+    part = rng.integers(0, 11, size=N).astype(np.int32)
+    vals = rng.integers(0, 100, size=N).astype(np.int32)
+    p, v = jnp.asarray(part), jnp.asarray(vals)
+    got = jax.jit(
+        lambda p_, v_: distributed_window(
+            ("cummax", v_), partition_by=p_, mesh=mesh
+        )
+    )(p, v)
+    want = rst.window(("cummax", v), partition_by=p)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_validation():
+    mesh = _mesh()
+    z = jnp.zeros((N,), jnp.int32)
+    with pytest.raises(ValueError):
+        distributed_window(("lag", z), partition_by=z, mesh=mesh)
+    with pytest.raises(ValueError):
+        distributed_window("row_number", partition_by=jnp.zeros(
+            (N + 1,), jnp.int32), mesh=mesh)
+    with pytest.raises(ValueError):
+        distributed_window("bogus", partition_by=z, mesh=mesh)
