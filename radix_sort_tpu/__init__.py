@@ -31,7 +31,16 @@ from radix_sort_tpu.ops.query import (
     searchsorted,
     AGGREGATIONS,
 )
+from radix_sort_tpu.ops.relational import (
+    join_asof,
+    set_union,
+    set_intersect,
+    set_difference,
+    quantiles,
+    ASOF_DIRECTIONS,
+)
 from radix_sort_tpu.ops.window import window, WINDOW_OPS
+from radix_sort_tpu.table import Table
 
 __version__ = "0.1.0"
 
@@ -55,7 +64,14 @@ __all__ = [
     "repeat",
     "unique",
     "searchsorted",
+    "join_asof",
+    "set_union",
+    "set_intersect",
+    "set_difference",
+    "quantiles",
+    "ASOF_DIRECTIONS",
     "window",
+    "Table",
     "WINDOW_OPS",
     "AGGREGATIONS",
     "IMPLEMENTATIONS",

@@ -23,6 +23,10 @@ __all__ = [
     "distributed_hash_join",
     "distributed_unique",
     "distributed_top_k",
+    "distributed_quantiles",
+    "distributed_set_union",
+    "distributed_set_intersect",
+    "distributed_set_difference",
 ]
 
 
@@ -555,4 +559,160 @@ def distributed_hash_join(
         rv,
         cnts[:nshards],
         ovf[0],
+    )
+
+
+def distributed_quantiles(
+    x: jnp.ndarray,
+    qs,
+    mesh: Mesh,
+    axis_name: str = "x",
+    *,
+    method: str = "lower",
+):
+    """Exact global quantiles of row-sharded ``x`` (order statistics under
+    the dtype's total order — see :func:`radix_sort_tpu.quantiles`).
+
+    Runs the distributed sort (whose overflow fallback guarantees an exact
+    result for any distribution), then each quantile's global rank is
+    resolved to the one shard owning it: shard offsets come from the
+    exchange counts, the owner contributes its element (as one-hot encoded
+    limbs), and a ``psum`` combines — no replication of the data, wire
+    traffic is the sort exchange plus ``len(qs)`` rows. Returns a
+    replicated array of ``len(qs)`` values.
+    """
+    from radix_sort_tpu import keys as K
+    from radix_sort_tpu.ops.relational import quantile_ranks
+    from radix_sort_tpu.parallel import dist_sort
+
+    n = x.shape[0]
+    if n == 0:
+        raise ValueError("quantiles of an empty array")
+    ranks = quantile_ranks(n, qs, method)
+    sorted_p, counts, _ = dist_sort.distributed_sort(x, mesh, axis_name)
+    nlimbs = len(K.encode_limbs(jnp.zeros((1,), x.dtype)))
+
+    def local(shard, cts):
+        d = jax.lax.axis_index(axis_name)
+        off = (jnp.cumsum(cts) - cts)[d]
+        cnt = cts[d]
+        rs = jnp.asarray(ranks, jnp.int32)
+        idx = jnp.clip(rs - off, 0, shard.shape[0] - 1)
+        vals = shard[idx]
+        hit = (rs >= off) & (rs < off + cnt)
+        # combine in rank space: exactly one shard owns each rank, so a
+        # psum of one-hot encoded limbs is the owner's value verbatim
+        limbs = K.encode_limbs(vals)
+        return tuple(
+            jax.lax.psum(jnp.where(hit, w, 0), axis_name) for w in limbs
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=(P(),) * nlimbs,
+        check_vma=False,
+    )
+    out = fn(sorted_p, counts.astype(jnp.int32))
+    return K.decode_limbs(list(out), x.dtype)
+
+
+def _distributed_set_op(a_keys, b_keys, want, mesh, axis_name, max_unique):
+    """Two-phase distributed set operator: per-shard local DISTINCT on each
+    side (wire traffic is ``max_unique`` rows per shard per side, not N),
+    ``all_gather`` the padded distincts with validity masks, then ONE
+    replicated tagged-union set op (ops/relational.py:_set_op) whose
+    validity-aware presence bits make padding rows inert. Returns replicated
+    ``(keys, count, overflow)``; ``overflow`` is True when any shard had
+    more than ``max_unique`` local distincts (result then invalid)."""
+    from radix_sort_tpu.ops import relational
+
+    multi = isinstance(a_keys, (list, tuple))
+    if multi != isinstance(b_keys, (list, tuple)):
+        raise ValueError("both sides must be single columns or column lists")
+    a_cols = list(a_keys) if multi else [a_keys]
+    b_cols = list(b_keys) if multi else [b_keys]
+    if not a_cols or len(a_cols) != len(b_cols):
+        raise ValueError("sides must have the same non-zero column count")
+    for a, b in zip(a_cols, b_cols):
+        if np.dtype(a.dtype) != np.dtype(b.dtype):
+            raise ValueError("column dtypes must match between sides")
+    na, nb = len(a_cols), len(b_cols)
+
+    def _local_distinct(cols_in, is_multi):
+        uk, _, num = query.unique(cols_in if is_multi or len(cols_in) > 1
+                                  else cols_in[0])
+        uks = list(uk) if isinstance(uk, (list, tuple)) else [uk]
+        pad = max(0, max_unique - uks[0].shape[0])
+        if pad:
+            uks = [jnp.concatenate([u, jnp.zeros((pad,), u.dtype)])
+                   for u in uks]
+        uks = [u[:max_unique] for u in uks]
+        valid = jnp.arange(max_unique) < num
+        return uks, valid, num > max_unique
+
+    def local(*ops):
+        acs, bcs = list(ops[:na]), list(ops[na:])
+        auk, avalid, aovf = _local_distinct(acs, multi)
+        buk, bvalid, bovf = _local_distinct(bcs, multi)
+        ga = [jax.lax.all_gather(u, axis_name, tiled=True) for u in auk]
+        gb = [jax.lax.all_gather(u, axis_name, tiled=True) for u in buk]
+        gav = jax.lax.all_gather(avalid, axis_name, tiled=True)
+        gbv = jax.lax.all_gather(bvalid, axis_name, tiled=True)
+        govf = jax.lax.psum(
+            (aovf | bovf).astype(jnp.int32), axis_name
+        ) > 0
+        keys_out, count = relational._set_op(
+            ga if multi else ga[0],
+            gb if multi else gb[0],
+            want,
+            a_valid=gav,
+            b_valid=gbv,
+        )
+        kouts = list(keys_out) if multi else [keys_out]
+        return (*kouts, count.reshape(1), govf.reshape(1))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * (na + nb),
+        out_specs=(P(),) * (na + 2),
+        check_vma=False,
+    )
+    out = fn(*a_cols, *b_cols)
+    k_cols = list(out[:na])
+    return (
+        k_cols if multi else k_cols[0],
+        out[na][0],
+        out[na + 1][0],
+    )
+
+
+def distributed_set_union(a_keys, b_keys, mesh: Mesh, axis_name: str = "x",
+                          *, max_unique: int):
+    """SQL ``UNION`` over row-sharded sides: distinct keys present in
+    either, ascending under the total order (composite column lists
+    supported). Returns replicated ``(keys, count, overflow)``."""
+    return _distributed_set_op(
+        a_keys, b_keys, lambda ha, hb: ha | hb, mesh, axis_name, max_unique
+    )
+
+
+def distributed_set_intersect(a_keys, b_keys, mesh: Mesh,
+                              axis_name: str = "x", *, max_unique: int):
+    """SQL ``INTERSECT`` over row-sharded sides: distinct keys present in
+    both. Same contract as :func:`distributed_set_union`."""
+    return _distributed_set_op(
+        a_keys, b_keys, lambda ha, hb: ha & hb, mesh, axis_name, max_unique
+    )
+
+
+def distributed_set_difference(a_keys, b_keys, mesh: Mesh,
+                               axis_name: str = "x", *, max_unique: int):
+    """SQL ``EXCEPT`` over row-sharded sides: distinct keys present in the
+    first side and absent from the second. Same contract as
+    :func:`distributed_set_union`."""
+    return _distributed_set_op(
+        a_keys, b_keys, lambda ha, hb: ha & ~hb, mesh, axis_name, max_unique
     )

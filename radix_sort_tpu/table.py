@@ -1,0 +1,428 @@
+"""Table: a named-column relational facade over the query operators.
+
+The engine's operators (ops/query.py, ops/relational.py, ops/window.py,
+ops/sort.py) work on positional column arrays and follow the static-shape
+convention: data-dependent result sizes come back as (padded arrays...,
+count). ``Table`` packages that convention behind a small relation API —
+named columns, chained filter / sort_by / aggregate / join / window /
+distinct / top_k — so a pipeline reads like the SQL it implements while
+remaining one jittable expression end to end (the composed example in
+examples/query_demo.py is the positional equivalent).
+
+Validity model: a Table is ``num_rows`` static rows of which the FIRST
+``count`` are valid (``count=None`` means all). Operators that cannot skip
+rows get validity woven in the engine way — an extra leading key word:
+
+  - sorts order by (invalid-flag, keys...), so valid rows stay a prefix;
+  - group-bys/distincts group by (invalid-flag, keys...): junk groups sort
+    after all valid groups and are excluded from the output count;
+  - joins key on per-side flags (left-invalid=1, right-invalid=2) so
+    padding never matches anything, with a post-filter for the
+    left/anti variants that would otherwise emit unmatched padding;
+  - windows partition on (invalid-flag, partition keys...), fencing junk
+    rows into their own partitions.
+
+Everything stays traced — no host round trip, no dynamic shapes; ``count``
+is an int32 scalar that downstream ops thread through. Materialize with
+``to_numpy()`` (eager only).
+
+The reference crate is sort-only (src/radix_sort/mod.rs); this layer is
+part of the north-star query-engine surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+import radix_sort_tpu as rst
+from radix_sort_tpu import keys as K
+from radix_sort_tpu.ops import query as Q
+
+__all__ = ["Table"]
+
+
+def _as_list(x):
+    if x is None:
+        return []
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+class Table:
+    """An immutable relation: equal-length named columns + a valid-row
+    count (the static-shape convention; rows [0, count) are the data)."""
+
+    def __init__(self, columns, count=None):
+        cols = dict(columns)
+        if not cols:
+            raise ValueError("a Table needs at least one column")
+        n = None
+        for name, c in cols.items():
+            c = jnp.asarray(c)
+            if c.ndim != 1:
+                raise ValueError(f"column {name!r} must be 1-D, got {c.shape}")
+            if n is None:
+                n = c.shape[0]
+            elif c.shape[0] != n:
+                raise ValueError(
+                    f"column {name!r} has length {c.shape[0]}, expected {n}"
+                )
+            cols[name] = c
+        self._cols = cols
+        self._n = n
+        self._count = None if count is None else jnp.asarray(count, jnp.int32)
+
+    # ---- introspection -------------------------------------------------
+
+    @property
+    def num_rows(self) -> int:
+        """Static row capacity (valid rows + padding)."""
+        return self._n
+
+    @property
+    def count(self):
+        """Valid-row count: an int32 scalar, or None when all rows are
+        valid (then it equals ``num_rows``)."""
+        return self._count
+
+    @property
+    def column_names(self):
+        return list(self._cols)
+
+    def __getitem__(self, name: str) -> jnp.ndarray:
+        return self._cols[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._cols
+
+    def __repr__(self):
+        cnt = "all" if self._count is None else "traced"
+        return (f"Table({self._n} rows [{cnt} valid], "
+                f"columns={list(self._cols)})")
+
+    def valid_mask(self) -> jnp.ndarray:
+        """Bool mask of the valid prefix."""
+        if self._count is None:
+            return jnp.ones((self._n,), jnp.bool_)
+        return jnp.arange(self._n, dtype=jnp.int32) < self._count
+
+    def _flag(self):
+        """Leading validity key word: 0 valid, 1 invalid (None when the
+        whole table is valid)."""
+        if self._count is None:
+            return None
+        return (~self.valid_mask()).astype(jnp.uint32)
+
+    def _resolve(self, cols):
+        """Column names -> arrays (arrays pass through)."""
+        out = []
+        for c in _as_list(cols):
+            out.append(self._cols[c] if isinstance(c, str) else jnp.asarray(c))
+        return out
+
+    # ---- projection ----------------------------------------------------
+
+    def select(self, *names) -> "Table":
+        return Table({n: self._cols[n] for n in names}, self._count)
+
+    def drop(self, *names) -> "Table":
+        keep = {n: c for n, c in self._cols.items() if n not in names}
+        return Table(keep, self._count)
+
+    def rename(self, mapping) -> "Table":
+        return Table(
+            {mapping.get(n, n): c for n, c in self._cols.items()},
+            self._count,
+        )
+
+    def with_columns(self, **named) -> "Table":
+        cols = dict(self._cols)
+        for n, c in named.items():
+            c = jnp.asarray(c)
+            if c.shape[0] != self._n:
+                raise ValueError(
+                    f"column {n!r} has length {c.shape[0]}, expected {self._n}"
+                )
+            cols[n] = c
+        return Table(cols, self._count)
+
+    # ---- relational operators ------------------------------------------
+
+    def filter(self, mask) -> "Table":
+        """Rows where ``mask`` holds (a bool column or a callable taking
+        this Table), compacted to the front in original order."""
+        if callable(mask):
+            mask = mask(self)
+        mask = jnp.asarray(mask)
+        if self._count is not None:
+            mask = mask & self.valid_mask()
+        *out, cnt = rst.filter(mask, *self._cols.values())
+        return Table(dict(zip(self._cols, out)), cnt)
+
+    def sort_by(self, by, descending=False) -> "Table":
+        """Stable sort of the valid rows by one or more columns (every
+        other column rides the one variadic sort; padding stays last).
+        ``descending`` is a bool or a per-column list."""
+        by = _as_list(by)
+        desc = ([descending] * len(by)
+                if isinstance(descending, bool) else list(descending))
+        if len(desc) != len(by):
+            raise ValueError("descending list must match the by list")
+        key_cols = self._resolve(by)
+        limbs = []
+        for c, d in zip(key_cols, desc):
+            limbs.extend(~w if d else w for w in K.encode_limbs(c))
+        flag = self._flag()
+        if flag is not None:
+            limbs = [flag, *limbs]
+        out = Q._stable_sort(
+            [*limbs, *self._cols.values()], num_keys=len(limbs)
+        )
+        data = out[len(limbs):]
+        return Table(dict(zip(self._cols, data)), self._count)
+
+    def distinct(self, subset=None) -> "Table":
+        """Distinct rows over ``subset`` columns (default: all columns),
+        ascending lexicographically. Non-subset columns are dropped (their
+        per-group representative would be arbitrary)."""
+        names = _as_list(subset) or list(self._cols)
+        key_cols = self._resolve(names)
+        flag = self._flag()
+        uk, _, num = rst.unique(
+            [flag, *key_cols] if flag is not None else
+            (key_cols if len(key_cols) > 1 else key_cols[0])
+        )
+        uks = list(uk) if isinstance(uk, (list, tuple)) else [uk]
+        if flag is not None:
+            fcol, uks = uks[0], uks[1:]
+            pos = jnp.arange(uks[0].shape[0], dtype=jnp.int32)
+            num = jnp.sum(((pos < num) & (fcol == 0)).astype(jnp.int32))
+        return Table(dict(zip(names, uks)), num)
+
+    def aggregate(self, by, aggs) -> "Table":
+        """GROUP BY ``by`` (a column name/list, or None for one global
+        group over the valid rows) computing ``aggs``: a dict of output
+        name -> ``(agg, column)`` with agg in sum/count/min/max/mean
+        (``"count"`` alone also works). One shared key sort computes every
+        aggregate (the engine's multi-aggregate)."""
+        by = _as_list(by)
+        key_cols = self._resolve(by)
+        if not key_cols:
+            key_cols = [jnp.zeros((self._n,), jnp.uint32)]
+        flag = self._flag()
+        keys_arg = [flag, *key_cols] if flag is not None else key_cols
+        names, val_cols, agg_list = [], [], []
+        for out_name, spec in aggs.items():
+            if isinstance(spec, str):
+                agg, col = spec, None
+            else:
+                agg, col = spec[0], (spec[1] if len(spec) > 1 else None)
+            if col is None:
+                if agg != "count":
+                    raise ValueError(
+                        f"{out_name!r}: {agg!r} needs a value column"
+                    )
+                col = keys_arg[-1]  # count ignores values
+            names.append(out_name)
+            val_cols.append(self._resolve(col)[0])
+            agg_list.append(agg)
+        uk, outs, cnt = rst.hash_aggregate(keys_arg, val_cols, agg_list)
+        uks = list(uk)
+        if flag is not None:
+            fcol, uks = uks[0], uks[1:]
+            pos = jnp.arange(self._n, dtype=jnp.int32)
+            cnt = jnp.sum(((pos < cnt) & (fcol == 0)).astype(jnp.int32))
+        cols = dict(zip(by, uks[:len(by)]))  # drops the dummy global key
+        cols.update(zip(names, outs))
+        return Table(cols, cnt)
+
+    def join(self, other: "Table", on, *, capacity: int, how: str = "inner",
+             suffix: str = "_r"):
+        """Equi-join with ``other`` on the shared ``on`` column(s).
+
+        Returns ``(Table, overflow)``. Result columns: the ``on`` keys,
+        this table's other columns, and (for inner/left) ``other``'s other
+        columns — renamed with ``suffix`` on collision; semi/anti emit left
+        columns only (SQL semantics). Rows order by left row then right
+        sorted position; unmatched rows of a left join carry zeros in the
+        right columns. ``capacity`` bounds the static result size;
+        ``overflow`` is True if the true result was larger (rows [0,
+        count) are exact regardless)."""
+        on = _as_list(on)
+        lk = self._resolve(on)
+        rk = other._resolve(on)
+        lflag, rflag = self._flag(), other._flag()
+        if lflag is not None or rflag is not None:
+            # per-side flag words: padding never equals anything (left 1,
+            # right 2, valid 0)
+            lf = (lflag if lflag is not None
+                  else jnp.zeros((self._n,), jnp.uint32))
+            rf = ((rflag * jnp.uint32(2)) if rflag is not None
+                  else jnp.zeros((other._n,), jnp.uint32))
+            lk, rk = [lf, *lk], [rf, *rk]
+            flagged = True
+        else:
+            flagged = False
+        lidx = jnp.arange(self._n, dtype=jnp.int32)
+        ridx1 = jnp.arange(other._n, dtype=jnp.int32) + 1  # 1-based: 0 = none
+        jk, jl, jr, cnt, ovf = rst.hash_join(
+            lk, lidx, rk, ridx1, capacity=capacity, how=how
+        )
+        jks = list(jk) if isinstance(jk, (list, tuple)) else [jk]
+        if flagged:
+            fcol, jks = jks[0], jks[1:]
+        valid = jnp.arange(capacity, dtype=jnp.int32) < cnt
+        if flagged and how in ("left", "anti"):
+            # unmatched padding rows emit under these variants; drop them
+            keep = valid & (fcol == 0)
+            *packed, cnt = rst.filter(keep, *jks, jl, jr)
+            jks, jl, jr = packed[:-2], packed[-2], packed[-1]
+            valid = jnp.arange(capacity, dtype=jnp.int32) < cnt
+
+        cols = dict(zip(on, jks))
+        lg = jnp.clip(jl, 0, self._n - 1)
+        for name, c in self._cols.items():
+            if name in on:
+                continue
+            cols[name] = jnp.where(valid, c[lg], 0)
+        if how in ("inner", "left"):
+            matched = valid & (jr > 0)
+            rg = jnp.clip(jr - 1, 0, other._n - 1)
+            for name, c in other._cols.items():
+                if name in on:
+                    continue
+                out_name = name + suffix if name in cols else name
+                cols[out_name] = jnp.where(matched, c[rg], 0)
+        return Table(cols, cnt), ovf
+
+    def window(self, ops, *, partition_by=None, order_by=None) -> "Table":
+        """Add window-function columns: ``ops`` is a dict of output name ->
+        spec per :func:`radix_sort_tpu.window`, with column NAMES in place
+        of value arrays (e.g. ``{"rn": "row_number", "s": ("sum", "v"),
+        "prev": ("lag", "v", 1)}``). Padding rows are fenced into their own
+        partitions and never affect valid results."""
+        specs = []
+        for spec in ops.values():
+            if isinstance(spec, str):
+                specs.append(spec)
+            else:
+                spec = list(spec)
+                spec[1] = self._resolve(spec[1])[0]
+                specs.append(tuple(spec))
+        p_cols = self._resolve(partition_by)
+        flag = self._flag()
+        if flag is not None:
+            p_cols = [flag, *p_cols]
+        outs = rst.window(
+            specs,
+            partition_by=p_cols or None,
+            order_by=self._resolve(order_by) or None,
+        )
+        if isinstance(outs, jnp.ndarray):
+            outs = [outs]
+        return self.with_columns(**dict(zip(ops, outs)))
+
+    def top_k(self, k: int, by, largest: bool = True) -> "Table":
+        """The ``k`` rows with extreme ``by`` keys (ORDER BY ... LIMIT k):
+        result rows sorted by key (descending for ``largest``), ties by
+        input position. All other columns are co-selected."""
+        by = _as_list(by)
+        key_cols = self._resolve(by)
+        keys_arg = list(key_cols)
+        flag = self._flag()
+        if flag is not None:
+            # leading indicator that makes VALID rows win either direction
+            ind = (self.valid_mask().astype(jnp.uint32) if largest
+                   else flag)
+            keys_arg = [ind, *keys_arg]
+        others = list(self._cols)
+        out = rst.top_k(
+            keys_arg if len(keys_arg) > 1 else keys_arg[0],
+            k,
+            *[self._cols[n] for n in others],
+            largest=largest,
+        )
+        sel_arrays = out[1:]
+        cols = dict(zip(others, sel_arrays))
+        cnt = None if self._count is None else jnp.minimum(
+            self._count, jnp.int32(k)
+        )
+        return Table(cols, cnt)
+
+    def limit(self, k: int) -> "Table":
+        """First ``k`` valid rows (static head slice)."""
+        k = min(int(k), self._n)
+        cols = {n: c[:k] for n, c in self._cols.items()}
+        cnt = (jnp.int32(k) if self._count is None
+               else jnp.minimum(self._count, jnp.int32(k)))
+        return Table(cols, cnt)
+
+    def concat(self, other: "Table") -> "Table":
+        """UNION ALL: this table's valid rows followed by ``other``'s (same
+        column names/dtypes; a stable validity sort re-packs the combined
+        valid rows into a prefix)."""
+        if list(self._cols) != list(other._cols):
+            raise ValueError("concat needs identical column names")
+        for n, c in self._cols.items():
+            if np.dtype(c.dtype) != np.dtype(other._cols[n].dtype):
+                raise ValueError(f"column {n!r} dtypes differ")
+        cols = {
+            n: jnp.concatenate([c, other._cols[n]])
+            for n, c in self._cols.items()
+        }
+        if self._count is None and other._count is None:
+            return Table(cols)
+        flag = jnp.concatenate([
+            (~self.valid_mask()).astype(jnp.uint32),
+            (~other.valid_mask()).astype(jnp.uint32),
+        ])
+        out = Q._stable_sort([flag, *cols.values()], num_keys=1)
+        total = (
+            (self._count if self._count is not None else jnp.int32(self._n))
+            + (other._count if other._count is not None
+               else jnp.int32(other._n))
+        )
+        return Table(dict(zip(cols, out[1:])), total)
+
+    def quantiles(self, column, qs, *, method: str = "lower"):
+        """Exact quantiles of a column's valid rows (see
+        :func:`radix_sort_tpu.quantiles`). With padding present this sorts
+        (validity, column) and picks ranks inside the valid prefix."""
+        (col,) = self._resolve([column])
+        if self._count is None:
+            return rst.quantiles(col, qs, method=method)
+        # order by (valid-first, value); rank r of the valid prefix is row r
+        flag = self._flag()
+        limbs = K.encode_limbs(col)
+        out = Q._stable_sort([flag, *limbs], num_keys=1 + len(limbs))
+        svals = K.decode_limbs(list(out[1:]), col.dtype)
+        # static ranks against the dynamic count: scale inside the trace
+        qs = [float(q) for q in qs]
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantile points must be in [0, 1], got {q}")
+        from radix_sort_tpu.ops.relational import QUANTILE_METHODS
+        if method not in QUANTILE_METHODS:
+            raise ValueError(
+                f"method must be one of {QUANTILE_METHODS}, got {method!r}"
+            )
+        x = jnp.asarray(qs, jnp.float32) * (self._count - 1).astype(
+            jnp.float32
+        )
+        if method == "lower":
+            r = jnp.floor(x)
+        elif method == "higher":
+            r = jnp.ceil(x)
+        else:
+            r = jnp.floor(x + 0.5)
+        idx = jnp.clip(r.astype(jnp.int32), 0,
+                       jnp.maximum(self._count - 1, 0))
+        return svals[idx]
+
+    # ---- materialization ------------------------------------------------
+
+    def to_numpy(self):
+        """dict of numpy arrays holding ONLY the valid rows (eager only:
+        fetches ``count`` to the host)."""
+        n = self._n if self._count is None else int(self._count)
+        return {name: np.asarray(col[:n]) for name, col in self._cols.items()}

@@ -427,3 +427,78 @@ class TestDistributedMultiAggregate:
             dist_query.distributed_hash_aggregate(
                 k, [v], mesh, "sum", max_groups=8
             )
+
+
+class TestDistributedQuantiles:
+    @pytest.mark.parametrize("dtype", [np.uint32, np.int32, np.float32])
+    def test_matches_single_chip(self, rng, mesh, dtype):
+        n = 8 * 512
+        if dtype == np.float32:
+            x = (rng.random(n) * 100 - 50).astype(dtype)
+        else:
+            x = rng.integers(0, 1 << 30, size=n).astype(dtype)
+        qs = [0.0, 0.1, 0.5, 0.99, 1.0]
+        xd = runtime.shard_rows(mesh, jnp.asarray(x))
+        got = np.asarray(dist_query.distributed_quantiles(xd, qs, mesh))
+        exp = np.sort(x)[[int(np.floor(q * (n - 1))) for q in qs]]
+        np.testing.assert_array_equal(got, exp)
+
+    def test_duplicate_heavy(self, rng, mesh):
+        # all-equal keys: the skew regime that used to overflow the
+        # distributed exchange — quantiles must still resolve exactly
+        n = 8 * 256
+        x = np.full(n, 0xABCD1234, np.uint32)
+        xd = runtime.shard_rows(mesh, jnp.asarray(x))
+        got = np.asarray(
+            dist_query.distributed_quantiles(xd, [0.0, 0.5, 1.0], mesh)
+        )
+        np.testing.assert_array_equal(got, [0xABCD1234] * 3)
+
+
+class TestDistributedSetOps:
+    @pytest.mark.parametrize("dtype", [np.uint32, np.int16])
+    def test_matches_numpy(self, rng, mesh, dtype):
+        n = 8 * 512
+        a = rng.integers(0, 60, size=n).astype(dtype)
+        b = rng.integers(30, 90, size=n).astype(dtype)
+        ad, bd = runtime.shard_rows(mesh, jnp.asarray(a), jnp.asarray(b))
+        for fn, oracle in [
+            (dist_query.distributed_set_union, np.union1d(a, b)),
+            (dist_query.distributed_set_intersect, np.intersect1d(a, b)),
+            (dist_query.distributed_set_difference, np.setdiff1d(a, b)),
+        ]:
+            keys, cnt, ovf = fn(ad, bd, mesh, max_unique=128)
+            assert not bool(ovf)
+            np.testing.assert_array_equal(
+                np.asarray(keys)[: int(cnt)], oracle
+            )
+
+    def test_composite_columns(self, rng, mesh):
+        n = 8 * 128
+        a0 = rng.integers(0, 5, size=n).astype(np.uint32)
+        a1 = rng.integers(0, 5, size=n).astype(np.int32)
+        b0 = rng.integers(2, 7, size=n).astype(np.uint32)
+        b1 = rng.integers(2, 7, size=n).astype(np.int32)
+        sa = set(zip(a0.tolist(), a1.tolist()))
+        sb = set(zip(b0.tolist(), b1.tolist()))
+        ad = runtime.shard_rows(mesh, jnp.asarray(a0), jnp.asarray(a1))
+        bd = runtime.shard_rows(mesh, jnp.asarray(b0), jnp.asarray(b1))
+        keys, cnt, ovf = dist_query.distributed_set_intersect(
+            list(ad), list(bd), mesh, max_unique=64
+        )
+        assert not bool(ovf)
+        got = list(zip(
+            np.asarray(keys[0])[: int(cnt)].tolist(),
+            np.asarray(keys[1])[: int(cnt)].tolist(),
+        ))
+        assert got == sorted(sa & sb)
+
+    def test_overflow_flag(self, rng, mesh):
+        n = 8 * 64
+        a = np.arange(n, dtype=np.uint32)  # every row distinct
+        b = np.arange(n, dtype=np.uint32)
+        ad, bd = runtime.shard_rows(mesh, jnp.asarray(a), jnp.asarray(b))
+        _, _, ovf = dist_query.distributed_set_union(
+            ad, bd, mesh, max_unique=8
+        )
+        assert bool(ovf)

@@ -36,3 +36,48 @@ def test_query_demo_matches_oracle(rng):
     np.testing.assert_array_equal(
         np.asarray(sums)[:n_groups].astype(np.uint32), ref_sums
     )
+
+
+def test_table_demo_matches_oracle(rng):
+    from examples.table_demo import build_pipeline
+
+    n, n_q, n_sym = 10_000, 640, 32
+    sym = rng.integers(0, n_sym, n).astype(np.uint32)
+    qty = rng.integers(1, 500, n).astype(np.uint32)
+    ts = np.sort(rng.integers(0, 1 << 30, n).astype(np.uint32))
+    q_ts = rng.integers(0, 1 << 30, n_q).astype(np.uint32)
+    q_px = rng.integers(90, 110, n_q).astype(np.uint32)
+
+    run = build_pipeline(min_qty=250)
+    s, cnt, notional, num = run(*(jnp.asarray(a) for a in
+                                  (sym, qty, ts, q_ts, q_px)))
+    num = int(num)
+
+    # numpy oracle (backward asof: latest quote at-or-before; unmatched
+    # trades contribute notional 0 via fill=0; modular uint32 sums)
+    keep = qty > 250
+    ks, kq, kt = sym[keep], qty[keep], ts[keep]
+    order = np.argsort(q_ts, kind="stable")
+    sq_ts, sq_px = q_ts[order], q_px[order]
+    hi = np.searchsorted(sq_ts, kt, side="right")
+    px = np.where(hi > 0, sq_px[np.clip(hi - 1, 0, None)], 0).astype(np.uint32)
+    notl = (kq * px).astype(np.uint32)
+    uk = np.unique(ks)
+    ref = [(u, (ks == u).sum(),
+            np.sum(notl[ks == u], dtype=np.uint32)) for u in uk]
+    ref.sort(key=lambda r: (0xFFFFFFFF - r[2], r[0]))  # notional desc, stable
+    assert num == len(ref)
+    got_s = np.asarray(s)[:num]
+    got_n = np.asarray(cnt)[:num]
+    got_v = np.asarray(notional)[:num].astype(np.uint32)
+    np.testing.assert_array_equal(got_v, [r[2] for r in ref])
+    # symbols within equal notionals may tie-order by input position; check
+    # as multisets per notional value
+    for v in np.unique(got_v):
+        np.testing.assert_array_equal(
+            np.sort(got_s[got_v == v]),
+            np.sort(np.array([r[0] for r in ref if r[2] == v])),
+        )
+    np.testing.assert_array_equal(
+        np.sort(got_n), np.sort(np.array([r[1] for r in ref]))
+    )

@@ -1,0 +1,223 @@
+"""Table facade: the named-column relation API over the operators —
+oracle tests against plain numpy relational algebra, including the
+validity-count (padded static shape) threading between chained ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import radix_sort_tpu as rst
+from radix_sort_tpu import Table
+
+N = 1_024
+
+
+@pytest.fixture
+def tbl(rng):
+    return {
+        "k": rng.integers(0, 20, N).astype(np.uint32),
+        "v": rng.integers(0, 1000, N).astype(np.int32),
+        "w": (rng.random(N) * 10 - 5).astype(np.float32),
+    }
+
+
+def _t(cols):
+    return Table({n: jnp.asarray(c) for n, c in cols.items()})
+
+
+class TestBasics:
+    def test_projection(self, tbl):
+        t = _t(tbl)
+        assert t.num_rows == N and t.count is None
+        assert t.select("k", "v").column_names == ["k", "v"]
+        assert t.drop("w").column_names == ["k", "v"]
+        assert t.rename({"k": "key"}).column_names == ["key", "v", "w"]
+        t2 = t.with_columns(z=jnp.arange(N, dtype=jnp.uint32))
+        np.testing.assert_array_equal(t2.to_numpy()["z"], np.arange(N))
+
+    def test_validation(self, tbl):
+        with pytest.raises(ValueError, match="length"):
+            Table({"a": jnp.zeros(4), "b": jnp.zeros(5)})
+        with pytest.raises(ValueError, match="at least one"):
+            Table({})
+        t = _t(tbl)
+        with pytest.raises(ValueError, match="length"):
+            t.with_columns(bad=jnp.zeros(3))
+
+
+class TestFilterSort:
+    def test_filter_then_sort(self, tbl):
+        t = _t(tbl).filter(lambda t: t["v"] > 500).sort_by("k")
+        out = t.to_numpy()
+        keep = tbl["v"] > 500
+        order = np.argsort(tbl["k"][keep], kind="stable")
+        np.testing.assert_array_equal(out["k"], tbl["k"][keep][order])
+        np.testing.assert_array_equal(out["v"], tbl["v"][keep][order])
+        np.testing.assert_array_equal(out["w"], tbl["w"][keep][order])
+
+    def test_sort_mixed_directions(self, tbl):
+        t = _t(tbl).sort_by(["k", "v"], descending=[False, True])
+        out = t.to_numpy()
+        order = np.lexsort((-tbl["v"].astype(np.int64), tbl["k"]))
+        np.testing.assert_array_equal(out["v"], tbl["v"][order])
+
+    def test_chained_filters(self, tbl):
+        t = (_t(tbl).filter(lambda t: t["v"] > 300)
+                     .filter(lambda t: t["k"] < 10))
+        keep = (tbl["v"] > 300) & (tbl["k"] < 10)
+        out = t.to_numpy()
+        np.testing.assert_array_equal(out["v"], tbl["v"][keep])
+
+    def test_limit_and_concat(self, tbl):
+        t = _t(tbl).filter(lambda t: t["k"] < 5)
+        a, b = t.limit(7), t.limit(3)
+        c = a.concat(b).to_numpy()
+        kept = tbl["k"][tbl["k"] < 5]
+        np.testing.assert_array_equal(
+            c["k"], np.concatenate([kept[:7], kept[:3]])
+        )
+
+
+class TestAggregate:
+    def test_group_by_multi_agg(self, tbl):
+        t = _t(tbl).aggregate(
+            "k", {"total": ("sum", "v"), "n": "count", "lo": ("min", "w")}
+        )
+        out = t.to_numpy()
+        uk = np.unique(tbl["k"])
+        np.testing.assert_array_equal(out["k"], uk)
+        for i, u in enumerate(uk):
+            sel = tbl["k"] == u
+            assert out["total"][i] == tbl["v"][sel].sum()
+            assert out["n"][i] == sel.sum()
+            assert out["lo"][i] == tbl["w"][sel].min()
+
+    def test_global_aggregate(self, tbl):
+        out = _t(tbl).aggregate(None, {"s": ("sum", "v")}).to_numpy()
+        assert out["s"].shape == (1,)
+        assert out["s"][0] == tbl["v"].sum()
+
+    def test_aggregate_after_filter_excludes_padding(self, tbl):
+        t = _t(tbl).filter(lambda t: t["v"] > 500)
+        out = t.aggregate("k", {"n": "count"}).to_numpy()
+        keep = tbl["v"] > 500
+        uk, cnts = np.unique(tbl["k"][keep], return_counts=True)
+        np.testing.assert_array_equal(out["k"], uk)
+        np.testing.assert_array_equal(out["n"], cnts)
+
+    def test_distinct(self, tbl):
+        t = _t(tbl).filter(lambda t: t["v"] > 900).distinct("k")
+        np.testing.assert_array_equal(
+            t.to_numpy()["k"], np.unique(tbl["k"][tbl["v"] > 900])
+        )
+
+
+class TestJoin:
+    def test_inner_join_after_filter(self, rng, tbl):
+        rt = {
+            "k": rng.integers(0, 20, 64).astype(np.uint32),
+            "name": rng.integers(100, 200, 64).astype(np.uint32),
+        }
+        lt = _t(tbl).filter(lambda t: t["v"] > 800)
+        t, ovf = lt.join(_t(rt), on="k", capacity=1 << 14)
+        assert not bool(ovf)
+        out = t.to_numpy()
+        # numpy oracle: nested-loop inner join, left-row-major
+        keep = np.flatnonzero(tbl["v"] > 800)
+        rorder = np.argsort(rt["k"], kind="stable")
+        rows = []
+        for li in keep:
+            for rj in rorder:
+                if tbl["k"][li] == rt["k"][rj]:
+                    rows.append((tbl["k"][li], tbl["v"][li], tbl["w"][li],
+                                 rt["name"][rj]))
+        assert len(rows) == out["k"].shape[0]
+        exp = np.array(rows, dtype=np.float64)
+        np.testing.assert_array_equal(out["k"], exp[:, 0].astype(np.uint32))
+        np.testing.assert_array_equal(out["v"], exp[:, 1].astype(np.int32))
+        np.testing.assert_array_equal(out["name"],
+                                      exp[:, 3].astype(np.uint32))
+
+    def test_left_join_unmatched_zero(self):
+        lt = Table({"k": jnp.asarray([1, 2, 3], jnp.uint32),
+                    "v": jnp.asarray([10, 20, 30], jnp.int32)})
+        rt = Table({"k": jnp.asarray([2], jnp.uint32),
+                    "u": jnp.asarray([7], jnp.int32)})
+        t, ovf = lt.join(rt, on="k", how="left", capacity=8)
+        out = t.to_numpy()
+        np.testing.assert_array_equal(out["k"], [1, 2, 3])
+        np.testing.assert_array_equal(out["u"], [0, 7, 0])
+
+    def test_semi_anti(self, tbl):
+        rt = Table({"k": jnp.asarray(np.arange(10, dtype=np.uint32))})
+        lt = _t(tbl).filter(lambda t: t["v"] > 500)
+        keep = tbl["v"] > 500
+        semi, _ = lt.join(rt, on="k", how="semi", capacity=N)
+        anti, _ = lt.join(rt, on="k", how="anti", capacity=N)
+        np.testing.assert_array_equal(
+            semi.to_numpy()["v"], tbl["v"][keep & (tbl["k"] < 10)]
+        )
+        np.testing.assert_array_equal(
+            anti.to_numpy()["v"], tbl["v"][keep & (tbl["k"] >= 10)]
+        )
+        assert "name" not in semi.column_names
+
+    def test_name_collision_suffix(self):
+        lt = Table({"k": jnp.asarray([1], jnp.uint32),
+                    "v": jnp.asarray([10], jnp.int32)})
+        rt = Table({"k": jnp.asarray([1], jnp.uint32),
+                    "v": jnp.asarray([99], jnp.int32)})
+        t, _ = lt.join(rt, on="k", capacity=4)
+        out = t.to_numpy()
+        assert out["v"][0] == 10 and out["v_r"][0] == 99
+
+
+class TestWindowTopK:
+    def test_window_after_filter(self, tbl):
+        t = _t(tbl).filter(lambda t: t["v"] > 500).window(
+            {"rn": "row_number", "s": ("sum", "v")},
+            partition_by="k", order_by="v",
+        )
+        out = t.to_numpy()
+        keep = tbl["v"] > 500
+        k, v = tbl["k"][keep], tbl["v"][keep]
+        for u in np.unique(k):
+            sel = k == u
+            assert (np.sort(out["rn"][sel]) == np.arange(1, sel.sum() + 1)).all()
+            np.testing.assert_array_equal(out["s"][sel], v[sel].sum())
+
+    def test_top_k_after_filter(self, tbl):
+        t = _t(tbl).filter(lambda t: t["k"] < 10).top_k(5, "v")
+        out = t.to_numpy()
+        keep = tbl["k"] < 10
+        exp = np.sort(tbl["v"][keep])[::-1][:5]
+        np.testing.assert_array_equal(out["v"], exp)
+
+    def test_quantiles_after_filter(self, tbl):
+        t = _t(tbl).filter(lambda t: t["k"] < 10)
+        got = np.asarray(t.quantiles("v", [0.0, 0.5, 1.0]))
+        v = np.sort(tbl["v"][tbl["k"] < 10])
+        exp = v[[0, int(np.floor(0.5 * (len(v) - 1))), len(v) - 1]]
+        np.testing.assert_array_equal(got, exp)
+
+
+class TestJit:
+    def test_pipeline_is_jittable(self, tbl):
+        """The whole chained pipeline traces as ONE jitted function: counts
+        stay on device, no host round trips."""
+
+        @jax.jit
+        def pipeline(k, v, w):
+            t = (Table({"k": k, "v": v, "w": w})
+                 .filter(lambda t: t["v"] > 500)
+                 .aggregate("k", {"total": ("sum", "v"), "n": "count"}))
+            return t["k"], t["total"], t["n"], t.count
+
+        uk, tot, n_, cnt = pipeline(*(jnp.asarray(tbl[c]) for c in "kvw"))
+        cnt = int(cnt)
+        keep = tbl["v"] > 500
+        uk_np, cnts = np.unique(tbl["k"][keep], return_counts=True)
+        assert cnt == len(uk_np)
+        np.testing.assert_array_equal(np.asarray(uk)[:cnt], uk_np)
+        np.testing.assert_array_equal(np.asarray(n_)[:cnt], cnts)
