@@ -31,6 +31,7 @@ import numpy as np
 from radix_sort_tpu import keys as K
 
 __all__ = [
+    "append_unmatched_right",
     "filter",
     "hash_aggregate",
     "hash_join",
@@ -42,7 +43,7 @@ __all__ = [
 ]
 
 AGGREGATIONS = ("sum", "count", "min", "max", "mean")
-JOIN_HOWS = ("inner", "left", "semi", "anti")
+JOIN_HOWS = ("inner", "left", "right", "full", "semi", "anti")
 
 
 def _stable_sort(operands, num_keys):
@@ -529,9 +530,19 @@ def join_expand(
     (composite keys) — the returned ``key_words`` matches its shape.
     ``valid_left`` masks out padding rows (distributed shards). Returns
     ``(key_words, left_vals, right_vals, count, overflow)``.
+
+    ``how="full"`` emits the left-join rows only (matched pairs + unmatched
+    left); callers complete the full outer join by appending the unmatched
+    right rows with :func:`append_unmatched_right`. ``how="right"`` is a
+    side swap resolved by the callers — it never reaches this phase.
     """
-    if how not in JOIN_HOWS:
-        raise ValueError(f"how must be one of {JOIN_HOWS}, got {how!r}")
+    if how not in JOIN_HOWS or how == "right":
+        raise ValueError(
+            f"join_expand handles {tuple(h for h in JOIN_HOWS if h != 'right')},"
+            f" got {how!r} (right joins swap sides before expansion)"
+        )
+    if how == "full":
+        how = "left"
     multi = isinstance(lkw, (list, tuple))
     lkws = _as_limb_list(lkw)
     n_l = lkws[0].shape[0]
@@ -678,6 +689,57 @@ def _join_expand_kernel(
     return out_kw, out_lv, out_rv, count, overflow
 
 
+def append_unmatched_right(
+    out_ks, out_lv, out_rv, count, overflow,
+    rks, rvs, lo, hi, *, capacity, valid_left=None, valid_right=None,
+):
+    """Complete a full outer join: append the unmatched SORTED-RIGHT rows
+    (left value 0) after the left-join block already in ``out_*``.
+
+    A sorted-right row is matched iff it lies inside some left row's match
+    range [lo_i, hi_i) — range-marked with a +1/-1 scatter at the range
+    ends and a cumsum (two n_left scatters + one n_right cumsum; no sort).
+    Unmatched rows compact stably (right sorted order) and land at output
+    slots [count, count + n_unmatched); rows that would exceed ``capacity``
+    are dropped and flagged, so the first ``capacity`` rows stay exact.
+
+    ``out_ks`` / ``rks`` are parallel limb lists; ``valid_left`` /
+    ``valid_right`` mask shard padding rows (distributed callers). Returns
+    ``(out_ks, out_lv, out_rv, count, overflow)`` with the same contract.
+    """
+    n_r = rvs.shape[0]
+    has = hi > lo
+    if valid_left is not None:
+        has = has & valid_left
+    one = has.astype(jnp.int32)
+    delta = jnp.zeros((n_r + 1,), jnp.int32)
+    delta = delta.at[jnp.clip(lo, 0, n_r)].add(one, mode="drop")
+    delta = delta.at[jnp.clip(hi, 0, n_r)].add(-one, mode="drop")
+    covered = jnp.cumsum(delta[:n_r]) > 0
+    unmatched = ~covered
+    if valid_right is not None:
+        unmatched = unmatched & valid_right
+    *cu, cnt_u = filter(unmatched, *rks, rvs)
+    cks, crv = cu[:-1], cu[-1]
+    # slot per appended row; junk rows (>= cnt_u) poison to capacity -> drop
+    slot = count + jnp.arange(n_r, dtype=jnp.int32)
+    slot = jnp.where(jnp.arange(n_r, dtype=jnp.int32) < cnt_u, slot, capacity)
+    out_ks = [
+        ok.at[slot].set(ck, mode="drop") for ok, ck in zip(out_ks, cks)
+    ]
+    # left values of appended rows are 0 — the slots were already zeroed by
+    # the expansion's validity mask, so only the right values need writing
+    out_rv = out_rv.at[slot].set(crv, mode="drop")
+    total = count + cnt_u
+    return (
+        out_ks,
+        out_lv,
+        out_rv,
+        jnp.minimum(total, capacity),
+        overflow | (total > capacity),
+    )
+
+
 def hash_join(
     left_keys: jnp.ndarray,
     left_values: jnp.ndarray,
@@ -697,6 +759,12 @@ def hash_join(
       - ``"left"``: matching pairs plus one row per unmatched left row with
         ``right_vals`` 0 (callers needing an is-matched indicator can
         anti-join);
+      - ``"right"``: the mirror — matching pairs plus one row per unmatched
+        right row with ``left_vals`` 0; rows order by RIGHT row then left
+        sorted position (the join is evaluated with the sides swapped);
+      - ``"full"``: the left-join rows (ordered as ``"left"``) followed by
+        one row per unmatched right row (``left_vals`` 0) in right sorted
+        order — a full outer join;
       - ``"semi"``: each left row with at least one match, once, in left
         order (``right_vals`` all 0);
       - ``"anti"``: each left row with no match, once, in left order
@@ -709,6 +777,12 @@ def hash_join(
     """
     if how not in JOIN_HOWS:
         raise ValueError(f"how must be one of {JOIN_HOWS}, got {how!r}")
+    if how == "right":
+        jk, j_rv, j_lv, cnt, ovf = hash_join(
+            right_keys, right_values, left_keys, left_values,
+            capacity=capacity, how="left",
+        )
+        return jk, j_lv, j_rv, cnt, ovf
     multi = isinstance(left_keys, (list, tuple))
     if multi != isinstance(right_keys, (list, tuple)):
         raise ValueError("left and right keys must both be single columns "
@@ -733,6 +807,26 @@ def hash_join(
     if right_values.shape[0] != n_r:
         raise ValueError("right keys/values length mismatch")
     if n_l == 0 or (n_r == 0 and how == "inner"):
+        if how == "full" and n_r > 0:
+            # degenerate full outer join: every right row is unmatched
+            rk_limbs, rspecs = _cols_to_limbs(r_cols)
+            out = _stable_sort(
+                [*rk_limbs, right_values], num_keys=len(rk_limbs)
+            )
+            rks, rvs = list(out[:-1]), out[-1]
+            e = jnp.zeros((0,), jnp.int32)
+            out_ks, out_lv, out_rv, count, overflow = append_unmatched_right(
+                [jnp.zeros((capacity,), w.dtype) for w in rks],
+                jnp.zeros((capacity,), left_values.dtype),
+                jnp.zeros((capacity,), right_values.dtype),
+                jnp.int32(0), jnp.bool_(False),
+                rks, rvs, e, e, capacity=capacity,
+            )
+            out_cols = _limbs_to_cols(out_ks, rspecs)
+            return (
+                out_cols if multi else out_cols[0],
+                out_lv, out_rv, count, overflow,
+            )
         # an empty side is a normal inner-join input: zero matching pairs
         zk = [jnp.zeros((capacity,), c.dtype) for c in l_cols]
         return (
@@ -759,6 +853,11 @@ def hash_join(
     out_kw, out_lv, out_rv, count, overflow = join_expand(
         lk_arg, left_values, rvs, lo, hi, capacity=capacity, how=how
     )
+    if how == "full" and n_r > 0:
+        out_kw, out_lv, out_rv, count, overflow = append_unmatched_right(
+            _as_limb_list(out_kw), out_lv, out_rv, count, overflow,
+            rks, rvs, lo, hi, capacity=capacity,
+        )
     out_limbs = _as_limb_list(out_kw)
     out_cols = _limbs_to_cols(out_limbs, specs)
     return (

@@ -35,18 +35,34 @@ from radix_sort_tpu import keys as K
 __all__ = ["window", "WINDOW_OPS"]
 
 # value-less rank/count ops and value ops (partition-wide vs running)
-_RANK_OPS = ("row_number", "rank", "dense_rank", "count")
+_RANK_OPS = (
+    "row_number", "rank", "dense_rank", "count",
+    "percent_rank", "cume_dist",          # SQL relative-rank functions
+)
+_PARAM_OPS = ("ntile", "rolling_count")   # value-less but parameterized
 _VALUE_OPS = (
     "sum", "min", "max", "mean",          # partition-wide, broadcast to rows
     "cumsum", "cummin", "cummax",         # running (rows up to and incl. self)
     "first_value", "last_value",          # partition first/last under order
+    "nth_value",                          # partition's k-th row under order
     "lag", "lead",                        # shifted within partition
+    "rolling_sum", "rolling_min",         # sliding frame
+    "rolling_max", "rolling_mean",        # (ROWS BETWEEN p PRECEDING
+)                                         #  AND f FOLLOWING)
+_ROLLING_OPS = (
+    "rolling_sum", "rolling_min", "rolling_max", "rolling_mean",
+    "rolling_count",
 )
-WINDOW_OPS = _RANK_OPS + _VALUE_OPS
+WINDOW_OPS = _RANK_OPS + _PARAM_OPS + _VALUE_OPS
 
 
 def _normalize_spec(spec):
-    """spec -> (name, values|None, offset, fill)."""
+    """spec -> (name, values|None, p1, p2, fill).
+
+    ``p1``/``p2`` carry the op's integer parameters: lag/lead offset and
+    nth_value's k in ``p1``; rolling frames put ``preceding`` in ``p1`` and
+    ``following`` in ``p2``; ntile's bucket count in ``p1``.
+    """
     if isinstance(spec, str):
         name, rest = spec, ()
     elif isinstance(spec, tuple) and spec and isinstance(spec[0], str):
@@ -61,21 +77,50 @@ def _normalize_spec(spec):
     if name in _RANK_OPS:
         if rest:
             raise ValueError(f"{name!r} takes no value column")
-        return name, None, 1, None
+        return name, None, 1, 0, None
+    if name == "ntile":
+        if len(rest) != 1:
+            raise ValueError("ntile takes a bucket count: ('ntile', n)")
+        b = int(rest[0])
+        if b < 1:
+            raise ValueError(f"ntile bucket count must be >= 1, got {b}")
+        return name, None, b, 0, None
+    if name == "rolling_count":
+        if not 1 <= len(rest) <= 2:
+            raise ValueError(
+                "rolling_count takes a frame: "
+                "('rolling_count', preceding[, following])"
+            )
+        p = int(rest[0])
+        f = int(rest[1]) if len(rest) > 1 else 0
+        if p < 0 or f < 0:
+            raise ValueError(f"{name!r} frame bounds must be >= 0")
+        return name, None, p, f, None
     if not rest:
         raise ValueError(f"{name!r} needs a value column: ({name!r}, values)")
     values, rest = rest[0], rest[1:]
-    offset, fill = 1, None
-    if name in ("lag", "lead"):
+    p1, p2, fill = 1, 0, None
+    if name in ("lag", "lead", "nth_value"):
         if rest:
-            offset, rest = int(rest[0]), rest[1:]
-            if offset < 1:
+            p1, rest = int(rest[0]), rest[1:]
+            if p1 < 1:
                 raise ValueError(f"{name!r} offset must be >= 1")
         if rest:
             fill, rest = rest[0], rest[1:]
+    elif name in _ROLLING_OPS:
+        if not rest:
+            raise ValueError(
+                f"{name!r} takes a frame: ({name!r}, values, "
+                "preceding[, following])"
+            )
+        p1, rest = int(rest[0]), rest[1:]
+        if rest:
+            p2, rest = int(rest[0]), rest[1:]
+        if p1 < 0 or p2 < 0:
+            raise ValueError(f"{name!r} frame bounds must be >= 0")
     if rest:
         raise ValueError(f"too many arguments for {name!r}: {spec!r}")
-    return name, values, offset, fill
+    return name, values, p1, p2, fill
 
 
 def _cols_to_limbs(cols):
@@ -122,6 +167,51 @@ def _seg_scan(vals, rn0, combine, identity):
     return w
 
 
+def _pow2_tables(vals, max_len, combine, identity):
+    """Sparse table for sliding frames: ``tables[k][i]`` = combine over
+    ``vals[i - 2**k + 1 .. i]`` (identity-padded past the left edge).
+    Levels up to the smallest power of two >= ``max_len`` — log2 shifted
+    elementwise sweeps, same cost shape as :func:`_seg_scan`."""
+    tables = [vals]
+    s = 1
+    while s < max_len:
+        tables.append(
+            combine(tables[-1], _shift_back(tables[-1], s, identity))
+        )
+        s *= 2
+    return tables
+
+
+def _rolling_two_windows(tables, ws, we):
+    """The classic idempotent-reduce trick: a window [ws, we] is covered by
+    two overlapping power-of-2 windows of span ``2**floor(log2(len))`` ending
+    at ``we`` and starting at ``ws``. Returns the two table entries (the
+    caller combines them); two gathers over the stacked (levels, n) table."""
+    st = jnp.stack(tables)
+    L = we - ws + 1
+    k = jnp.int32(31) - jax.lax.clz(L)  # floor(log2(L)); L >= 1
+    span = jnp.left_shift(jnp.int32(1), k)
+    return st[k, we], st[k, ws + span - 1]
+
+
+def _binary_decomp_sum(tables, ws, we, zero):
+    """Window sum from the binary decomposition of the window length:
+    walk the length's bits from the top, taking one power-of-2 table entry
+    (a balanced tree sum) per set bit. Accuracy ~ULP(window_sum) x
+    log2(max_len) — no prefix-difference cancellation. One gather per
+    level (static unroll)."""
+    n = tables[0].shape[0]
+    L = we - ws + 1
+    acc = jnp.full(L.shape, zero, tables[0].dtype)
+    pos = we
+    for k in reversed(range(len(tables))):
+        take = ((L >> k) & 1) == 1
+        piece = tables[k][jnp.clip(pos, 0, n - 1)]
+        acc = acc + jnp.where(take, piece, zero)
+        pos = pos - jnp.where(take, jnp.int32(1 << k), 0)
+    return acc
+
+
 def _mean_dt(dt):
     return jnp.float64 if dt == jnp.float64 else jnp.float32
 
@@ -135,15 +225,31 @@ def window(ops, *, partition_by=None, order_by=None):
         ``order_by`` order (ties broken by input order; deterministic);
       - ``"rank"`` / ``"dense_rank"`` — SQL semantics over ``order_by``
         ties (with no ``order_by`` every row ranks 1);
+      - ``"percent_rank"`` / ``"cume_dist"`` — SQL relative ranks:
+        ``(rank-1)/(count-1)`` (0 for single-row partitions) and
+        ``peers_through_self / count``, both float32;
       - ``"count"`` — partition size, broadcast to every row;
+      - ``("ntile", n)`` — 1-based bucket of an n-way even split of the
+        partition (first ``count mod n`` buckets one row larger);
       - ``(agg, values)`` with agg in sum/min/max/mean — partition-wide
         aggregate broadcast to every row;
       - ``("cumsum"|"cummin"|"cummax", values)`` — running aggregate over
         the partition's rows up to and including the current row;
       - ``("first_value"|"last_value", values)`` — the partition's
         first/last row's value under ``order_by``;
+      - ``("nth_value", values, k[, fill])`` — the partition's k-th row's
+        value under ``order_by`` (fill where the partition has < k rows);
       - ``("lag"|"lead", values[, offset[, fill]])`` — the value ``offset``
-        rows back/ahead within the partition (default offset 1, fill 0).
+        rows back/ahead within the partition (default offset 1, fill 0);
+      - ``("rolling_sum"|"rolling_min"|"rolling_max"|"rolling_mean",
+        values, preceding[, following])`` and ``("rolling_count",
+        preceding[, following])`` — sliding-frame aggregates over ``ROWS
+        BETWEEN preceding PRECEDING AND following FOLLOWING`` (following
+        defaults 0), clamped to the partition. Frame bounds are static
+        ints. Integer rolling sums are exact (modular prefix difference);
+        float rolling sums take a binary-decomposition of power-of-2 tree
+        sums (~ULP(window_sum) x log accuracy, no prefix cancellation);
+        min/max use the two-overlapping-windows sparse table.
 
     ``partition_by`` / ``order_by``: None, a column, or a list of columns
     (any supported dtype mix; multi-column keys order lexicographically).
@@ -183,14 +289,16 @@ def window(ops, *, partition_by=None, order_by=None):
                          "(partition_by, order_by, or a value column)")
 
     def _out_dt(name, values):
-        if name in _RANK_OPS:
+        if name in ("percent_rank", "cume_dist"):
+            return jnp.float32
+        if name in _RANK_OPS or name in _PARAM_OPS:
             return jnp.int32
-        if name == "mean":
+        if name in ("mean", "rolling_mean"):
             return _mean_dt(values.dtype)
         return values.dtype
 
     if n == 0:
-        outs = [jnp.zeros((0,), _out_dt(nm, v)) for nm, v, _, _ in specs]
+        outs = [jnp.zeros((0,), _out_dt(nm, v)) for nm, v, _, _, _ in specs]
         return outs[0] if single else outs
 
     p_limbs = _cols_to_limbs(p_cols)
@@ -199,7 +307,7 @@ def window(ops, *, partition_by=None, order_by=None):
     # one stable sort by (partition, order); position + value columns ride
     pos = jnp.arange(n, dtype=jnp.int32)
     val_ids, val_arrays = {}, []
-    for _, v, _, _ in specs:
+    for _, v, _, _, _ in specs:
         if v is not None and id(v) not in val_ids:
             val_ids[id(v)] = len(val_arrays)
             val_arrays.append(v)
@@ -232,7 +340,8 @@ def window(ops, *, partition_by=None, order_by=None):
         return vals_s[val_ids[id(spec_v)]]
 
     results = []
-    for name, v, offset, fill in specs:
+    for name, v, p1, p2, fill in specs:
+        offset = p1  # lag/lead shift; nth_value's k; ntile's bucket count
         if name == "row_number":
             results.append(rn0 + 1)
         elif name == "rank":
@@ -244,6 +353,77 @@ def window(ops, *, partition_by=None, order_by=None):
             results.append(rid - rid_start + 1)
         elif name == "count":
             results.append(pend - start + 1)
+        elif name == "percent_rank":
+            run_start = jax.lax.cummax(jnp.where(order_first, i, -1))
+            rank = run_start - start + 1
+            cnt = pend - start + 1
+            denom = jnp.maximum(cnt - 1, 1).astype(jnp.float32)
+            results.append(
+                jnp.where(
+                    cnt > 1, (rank - 1).astype(jnp.float32) / denom, 0.0
+                )
+            )
+        elif name == "cume_dist":
+            order_last = jnp.concatenate(
+                [order_first[1:], jnp.ones((1,), jnp.bool_)]
+            )
+            run_end = jax.lax.cummin(
+                jnp.where(order_last, i, big), reverse=True
+            )
+            cnt = pend - start + 1
+            results.append(
+                (run_end - start + 1).astype(jnp.float32)
+                / cnt.astype(jnp.float32)
+            )
+        elif name == "ntile":
+            cnt = pend - start + 1
+            base = cnt // offset
+            extra = cnt % offset
+            thr = extra * (base + 1)
+            # base == 0 (fewer rows than buckets): thr == cnt, so every row
+            # takes the first branch and the max() guard below stays inert
+            tile = jnp.where(
+                rn0 < thr,
+                rn0 // (base + 1),
+                extra + (rn0 - thr) // jnp.maximum(base, 1),
+            )
+            results.append(tile.astype(jnp.int32) + 1)
+        elif name == "rolling_count":
+            ws = jnp.maximum(start, i - p1)
+            we = jnp.minimum(pend, i + p2)
+            results.append((we - ws + 1).astype(jnp.int32))
+        elif name in _ROLLING_OPS:
+            sv = _sv(v)
+            ws = jnp.maximum(start, i - p1)
+            we = jnp.minimum(pend, i + p2)
+            max_len = p1 + p2 + 1
+            if name in ("rolling_min", "rolling_max"):
+                w = K.encode(sv)
+                if name == "rolling_min":
+                    ident = jnp.array(jnp.iinfo(w.dtype).max, w.dtype)
+                    comb = jnp.minimum
+                else:
+                    ident = jnp.array(0, w.dtype)
+                    comb = jnp.maximum
+                tables = _pow2_tables(w, max_len, comb, ident)
+                a, b = _rolling_two_windows(tables, ws, we)
+                results.append(K.decode(comb(a, b), sv.dtype))
+            else:  # rolling_sum / rolling_mean
+                if jnp.issubdtype(sv.dtype, jnp.floating):
+                    tables = _pow2_tables(
+                        sv, max_len, jnp.add, sv.dtype.type(0)
+                    )
+                    s = _binary_decomp_sum(tables, ws, we, sv.dtype.type(0))
+                else:
+                    csum = jnp.cumsum(sv)
+                    prev = jnp.where(
+                        ws > 0, csum[jnp.maximum(ws - 1, 0)], 0
+                    )
+                    s = csum[we] - prev  # exact under modular arithmetic
+                if name == "rolling_mean":
+                    mdt = _mean_dt(sv.dtype)
+                    s = s.astype(mdt) / (we - ws + 1).astype(mdt)
+                results.append(s)
         elif name in ("sum", "mean", "cumsum"):
             sv = _sv(v)
             is_float = jnp.issubdtype(sv.dtype, jnp.floating)
@@ -296,6 +476,16 @@ def window(ops, *, partition_by=None, order_by=None):
         elif name == "last_value":
             sv = _sv(v)
             results.append(sv[pend])
+        elif name == "nth_value":
+            sv = _sv(v)
+            fill_v = sv.dtype.type(0) if fill is None else jnp.asarray(
+                fill, sv.dtype
+            )
+            idx = start + (offset - 1)
+            ok = idx <= pend
+            results.append(
+                jnp.where(ok, sv[jnp.clip(idx, 0, n - 1)], fill_v)
+            )
         else:  # lag / lead
             sv = _sv(v)
             fill_v = sv.dtype.type(0) if fill is None else jnp.asarray(

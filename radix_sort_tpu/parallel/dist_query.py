@@ -438,14 +438,16 @@ def distributed_hash_join(
     exchange_capacity_factor: float = 2.0,
     how: str = "inner",
 ):
-    """Equi-join over row-sharded relations (``how``: inner/left/semi/anti,
-    see :func:`radix_sort_tpu.ops.query.hash_join`).
+    """Equi-join over row-sharded relations (``how``: inner/left/right/
+    full/semi/anti, see :func:`radix_sort_tpu.ops.query.hash_join`).
 
     Both sides are range-routed with ONE shared splitter sketch (sampled
     from both sides' keys), so matching keys land on the same shard; each
     shard then runs a local sort-merge join (co-partitioning places every
     row with a given key on one shard, so per-left-row match counts — and
-    hence left/semi/anti emission — are locally complete). Returns per-shard
+    hence left/semi/anti emission — are locally complete; full outer joins
+    append each shard's unmatched right rows after its left-join block, and
+    right joins evaluate with the sides swapped). Returns per-shard
     padded results ``(keys, left_vals, right_vals, counts, overflow)``:
     shard s's valid rows are its first ``counts[s]``; ``overflow`` covers
     both exchange-capacity and join-capacity overflows.
@@ -460,6 +462,13 @@ def distributed_hash_join(
     """
     if how not in query.JOIN_HOWS:
         raise ValueError(f"how must be one of {query.JOIN_HOWS}, got {how!r}")
+    if how == "right":
+        jk, j_rv, j_lv, cnts, ovf = distributed_hash_join(
+            right_keys, right_values, left_keys, left_values, mesh,
+            axis_name, capacity_per_shard=capacity_per_shard,
+            exchange_capacity_factor=exchange_capacity_factor, how="left",
+        )
+        return jk, j_lv, j_rv, cnts, ovf
     from radix_sort_tpu import keys as K
     from radix_sort_tpu.parallel import dist_sort
 
@@ -533,6 +542,19 @@ def distributed_hash_join(
             how=how,
             valid_left=lvalid,
         )
+        if how == "full":
+            # co-partitioning makes unmatched-right detection local: append
+            # this shard's unmatched valid right rows after its left block
+            rvalid = jnp.arange(cap_r) < rcnt
+            out_ks_l, out_lv, out_rv, cnt, jovf = (
+                query.append_unmatched_right(
+                    query._as_limb_list(out_k), out_lv, out_rv, cnt, jovf,
+                    query._as_limb_list(rws), rvs, lo, hi,
+                    capacity=capacity_per_shard,
+                    valid_left=lvalid, valid_right=rvalid,
+                )
+            )
+            out_k = out_ks_l if nk > 1 else out_ks_l[0]
         ovf = lovf[0] | rovf[0] | jovf
         gcnt = jax.lax.all_gather(cnt.reshape(1), axis_name, tiled=True)
         govf = jax.lax.psum(ovf.astype(jnp.int32), axis_name) > 0

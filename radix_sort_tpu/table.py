@@ -241,13 +241,15 @@ class Table:
         """Equi-join with ``other`` on the shared ``on`` column(s).
 
         Returns ``(Table, overflow)``. Result columns: the ``on`` keys,
-        this table's other columns, and (for inner/left) ``other``'s other
-        columns — renamed with ``suffix`` on collision; semi/anti emit left
-        columns only (SQL semantics). Rows order by left row then right
-        sorted position; unmatched rows of a left join carry zeros in the
-        right columns. ``capacity`` bounds the static result size;
-        ``overflow`` is True if the true result was larger (rows [0,
-        count) are exact regardless)."""
+        this table's other columns, and (for inner/left/right/full)
+        ``other``'s other columns — renamed with ``suffix`` on collision;
+        semi/anti emit left columns only (SQL semantics). Rows order by left
+        row then right sorted position (right joins: by right row then left
+        sorted position; full joins: the left-join rows then the unmatched
+        right rows); unmatched rows carry zeros in the other side's columns.
+        ``capacity`` bounds the static result size; ``overflow`` is True if
+        the true result was larger (rows [0, count) are exact
+        regardless)."""
         on = _as_list(on)
         lk = self._resolve(on)
         rk = other._resolve(on)
@@ -263,16 +265,18 @@ class Table:
             flagged = True
         else:
             flagged = False
-        lidx = jnp.arange(self._n, dtype=jnp.int32)
-        ridx1 = jnp.arange(other._n, dtype=jnp.int32) + 1  # 1-based: 0 = none
+        # both sides 1-based so 0 = "no row" works for every variant
+        # (full/right joins emit rows with no left match)
+        lidx1 = jnp.arange(self._n, dtype=jnp.int32) + 1
+        ridx1 = jnp.arange(other._n, dtype=jnp.int32) + 1
         jk, jl, jr, cnt, ovf = rst.hash_join(
-            lk, lidx, rk, ridx1, capacity=capacity, how=how
+            lk, lidx1, rk, ridx1, capacity=capacity, how=how
         )
         jks = list(jk) if isinstance(jk, (list, tuple)) else [jk]
         if flagged:
             fcol, jks = jks[0], jks[1:]
         valid = jnp.arange(capacity, dtype=jnp.int32) < cnt
-        if flagged and how in ("left", "anti"):
+        if flagged and how in ("left", "anti", "right", "full"):
             # unmatched padding rows emit under these variants; drop them
             keep = valid & (fcol == 0)
             *packed, cnt = rst.filter(keep, *jks, jl, jr)
@@ -280,12 +284,13 @@ class Table:
             valid = jnp.arange(capacity, dtype=jnp.int32) < cnt
 
         cols = dict(zip(on, jks))
-        lg = jnp.clip(jl, 0, self._n - 1)
+        matched_l = valid & (jl > 0)
+        lg = jnp.clip(jl - 1, 0, self._n - 1)
         for name, c in self._cols.items():
             if name in on:
                 continue
-            cols[name] = jnp.where(valid, c[lg], 0)
-        if how in ("inner", "left"):
+            cols[name] = jnp.where(matched_l, c[lg], 0)
+        if how in ("inner", "left", "right", "full"):
             matched = valid & (jr > 0)
             rg = jnp.clip(jr - 1, 0, other._n - 1)
             for name, c in other._cols.items():
@@ -307,7 +312,10 @@ class Table:
                 specs.append(spec)
             else:
                 spec = list(spec)
-                spec[1] = self._resolve(spec[1])[0]
+                # value-less parameterized ops (ntile, rolling_count) carry
+                # ints after the name, not a value column
+                if spec[0] not in ("ntile", "rolling_count"):
+                    spec[1] = self._resolve(spec[1])[0]
                 specs.append(tuple(spec))
         p_cols = self._resolve(partition_by)
         flag = self._flag()

@@ -129,7 +129,7 @@ class TestDistributedHashJoin:
         assert not bool(ovf)
         assert int(np.asarray(cnts).sum()) == expected
 
-    @pytest.mark.parametrize("how", ["left", "semi", "anti"])
+    @pytest.mark.parametrize("how", ["left", "semi", "anti", "right", "full"])
     def test_hows_match_single_chip(self, rng, mesh, how):
         from radix_sort_tpu.ops import query
 

@@ -194,6 +194,130 @@ class TestJoinHows:
         )
         assert got == ref
 
+    def _left_oracle(self, lk, lv, rk, rv):
+        """(key, lval, rval) rows of a left join: by left row, matches in
+        right sorted order, unmatched left rows once with rval 0."""
+        order = np.argsort(rk, kind="stable")
+        rks, rvs = rk[order], rv[order]
+        ref = []
+        for i in range(len(lk)):
+            ms = [rvs[j] for j in range(len(rks)) if rks[j] == lk[i]]
+            if ms:
+                ref += [(lk[i], lv[i], m) for m in ms]
+            else:
+                ref.append((lk[i], lv[i], 0))
+        return ref
+
+    def test_right_join(self, rng):
+        lk, lv, rk, rv = self._sides(rng)
+        # mirror of the left join with sides swapped (and value slots back
+        # in (left, right) order)
+        ref = [(k, l, r) for (k, r, l) in self._left_oracle(rk, rv, lk, lv)]
+        cap = len(ref) + 32
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
+            capacity=cap, how="right",
+        )
+        cnt = int(cnt)
+        assert not bool(ovf) and cnt == len(ref)
+        got = list(
+            zip(np.asarray(jk)[:cnt], np.asarray(jlv)[:cnt], np.asarray(jrv)[:cnt])
+        )
+        assert got == ref
+
+    def test_full_join(self, rng):
+        lk, lv, rk, rv = self._sides(rng)
+        ref = self._left_oracle(lk, lv, rk, rv)
+        # then every unmatched right row, in right sorted order, lval 0
+        order = np.argsort(rk, kind="stable")
+        for j in order:
+            if rk[j] not in lk:
+                ref.append((rk[j], 0, rv[j]))
+        cap = len(ref) + 32
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
+            capacity=cap, how="full",
+        )
+        cnt = int(cnt)
+        assert not bool(ovf) and cnt == len(ref)
+        got = list(
+            zip(np.asarray(jk)[:cnt], np.asarray(jlv)[:cnt], np.asarray(jrv)[:cnt])
+        )
+        assert got == ref
+
+    def test_full_join_overflow_prefix_exact(self, rng):
+        lk, lv, rk, rv = self._sides(rng, nl=60, nr=80, kmax=20)
+        ref = self._left_oracle(lk, lv, rk, rv)
+        order = np.argsort(rk, kind="stable")
+        for j in order:
+            if rk[j] not in lk:
+                ref.append((rk[j], 0, rv[j]))
+        cap = len(ref) - 5  # force overflow; first cap rows must stay exact
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
+            capacity=cap, how="full",
+        )
+        assert bool(ovf) and int(cnt) == cap
+        got = list(zip(np.asarray(jk), np.asarray(jlv), np.asarray(jrv)))
+        assert got == ref[:cap]
+
+    def test_full_join_empty_sides(self):
+        rk = np.array([7, 2, 7], np.uint32)
+        rv = np.array([70, 20, 71], np.uint32)
+        e = jnp.zeros(0, jnp.uint32)
+        # empty left: all right rows unmatched, right sorted order
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            e, e, jnp.asarray(rk), jnp.asarray(rv), capacity=8, how="full",
+        )
+        cnt = int(cnt)
+        assert cnt == 3 and not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(jk)[:cnt], [2, 7, 7])
+        np.testing.assert_array_equal(np.asarray(jrv)[:cnt], [20, 70, 71])
+        assert not np.asarray(jlv).any()
+        # empty right: degenerates to the left join
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            jnp.asarray(rk), jnp.asarray(rv), e, e, capacity=8, how="full",
+        )
+        cnt = int(cnt)
+        assert cnt == 3 and not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(jk)[:cnt], rk)
+        np.testing.assert_array_equal(np.asarray(jlv)[:cnt], rv)
+        assert not np.asarray(jrv).any()
+
+    def test_full_join_composite_keys(self, rng):
+        nl, nr = 120, 90
+        lk1 = rng.integers(0, 6, nl).astype(np.uint32)
+        lk2 = rng.integers(-4, 4, nl).astype(np.int32)
+        rk1 = rng.integers(0, 6, nr).astype(np.uint32)
+        rk2 = rng.integers(-4, 4, nr).astype(np.int32)
+        lv = rng.integers(0, 2**31, nl).astype(np.uint32)
+        rv = rng.integers(0, 2**31, nr).astype(np.uint32)
+        lt = list(zip(lk1.tolist(), lk2.tolist()))
+        rt = list(zip(rk1.tolist(), rk2.tolist()))
+        order = sorted(range(nr), key=lambda j: (rt[j][0], rt[j][1], j))
+        ref = []
+        for i in range(nl):
+            ms = [rv[j] for j in order if rt[j] == lt[i]]
+            if ms:
+                ref += [(lt[i], lv[i], m) for m in ms]
+            else:
+                ref.append((lt[i], lv[i], 0))
+        for j in order:
+            if rt[j] not in lt:
+                ref.append((rt[j], 0, rv[j]))
+        cap = len(ref) + 16
+        jk, jlv, jrv, cnt, ovf = query.hash_join(
+            [jnp.asarray(lk1), jnp.asarray(lk2)], jnp.asarray(lv),
+            [jnp.asarray(rk1), jnp.asarray(rk2)], jnp.asarray(rv),
+            capacity=cap, how="full",
+        )
+        cnt = int(cnt)
+        assert not bool(ovf) and cnt == len(ref)
+        k1, k2 = np.asarray(jk[0]), np.asarray(jk[1])
+        got = [((int(k1[t]), int(k2[t])), np.asarray(jlv)[t], np.asarray(jrv)[t])
+               for t in range(cnt)]
+        assert got == ref
+
     @pytest.mark.parametrize("how", ["semi", "anti"])
     def test_semi_anti(self, rng, how):
         lk, lv, rk, rv = self._sides(rng)

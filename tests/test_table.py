@@ -163,6 +163,52 @@ class TestJoin:
         )
         assert "name" not in semi.column_names
 
+    def test_right_join_unmatched_zero(self):
+        lt = Table({"k": jnp.asarray([2], jnp.uint32),
+                    "v": jnp.asarray([20], jnp.int32)})
+        rt = Table({"k": jnp.asarray([1, 2, 3], jnp.uint32),
+                    "u": jnp.asarray([10, 7, 30], jnp.int32)})
+        t, ovf = lt.join(rt, on="k", how="right", capacity=8)
+        out = t.to_numpy()
+        np.testing.assert_array_equal(out["k"], [1, 2, 3])
+        np.testing.assert_array_equal(out["u"], [10, 7, 30])
+        np.testing.assert_array_equal(out["v"], [0, 20, 0])
+
+    def test_full_join_both_sides(self):
+        lt = Table({"k": jnp.asarray([1, 2], jnp.uint32),
+                    "v": jnp.asarray([10, 20], jnp.int32)})
+        rt = Table({"k": jnp.asarray([2, 3], jnp.uint32),
+                    "u": jnp.asarray([7, 9], jnp.int32)})
+        t, ovf = lt.join(rt, on="k", how="full", capacity=8)
+        out = t.to_numpy()
+        np.testing.assert_array_equal(out["k"], [1, 2, 3])
+        np.testing.assert_array_equal(out["v"], [10, 20, 0])
+        np.testing.assert_array_equal(out["u"], [0, 7, 9])
+
+    def test_full_join_padding_never_emits(self, tbl, rng):
+        # filtered (padded) tables on both sides: padding rows must not
+        # appear as phantom unmatched rows under full outer join
+        rt_cols = {
+            "k": rng.integers(0, 30, 128).astype(np.uint32),
+            "u": rng.integers(0, 100, 128).astype(np.int32),
+        }
+        lt = _t(tbl).filter(lambda t: t["v"] > 800)
+        rt = _t(rt_cols).filter(lambda t: t["u"] > 50)
+        t, ovf = lt.join(rt, on="k", how="full", capacity=1 << 14)
+        assert not bool(ovf)
+        out = t.to_numpy()
+        lkeep = tbl["v"] > 800
+        rkeep = rt_cols["u"] > 50
+        lk, rk = tbl["k"][lkeep], rt_cols["k"][rkeep]
+        n_pairs = sum(
+            (rk == k).sum() if (rk == k).any() else 1 for k in lk
+        )
+        n_unmatched_r = (~np.isin(rk, lk)).sum()
+        assert out["k"].shape[0] == n_pairs + n_unmatched_r
+        # every unmatched-right row carries zeros in the left columns
+        tail = out["k"][n_pairs:]
+        assert not np.isin(tail, lk).any()
+
     def test_name_collision_suffix(self):
         lt = Table({"k": jnp.asarray([1], jnp.uint32),
                     "v": jnp.asarray([10], jnp.int32)})
@@ -200,6 +246,25 @@ class TestWindowTopK:
         v = np.sort(tbl["v"][tbl["k"] < 10])
         exp = v[[0, int(np.floor(0.5 * (len(v) - 1))), len(v) - 1]]
         np.testing.assert_array_equal(got, exp)
+
+
+class TestWindowParamOps:
+    def test_ntile_rolling_through_facade(self, tbl):
+        t = _t(tbl).window(
+            {"nt": ("ntile", 4), "rs": ("rolling_sum", "v", 2),
+             "pr": "percent_rank"},
+            partition_by="k", order_by="v",
+        )
+        out = t.to_numpy()
+        ref = rst.window(
+            [("ntile", 4), ("rolling_sum", jnp.asarray(tbl["v"]), 2),
+             "percent_rank"],
+            partition_by=jnp.asarray(tbl["k"]),
+            order_by=jnp.asarray(tbl["v"]),
+        )
+        np.testing.assert_array_equal(out["nt"], np.asarray(ref[0]))
+        np.testing.assert_array_equal(out["rs"], np.asarray(ref[1]))
+        np.testing.assert_allclose(out["pr"], np.asarray(ref[2]))
 
 
 class TestJit:

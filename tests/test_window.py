@@ -25,7 +25,7 @@ def data(rng):
     return part, order, vals_i, vals_f
 
 
-def _oracle(name, part, order, vals=None, offset=1, fill=0):
+def _oracle(name, part, order, vals=None, offset=1, fill=0, following=0):
     """Row-at-a-time per-partition evaluation in input-order-stable
     (partition, order) sorted order, results mapped back to input rows."""
     n = len(part)
@@ -39,6 +39,17 @@ def _oracle(name, part, order, vals=None, offset=1, fill=0):
         v = vals[idx].astype(np.float64) if vals is not None else None
         for j, row in enumerate(idx):
             ties_before = np.nonzero(o[: j + 1] == o[j])[0]
+            if name.startswith("rolling_"):
+                ws, we = max(0, j - offset), min(m - 1, j + following)
+                wv = v[ws:we + 1] if v is not None else None
+                out[row] = {
+                    "rolling_count": we - ws + 1,
+                    "rolling_sum": wv.sum() if wv is not None else 0,
+                    "rolling_min": wv.min() if wv is not None else 0,
+                    "rolling_max": wv.max() if wv is not None else 0,
+                    "rolling_mean": wv.mean() if wv is not None else 0,
+                }[name]
+                continue
             if name == "row_number":
                 out[row] = j + 1
             elif name == "rank":
@@ -69,6 +80,17 @@ def _oracle(name, part, order, vals=None, offset=1, fill=0):
                 out[row] = v[j - offset] if j >= offset else fill
             elif name == "lead":
                 out[row] = v[j + offset] if j + offset < m else fill
+            elif name == "percent_rank":
+                out[row] = ties_before[0] / (m - 1) if m > 1 else 0.0
+            elif name == "cume_dist":
+                out[row] = (np.nonzero(o == o[j])[0][-1] + 1) / m
+            elif name == "ntile":
+                base, extra = divmod(m, offset)
+                thr = extra * (base + 1)
+                out[row] = 1 + (j // (base + 1) if j < thr
+                                else extra + (j - thr) // max(base, 1))
+            elif name == "nth_value":
+                out[row] = v[offset - 1] if m >= offset else fill
     return out
 
 
@@ -226,3 +248,97 @@ def test_empty_and_validation():
     with pytest.raises(ValueError):
         rst.window("row_number", partition_by=jnp.zeros(4, jnp.int32),
                    order_by=jnp.zeros(5, jnp.uint32))
+
+
+@pytest.mark.parametrize("name", ["percent_rank", "cume_dist"])
+def test_relative_rank_ops(data, name):
+    part, order, _, _ = data
+    got = rst.window(name, partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    want = _oracle(name, part, order)
+    np.testing.assert_allclose(np.asarray(got), want.astype(np.float32),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("b", [1, 3, 200])
+def test_ntile(data, b):
+    part, order, _, _ = data
+    got = rst.window(("ntile", b), partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    want = _oracle("ntile", part, order, offset=b)
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.int32))
+
+
+def test_nth_value(data):
+    part, order, vals_i, _ = data
+    got = rst.window(("nth_value", jnp.asarray(vals_i), 3, -1),
+                     partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    want = _oracle("nth_value", part, order, vals_i, offset=3, fill=-1)
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.int32))
+    # k beyond every partition: all fill
+    got = rst.window(("nth_value", jnp.asarray(vals_i), N + 1, -7),
+                     partition_by=jnp.asarray(part))
+    np.testing.assert_array_equal(np.asarray(got), np.full(N, -7, np.int32))
+
+
+@pytest.mark.parametrize("name", ["rolling_sum", "rolling_min",
+                                  "rolling_max", "rolling_count"])
+@pytest.mark.parametrize("p,f", [(0, 0), (5, 0), (7, 3), (1000, 2)])
+def test_rolling_int_exact(data, name, p, f):
+    part, order, vals_i, _ = data
+    spec = ((name, p, f) if name == "rolling_count"
+            else (name, jnp.asarray(vals_i), p, f))
+    got = rst.window(spec, partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    want = _oracle(name, part, order, vals_i, offset=p, following=f)
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.int32))
+
+
+@pytest.mark.parametrize("name", ["rolling_sum", "rolling_mean",
+                                  "rolling_min", "rolling_max"])
+def test_rolling_float(data, name):
+    part, order, _, vals_f = data
+    got = rst.window((name, jnp.asarray(vals_f), 9, 4),
+                     partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    want = _oracle(name, part, order, vals_f, offset=9, following=4)
+    if name in ("rolling_min", "rolling_max"):
+        np.testing.assert_array_equal(np.asarray(got),
+                                      want.astype(np.float32))
+    else:
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                                   atol=2e-5)
+
+
+def test_rolling_mean_int(data):
+    part, order, vals_i, _ = data
+    got = rst.window(("rolling_mean", jnp.asarray(vals_i), 4),
+                     partition_by=jnp.asarray(part),
+                     order_by=jnp.asarray(order))
+    want = _oracle("rolling_mean", part, order, vals_i, offset=4)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_rolling_no_partition(rng):
+    vals = rng.integers(-50, 50, size=257).astype(np.int32)
+    got = rst.window(("rolling_max", jnp.asarray(vals), 6))
+    part = np.zeros(257, np.int32)
+    want = _oracle("rolling_max", part, None, vals, offset=6)
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.int32))
+
+
+def test_new_spec_validation():
+    z = jnp.zeros(4, jnp.int32)
+    with pytest.raises(ValueError, match="bucket count"):
+        rst.window(("ntile", 0), partition_by=z)
+    with pytest.raises(ValueError, match="bucket count"):
+        rst.window(("ntile",), partition_by=z)
+    with pytest.raises(ValueError, match="frame"):
+        rst.window(("rolling_sum", z), partition_by=z)
+    with pytest.raises(ValueError, match=">= 0"):
+        rst.window(("rolling_sum", z, -1), partition_by=z)
+    with pytest.raises(ValueError, match="offset"):
+        rst.window(("nth_value", z, 0), partition_by=z)
+    with pytest.raises(ValueError, match="takes no value"):
+        rst.window(("percent_rank", z), partition_by=z)
