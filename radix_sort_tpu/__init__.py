@@ -30,6 +30,8 @@ from radix_sort_tpu.ops.query import (
     unique,
     searchsorted,
     AGGREGATIONS,
+    COMBINABLE_AGGREGATIONS,
+    JOIN_HOWS,
 )
 from radix_sort_tpu.ops.relational import (
     join_asof,
@@ -74,6 +76,8 @@ __all__ = [
     "Table",
     "WINDOW_OPS",
     "AGGREGATIONS",
+    "COMBINABLE_AGGREGATIONS",
+    "JOIN_HOWS",
     "IMPLEMENTATIONS",
     "__version__",
 ]

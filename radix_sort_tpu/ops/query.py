@@ -42,7 +42,16 @@ __all__ = [
     "JOIN_HOWS",
 ]
 
-AGGREGATIONS = ("sum", "count", "min", "max", "mean")
+AGGREGATIONS = (
+    "sum", "count", "min", "max", "mean",
+    "first", "last",              # group's first/last value in input order
+    "median",                     # lower order statistic (exact)
+    "var", "std",                 # population variance / stddev (two-pass)
+    "count_distinct",             # distinct values per group
+)
+# aggregations whose per-shard partials combine with a plain reduction
+# (holistic ones need the repartition plan — parallel/dist_query.py)
+COMBINABLE_AGGREGATIONS = ("sum", "count", "min", "max", "mean")
 JOIN_HOWS = ("inner", "left", "right", "full", "semi", "anti")
 
 
@@ -256,6 +265,18 @@ def hash_aggregate(keys, values, agg: str = "sum"):
     sum/count accumulate in the value dtype (modular for unsigned ints,
     IEEE for floats); min/max are exact for any supported dtype; mean is
     group sum / group count in float32 (float64 values keep float64).
+
+    The holistic aggregations:
+      - ``first`` / ``last``: the group's first/last value in INPUT order
+        (deterministic — the key sort is stable);
+      - ``median``: the exact lower median (order statistic at
+        ``(count-1)//2`` under the value dtype's total order; dtype
+        preserved — no interpolation);
+      - ``var`` / ``std``: population variance / standard deviation
+        (ddof=0), computed two-pass (mean, then squared deviations) with
+        per-group segmented reductions — float32 (float64 values keep
+        float64);
+      - ``count_distinct``: distinct values per group (int32), exact.
     """
     if isinstance(agg, (list, tuple)) or isinstance(values, (list, tuple)):
         if not (isinstance(agg, (list, tuple))
@@ -281,8 +302,9 @@ def hash_aggregate(keys, values, agg: str = "sum"):
     if values.shape[0] != n:
         raise ValueError("keys and values must have the same length")
     if n == 0:
-        vdt = jnp.int32 if agg == "count" else values.dtype
-        if agg == "mean":
+        vdt = (jnp.int32 if agg in ("count", "count_distinct")
+               else values.dtype)
+        if agg in ("mean", "var", "std"):
             vdt = jnp.float64 if values.dtype == jnp.float64 else jnp.float32
         return keys, jnp.zeros((0,), vdt), jnp.int32(0)
     if agg == "mean":
@@ -294,11 +316,13 @@ def hash_aggregate(keys, values, agg: str = "sum"):
     limbs, specs = _cols_to_limbs(cols)
     nk = len(limbs)
 
-    if agg in ("min", "max"):
-        # sort by (key, value): group min = first row, max = last row
+    if agg in ("min", "max", "median", "count_distinct"):
+        # sort by (key, value): the group's order statistics sit at known
+        # offsets and (key, value) runs mark distinct values
         vw = K.encode(values)
         out = _stable_sort([*limbs, vw], num_keys=nk + 1)
-        sk, sv = list(out[:-1]), K.decode(out[-1], values.dtype)
+        sk, svw = list(out[:-1]), out[-1]
+        sv = K.decode(svw, values.dtype)
     else:
         out = _stable_sort([*limbs, values], num_keys=nk)
         sk, sv = list(out[:-1]), out[-1]
@@ -314,6 +338,50 @@ def hash_aggregate(keys, values, agg: str = "sum"):
     def _pack(keys_out):
         return keys_out if multi else keys_out[0]
 
+    if agg in ("first", "last"):
+        pick = first if agg == "first" else last
+        *out_keys, out_vals, count = filter(pick, *uk_cols, sv)
+        return _pack(out_keys), out_vals, count
+    if agg == "median":
+        pos = jnp.arange(n, dtype=jnp.int32)
+        *out_keys, ends_c, count = filter(last, *uk_cols, pos)
+        starts_c = jnp.roll(ends_c, 1).at[0].set(-1) + 1
+        med_idx = starts_c + (ends_c - starts_c) // 2
+        return _pack(out_keys), sv[jnp.clip(med_idx, 0, n - 1)], count
+    if agg == "count_distinct":
+        # (key, value) run starts; per-group distinct count = exact
+        # int32 prefix-difference of the run-start cumsum at group ends
+        kv_first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_),
+             _limbs_differ([w[1:] for w in sk] + [svw[1:]],
+                           [w[:-1] for w in sk] + [svw[:-1]])]
+        )
+        csum = jnp.cumsum(kv_first.astype(jnp.int32))
+        *out_keys, csum_c, count = filter(last, *uk_cols, csum)
+        prev = jnp.roll(csum_c, 1).at[0].set(0)
+        return _pack(out_keys), csum_c - prev, count
+    if agg in ("var", "std"):
+        mdt = jnp.float64 if values.dtype == jnp.float64 else jnp.float32
+        x = sv.astype(mdt)
+        gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+        ones = jnp.ones((n,), mdt)
+        cntv = jax.ops.segment_sum(
+            ones, gid, num_segments=n, indices_are_sorted=True
+        )
+        sums = jax.ops.segment_sum(
+            x, gid, num_segments=n, indices_are_sorted=True
+        )
+        mean_g = sums / jnp.maximum(cntv, 1)
+        d = x - mean_g[gid]
+        m2 = jax.ops.segment_sum(
+            d * d, gid, num_segments=n, indices_are_sorted=True
+        )
+        out_v = m2 / jnp.maximum(cntv, 1)
+        if agg == "std":
+            out_v = jnp.sqrt(out_v)
+        # segment g is the g-th group in ascending key order == output row g
+        *out_keys, _, count = filter(last, *uk_cols, sv)
+        return _pack(out_keys), out_v, count
     if agg in ("sum", "count"):
         if agg == "count":
             sv = jnp.ones((n,), jnp.int32)
@@ -348,11 +416,15 @@ def _hash_aggregate_multi(keys, val_cols, aggs):
 
     All value columns ride the ONE stable sort by key limbs; per-group
     reductions then come from gid-indexed segment ops (float sums, min,
-    max — `jax.ops.segment_*` with sorted segment ids) or the exact
-    cumsum-difference trick (integer sums, counts), with every
-    compacted-at-group-end quantity going through one shared
-    :func:`filter` call. Group j of every output is the j-th distinct key
-    in ascending order. Returns ``(unique_keys, [aggregates...], count)``.
+    max, var/std — `jax.ops.segment_*` with sorted segment ids) or the
+    exact cumsum-difference trick (integer sums, counts), with every
+    compacted-at-group-end quantity (incl. ``last`` values) going through
+    one shared :func:`filter` call (``first`` values share a second).
+    ``median`` / ``count_distinct`` need a different sort order —
+    (key, value) — so each delegates to a single-aggregate call (one extra
+    sort per such column; group order is identical, so rows align). Group
+    j of every output is the j-th distinct key in ascending order.
+    Returns ``(unique_keys, [aggregates...], count)``.
     """
     for a in aggs:
         if a not in AGGREGATIONS:
@@ -372,9 +444,9 @@ def _hash_aggregate_multi(keys, val_cols, aggs):
         return jnp.float64 if dt == jnp.float64 else jnp.float32
 
     def _out_dt(a, dt):
-        if a == "count":
+        if a in ("count", "count_distinct"):
             return jnp.int32
-        if a == "mean":
+        if a in ("mean", "var", "std"):
             return _mean_dt(dt)
         return dt
 
@@ -382,6 +454,13 @@ def _hash_aggregate_multi(keys, val_cols, aggs):
         outs = [jnp.zeros((0,), _out_dt(a, v.dtype))
                 for a, v in zip(aggs, val_cols)]
         return keys, outs, jnp.int32(0)
+
+    # (key, value)-sorted holistic aggs delegate to single-agg calls (rows
+    # align: both produce groups ascending by key)
+    delegated = {
+        i: hash_aggregate(keys, val_cols[i], a)[1]
+        for i, a in enumerate(aggs) if a in ("median", "count_distinct")
+    }
 
     limbs, specs = _cols_to_limbs(cols)
     nk = len(limbs)
@@ -396,45 +475,79 @@ def _hash_aggregate_multi(keys, val_cols, aggs):
     uk_cols = _limbs_to_cols(sk, specs)
 
     # everything compacted at group ends goes through ONE filter: key
-    # columns, the group-end position (-> per-group counts), and the
-    # running cumsum of every integer-sum column (exact under modular
-    # wraparound; see the single-agg path)
+    # columns, the group-end position (-> per-group counts), the running
+    # cumsum of every integer-sum column (exact under modular wraparound;
+    # see the single-agg path), and every "last" value column
     needs_sum = [a in ("sum", "count", "mean") for a in aggs]
     int_sum_idx = [
         i for i, (a, sv) in enumerate(zip(aggs, svs))
         if needs_sum[i] and a != "count"
         and not jnp.issubdtype(sv.dtype, jnp.floating)
     ]
+    last_idx = [i for i, a in enumerate(aggs) if a == "last"]
+    first_idx = [i for i, a in enumerate(aggs) if a == "first"]
     csums = [jnp.cumsum(svs[i]) for i in int_sum_idx]
     pos = jnp.arange(n, dtype=jnp.int32)
-    *compacted, count = filter(last, *uk_cols, pos, *csums)
+    *compacted, count = filter(
+        last, *uk_cols, pos, *csums, *[svs[i] for i in last_idx]
+    )
     out_keys = compacted[:len(uk_cols)]
     pos_c = compacted[len(uk_cols)]
-    csums_c = compacted[len(uk_cols) + 1:]
+    base = len(uk_cols) + 1
+    csums_c = compacted[base:base + len(csums)]
+    lasts_c = compacted[base + len(csums):]
     group_n = pos_c - (jnp.roll(pos_c, 1).at[0].set(-1))
+    # "first" values share one more filter at group starts
+    firsts_c = []
+    if first_idx:
+        *firsts_c, _ = filter(first, *[svs[i] for i in first_idx])
 
     def _diff(c):
         return c - jnp.roll(c, 1).at[0].set(0)
 
     int_sums = {i: _diff(c) for i, c in zip(int_sum_idx, csums_c)}
+    last_vals = dict(zip(last_idx, lasts_c))
+    first_vals = dict(zip(first_idx, firsts_c))
+
+    def _segsum(x):
+        return jax.ops.segment_sum(
+            x, gid, num_segments=n, indices_are_sorted=True
+        )
 
     results = []
     for i, (a, sv) in enumerate(zip(aggs, svs)):
+        if i in delegated:
+            results.append(delegated[i])
+            continue
         if a == "count":
             results.append(group_n.astype(jnp.int32))
+            continue
+        if a == "first":
+            results.append(first_vals[i])
+            continue
+        if a == "last":
+            results.append(last_vals[i])
             continue
         is_float = jnp.issubdtype(sv.dtype, jnp.floating)
         if a in ("sum", "mean"):
             if is_float:
-                s = jax.ops.segment_sum(
-                    sv, gid, num_segments=n, indices_are_sorted=True
-                )
+                s = _segsum(sv)
             else:
                 s = int_sums[i]
             if a == "mean":
                 mdt = _mean_dt(sv.dtype)
                 s = s.astype(mdt) / jnp.maximum(group_n, 1).astype(mdt)
             results.append(s)
+        elif a in ("var", "std"):
+            # two-pass per-group moments (see the single-agg path);
+            # segment g == compacted output row g, so group_n aligns
+            mdt = _mean_dt(sv.dtype)
+            x = sv.astype(mdt)
+            cnt_g = jnp.maximum(group_n, 1).astype(mdt)
+            mean_g = _segsum(x) / cnt_g
+            d = x - mean_g[gid]
+            v = _segsum(d * d) / cnt_g
+            results.append(jnp.sqrt(v) if a == "std" else v)
         else:  # min / max — gid-indexed segment reduction on rank words
             w = K.encode(sv)
             seg = (jax.ops.segment_min if a == "min" else jax.ops.segment_max)(

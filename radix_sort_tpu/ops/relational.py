@@ -59,6 +59,7 @@ def join_asof(
     direction: str = "backward",
     tolerance=None,
     fill=0,
+    right_valid=None,
 ):
     """Nearest-key (asof) join: align each left row with one right row.
 
@@ -83,6 +84,10 @@ def join_asof(
     support 8/16/32-bit integer keys (exact, in rank space) and float32
     keys (IEEE subtraction; NaN-valued distances reject/fall backward);
     64-bit keys support backward/forward only.
+
+    ``right_valid`` (optional bool mask over ``right_keys``) excludes rows
+    from candidacy entirely — the match is the nearest VALID row (the
+    ``Table`` facade passes its padding mask). Costs two extra scans.
     """
     if direction not in ASOF_DIRECTIONS:
         raise ValueError(
@@ -117,16 +122,39 @@ def join_asof(
     r_limbs = K.encode_limbs(right_keys)
     nk = len(r_limbs)
     pos = jnp.arange(n_r, dtype=jnp.int32)
-    out = _stable_sort([*r_limbs, right_values, pos], num_keys=nk)
-    rk_s, rv_s, rp_s = list(out[:nk]), out[nk], out[nk + 1]
+    if right_valid is None:
+        out = _stable_sort([*r_limbs, right_values, pos], num_keys=nk)
+        rk_s, rv_s, rp_s = list(out[:nk]), out[nk], out[nk + 1]
+    else:
+        out = _stable_sort(
+            [*r_limbs, right_values, pos, right_valid.astype(jnp.int32)],
+            num_keys=nk,
+        )
+        rk_s, rv_s, rp_s = list(out[:nk]), out[nk], out[nk + 1]
+        rvd_s = out[nk + 2] > 0
 
     l_limbs = K.encode_limbs(left_keys)
     lo, hi = merge_rank_pair(rk_s, l_limbs)
     # backward candidate: last right row with key <= q; forward: first >= q
-    idx_b = jnp.clip(hi - 1, 0, n_r - 1)
-    idx_f = jnp.clip(lo, 0, n_r - 1)
-    m_b = hi > 0
-    m_f = lo < n_r
+    if right_valid is None:
+        idx_b = jnp.clip(hi - 1, 0, n_r - 1)
+        idx_f = jnp.clip(lo, 0, n_r - 1)
+        m_b = hi > 0
+        m_f = lo < n_r
+    else:
+        # nearest VALID candidate: forward/backward fills of valid sorted
+        # positions turn "last row <= q" into "last valid row <= q"
+        i_s = jnp.arange(n_r, dtype=jnp.int32)
+        lastv = jax.lax.cummax(jnp.where(rvd_s, i_s, -1))
+        firstv = jax.lax.cummin(
+            jnp.where(rvd_s, i_s, n_r), reverse=True
+        )
+        cand_b = lastv[jnp.clip(hi - 1, 0, n_r - 1)]
+        m_b = (hi > 0) & (cand_b >= 0)
+        idx_b = jnp.clip(cand_b, 0, n_r - 1)
+        cand_f = firstv[jnp.clip(lo, 0, n_r - 1)]
+        m_f = (lo < n_r) & (cand_f < n_r)
+        idx_f = jnp.clip(cand_f, 0, n_r - 1)
 
     is_float = np.issubdtype(kdt, np.floating)
 

@@ -59,22 +59,33 @@ def distributed_hash_aggregate(
     axis_name: str = "x",
     *,
     max_groups: int,
+    exchange_capacity_factor: float = 2.0,
 ):
     """Group-by + reduce over row-sharded keys/values.
 
-    Per-shard sort-based aggregate, then an ``all_gather`` of per-shard
-    partials and a replicated final combine. Returns replicated
-    ``(unique_keys, aggregates, count, overflow)``; rows [0, count) are the
-    groups in ascending key order. ``overflow`` is True if any shard had
-    more than ``max_groups`` local groups (result then invalid).
+    Combinable aggregations (sum/count/min/max/mean) run the two-phase
+    plan: per-shard sort-based aggregate, then an ``all_gather`` of
+    per-shard partials and a replicated final combine. Holistic
+    aggregations (first/last/median/var/std/count_distinct) run the
+    repartition (shuffle-aggregate) plan instead: rows route by key with a
+    shared splitter sketch so every group lands wholly on one shard, the
+    exact single-chip aggregate runs locally, and the disjoint per-shard
+    group results gather and merge (``exchange_capacity_factor`` provisions
+    the per-shard receive buffers against key skew — duplicate-heavy keys
+    can overflow, which is flagged). Returns replicated ``(unique_keys,
+    aggregates, count, overflow)``; rows [0, count) are the groups in
+    ascending key order. ``overflow`` is True if any shard exceeded
+    ``max_groups`` local groups or an exchange buffer (result then
+    invalid).
 
     ``keys`` may be a list/tuple of equal-length columns (composite
     GROUP BY), as in :func:`radix_sort_tpu.ops.query.hash_aggregate`;
     ``unique_keys`` is then a column list.
 
     ``values`` and ``agg`` may be parallel lists (the SQL multi-aggregate,
-    one shared local sort + one gathered combine); ``aggregates`` is then
-    a list.
+    one shared local sort + one gathered combine; any holistic member
+    routes the whole multi-aggregate through the repartition plan);
+    ``aggregates`` is then a list.
     """
     if isinstance(agg, (list, tuple)) or isinstance(values, (list, tuple)):
         if not (isinstance(agg, (list, tuple))
@@ -86,11 +97,27 @@ def distributed_hash_aggregate(
             raise ValueError(
                 "values and agg lists must be non-empty and equal-length"
             )
+        for a in agg:
+            if a not in query.AGGREGATIONS:
+                raise ValueError(
+                    f"agg must be one of {query.AGGREGATIONS}, got {a!r}"
+                )
+        if any(a not in query.COMBINABLE_AGGREGATIONS for a in agg):
+            return _distributed_holistic_aggregate(
+                keys, list(values), list(agg), mesh, axis_name,
+                max_groups, exchange_capacity_factor,
+            )
         return _distributed_hash_aggregate_multi(
             keys, list(values), list(agg), mesh, axis_name, max_groups
         )
     if agg not in query.AGGREGATIONS:
         raise ValueError(f"agg must be one of {query.AGGREGATIONS}, got {agg!r}")
+    if agg not in query.COMBINABLE_AGGREGATIONS:
+        uk, outs, cnt, ovf = _distributed_holistic_aggregate(
+            keys, [values], [agg], mesh, axis_name, max_groups,
+            exchange_capacity_factor,
+        )
+        return uk, outs[0], cnt, ovf
     combine = "sum" if agg == "count" else agg
     multi = isinstance(keys, (list, tuple))
     cols = list(keys) if multi else [keys]
@@ -239,6 +266,143 @@ def _distributed_hash_aggregate_multi(keys, val_cols, aggs, mesh, axis_name,
             results.append(fparts[pi])
             pi += 1
     return (fk_cols if multi_k else fk_cols[0]), results, fc, ovf
+
+
+def _distributed_holistic_aggregate(keys, val_cols, aggs, mesh, axis_name,
+                                     max_groups, exchange_capacity_factor):
+    """Holistic aggregations (and any multi-aggregate containing one) via
+    the repartition plan — the MPP shuffle-aggregate:
+
+      1. route rows by key with one splitter sketch over a routing word
+         (the key word, or a hash mixed over all limbs for composite keys),
+         so every group lands WHOLLY on one shard (same routing as
+         :func:`distributed_hash_join`);
+      2. run the exact single-chip aggregate locally — groups are complete,
+         so even order statistics (median), distinct counts, and first/last
+         (by global input order: the original position rides the exchange
+         and a local re-sort restores it) are exact;
+      3. ``all_gather`` the per-shard group results (disjoint across
+         shards) and merge with one replicated aggregate.
+
+    Shard padding is fenced with a leading invalid word (padding groups
+    sort last and are excluded from counts). Key-only routing cannot bound
+    skew: duplicate-heavy keys can overflow the ``exchange_capacity_factor``
+    -provisioned receive buffers, which is flagged (the combinable plan in
+    :func:`distributed_hash_aggregate` has no such failure mode — use it
+    when the aggregate allows).
+    """
+    from radix_sort_tpu.parallel import dist_sort
+
+    multi_k = isinstance(keys, (list, tuple))
+    cols = list(keys) if multi_k else [keys]
+    ncols = len(cols)
+    n = cols[0].shape[0]
+    for c in cols[1:] + list(val_cols):
+        if c.shape[0] != n:
+            raise ValueError("all key/value columns must have equal length")
+    limbs, specs = query._cols_to_limbs(cols)
+    nk = len(limbs)
+    nshards = mesh.shape[axis_name]
+    sentinel = jnp.asarray(np.iinfo(np.uint32).max, dtype=jnp.uint32)
+    cap = max(
+        128,
+        -(-int(n // nshards * exchange_capacity_factor) // 128) * 128,
+    )
+    nv = len(val_cols)
+    need_pos = any(a in ("first", "last") for a in aggs)
+    single = nv == 1
+
+    def local(*ops):
+        kws = list(ops[:nk])
+        vs = list(ops[nk:])
+        shard_rows = kws[0].shape[0]
+        if need_pos:
+            r = jax.lax.axis_index(axis_name).astype(jnp.int32)
+            gpos = r * shard_rows + jnp.arange(shard_rows, dtype=jnp.int32)
+            vs = vs + [gpos]
+        route = kws[0] if nk == 1 else _mix_limbs(kws)
+        merged = jnp.sort(route)
+        splitters = dist_sort._key_splitters(merged, axis_name, nshards)
+        key_arg = kws[0] if nk == 1 else [route, *kws]
+        ws, vss, cnt, xovf = dist_sort._local_exchange(
+            key_arg, vs, axis_name, nshards, cap, sentinel,
+            splitters=splitters,
+        )
+        wlist = query._as_limb_list(ws)
+        if nk > 1:
+            wlist = wlist[1:]  # drop the routing word
+        vss = list(vss) if isinstance(vss, (list, tuple)) else [vss]
+        rcnt = cnt[0]
+        inv = (jnp.arange(cap, dtype=jnp.int32) >= rcnt).astype(jnp.uint32)
+        if need_pos:
+            gpos_x = vss[-1]
+            vss = vss[:-1]
+            # restore global input order within groups so first/last are
+            # exact (order-insensitive aggs don't care)
+            srt = query._stable_sort(
+                [inv, *wlist, gpos_x, *vss], num_keys=nk + 2
+            )
+            inv, wlist = srt[0], list(srt[1:1 + nk])
+            vss = list(srt[2 + nk:])
+        uk, outs, gcnt = query.hash_aggregate(
+            [inv, *wlist],
+            vss[0] if single else vss,
+            aggs[0] if single else list(aggs),
+        )
+        outs = [outs] if single else list(outs)
+        invc, kcols = uk[0], list(uk[1:])
+        # invalid (padding) groups sort last: valid groups are a prefix
+        pos = jnp.arange(invc.shape[0], dtype=jnp.int32)
+        nvalid = jnp.sum(((pos < gcnt) & (invc == 0)).astype(jnp.int32))
+        lovf = nvalid > max_groups
+
+        def pad(a):
+            p = max(0, max_groups - a.shape[0])
+            if p:
+                a = jnp.concatenate([a, jnp.zeros((p,), a.dtype)])
+            return a[:max_groups]
+
+        kcols = [pad(a) for a in kcols]
+        outs = [pad(a) for a in outs]
+        valid = jnp.arange(max_groups) < nvalid
+        guks = [jax.lax.all_gather(u, axis_name, tiled=True) for u in kcols]
+        gouts = [jax.lax.all_gather(o, axis_name, tiled=True) for o in outs]
+        gvalid = jax.lax.all_gather(valid, axis_name, tiled=True)
+        govf = jax.lax.psum(
+            (lovf | xovf[0]).astype(jnp.int32), axis_name
+        ) > 0
+        # groups are disjoint across shards, so ANY reduction keeps the one
+        # real row per group; "max" has an identity for every dtype, which
+        # neutralizes the re-keyed padding rows (anchor note in
+        # distributed_hash_aggregate)
+        any_valid = jnp.any(gvalid)
+        a_idx = jnp.argmax(gvalid)
+        guks2 = [jnp.where(gvalid, g, g[a_idx]) for g in guks]
+        gouts2 = [
+            jnp.where(gvalid, g, _identity(g.dtype, "max")) for g in gouts
+        ]
+        fk, fouts, fc = query.hash_aggregate(
+            guks2 if len(guks2) > 1 else guks2[0],
+            gouts2,
+            ["max"] * len(gouts2),
+        )
+        fks = tuple(fk) if len(guks2) > 1 else (fk,)
+        fc = jnp.where(any_valid, fc, 0)
+        return (*fks, *fouts, fc.reshape(1), govf.reshape(1))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * (nk + nv),
+        out_specs=(P(),) * (nk + nv + 2),
+        check_vma=False,
+    )
+    out = fn(*limbs, *val_cols)
+    fk_limbs = list(out[:nk])
+    fouts = list(out[nk:nk + nv])
+    fc, ovf = out[nk + nv][0], out[nk + nv + 1][0]
+    fk_cols = query._limbs_to_cols(fk_limbs, specs)
+    return (fk_cols if multi_k else fk_cols[0]), fouts, fc, ovf
 
 
 def distributed_unique(

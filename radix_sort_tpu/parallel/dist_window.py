@@ -74,14 +74,20 @@ def distributed_window(
 ):
     """Evaluate window functions over row-sharded columns.
 
-    Same specs and semantics as :func:`radix_sort_tpu.window` (rank ops,
-    partition-wide aggregates, running aggregates, first/last value —
-    ``lag``/``lead`` are not yet supported distributed), with
+    Same specs and semantics as :func:`radix_sort_tpu.window` (rank ops
+    incl. percent_rank/cume_dist/ntile, partition-wide aggregates, running
+    aggregates, first/last value, and rolling frames — ``lag``/``lead``/
+    ``nth_value`` are not yet supported distributed), with
     ``partition_by`` / ``order_by`` as columns or column lists sharded over
     ``mesh``'s ``axis_name``. Returns the result columns sharded exactly
     like the inputs, row-aligned: element i of every output corresponds to
     input row i. Ties in ``order_by`` break by global input position
     (deterministic, matching the single-chip op bit-for-bit).
+
+    Rolling frames exchange a halo of ``preceding`` rows from the previous
+    shard and ``following`` rows from the next (one ``ppermute`` each way);
+    a frame bound exceeding a neighbor shard's row count trips the exact
+    replicated fallback — results are always exact.
 
     ``capacity`` overrides the provisioned per-shard exchange bound
     (test/tuning knob, as in :func:`distributed_sort`).
@@ -92,8 +98,8 @@ def distributed_window(
     ]
     if not specs:
         raise ValueError("ops must contain at least one window op")
-    for name, _, _, _ in specs:
-        if name in ("lag", "lead"):
+    for name, _, _, _, _ in specs:
+        if name in ("lag", "lead", "nth_value"):
             raise ValueError(
                 f"{name!r} is not supported by distributed_window yet"
             )
@@ -139,7 +145,7 @@ def distributed_window(
 
     # distinct value columns ride the exchange once
     val_ids, val_arrays = {}, []
-    for _, v, _, _ in specs:
+    for _, v, _, _, _ in specs:
         if v is not None and id(v) not in val_ids:
             val_ids[id(v)] = len(val_arrays)
             val_arrays.append(v)
@@ -199,12 +205,18 @@ def distributed_window(
 
 
 def _respec(spec):
-    """(name, values, offset, fill) -> the public spec tuple form."""
-    name, values, offset, fill = spec
+    """(name, values, p1, p2, fill) -> the public spec tuple form."""
+    name, values, p1, p2, fill = spec
+    if name == "ntile":
+        return (name, p1)
+    if name == "rolling_count":
+        return (name, p1, p2)
     if values is None:
         return name
-    if name in ("lag", "lead"):
-        return (name, values, offset, 0 if fill is None else fill)
+    if name in W._ROLLING_OPS:
+        return (name, values, p1, p2)
+    if name in ("lag", "lead", "nth_value"):
+        return (name, values, p1, 0 if fill is None else fill)
     return (name, values)
 
 
@@ -256,25 +268,29 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
     h_cnt = jnp.sum(headm.astype(jnp.int32))
     t_cnt = jnp.sum(tailm.astype(jnp.int32))
     t_tie = jnp.sum((v & (rid == rid_last)).astype(jnp.int32))
+    h_tie = jnp.sum(in_first_run.astype(jnp.int32))
     h_runs = jnp.max(jnp.where(headm, rid, -1)) + 1
     rid_tail_start = jnp.min(jnp.where(tailm, rid, _BIG))
     t_runs = jnp.where(cnt > 0, rid_last - rid_tail_start + 1, 0)
     valid_s = cnt > 0
     whole_s = valid_s & (gid_last == 0)
-    tie_span = t_tie == cnt  # tail tie run covers every valid row
+    tie_span = t_tie == cnt   # tail tie run covers every valid row
+    htie_span = h_tie == cnt  # head tie run covers every valid row
 
     ig = _stack_gather(
         [cnt, h_cnt, t_cnt, t_tie, h_runs, t_runs,
          valid_s.astype(jnp.int32), whole_s.astype(jnp.int32),
-         tie_span.astype(jnp.int32)],
+         tie_span.astype(jnp.int32), h_tie, htie_span.astype(jnp.int32)],
         axis_name, jnp.int32,
-    )  # (P, 9)
+    )  # (P, 11)
     g_cnt, g_hcnt, g_tcnt, g_ttie, g_hruns, g_truns = (
         ig[:, 0], ig[:, 1], ig[:, 2], ig[:, 3], ig[:, 4], ig[:, 5]
     )
     g_valid = ig[:, 6] > 0
     g_whole = ig[:, 7] > 0
     g_tiespan = ig[:, 8] > 0
+    g_htie = ig[:, 9]
+    g_htiespan = ig[:, 10] > 0
 
     hp = [w[0] for w in sp]
     tp = [w[last_idx] for w in sp]
@@ -397,18 +413,26 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
     st = {
         "has": jnp.bool_(False),
         "p": [jnp.uint32(0)] * npl,
+        "o": [jnp.uint32(0)] * nol,
         "cnt": z32,
+        "tie": z32,
         "sum": [jnp.zeros((), vc.dtype) for vc in vals_s],
         "minw": [mw for (_, mw, _, _) in col_stats],
         "maxw": [jnp.zeros((), wc.dtype) for (wc, _, _, _) in col_stats],
         "last": [jnp.zeros((), vc.dtype) for vc in vals_s],
     }
-    cout = {k: [None] * nP for k in ("cnt", "sum", "minw", "maxw", "last")}
+    cout = {k: [None] * nP
+            for k in ("cnt", "tie", "sum", "minw", "maxw", "last")}
     for s in range(nP - 1, -1, -1):
         sv = g_valid[s]
         cont = st["has"] & sv & _eq_rows(st["p"], [g[s] for g in g_tp]) \
             if npl else (st["has"] & sv)
+        # suffix-head order run continues my tail run iff the order keys
+        # also match (mirror of the forward chain's oeq)
+        oeq_b = cont & (_eq_rows(st["o"], [g[s] for g in g_to])
+                        if nol else jnp.bool_(True))
         cout["cnt"][s] = jnp.where(cont, st["cnt"], 0)
+        cout["tie"][s] = jnp.where(oeq_b, st["tie"], 0)
         cout["sum"][s] = [jnp.where(cont, x, jnp.zeros((), x.dtype))
                           for x in st["sum"]]
         cout["minw"][s] = [jnp.where(cont, x, mw)
@@ -420,6 +444,11 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
                            for x in st["last"]]
         acc = cont & g_whole[s]
         n_cnt = g_hcnt[s] + jnp.where(acc, st["cnt"], 0)
+        # shard s's head run keeps accumulating iff one run covers shard s
+        # and it ties with the suffix head run
+        n_tie_b = g_htie[s] + jnp.where(
+            oeq_b & g_htiespan[s], st["tie"], 0
+        )
         n_sum = [rw[s, 1] + jnp.where(acc, x, jnp.zeros((), x.dtype))
                  for x, (_, _, rw, _) in zip(st["sum"], col_stats)]
         n_minw = [jnp.minimum(wd[s, 2], jnp.where(acc, x, mw))
@@ -432,7 +461,9 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
         st = {
             "has": st["has"] | sv,
             "p": [jnp.where(sv, g[s], x) for x, g in zip(st["p"], g_hp)],
+            "o": [jnp.where(sv, g[s], x) for x, g in zip(st["o"], g_ho)],
             "cnt": jnp.where(sv, n_cnt, st["cnt"]),
+            "tie": jnp.where(sv, n_tie_b, st["tie"]),
             "sum": [jnp.where(sv, a, b) for a, b in zip(n_sum, st["sum"])],
             "minw": [jnp.where(sv, a, b)
                      for a, b in zip(n_minw, st["minw"])],
@@ -442,6 +473,7 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
                      for a, b in zip(n_last, st["last"])],
         }
     my_cout_cnt = jnp.stack(cout["cnt"])[r]
+    my_cout_tie = jnp.stack(cout["tie"])[r]
     my_cout_sum = [jnp.stack([row[c] for row in cout["sum"]])[r]
                    for c in range(nv)]
     my_cout_minw = [jnp.stack([row[c] for row in cout["minw"]])[r]
@@ -451,11 +483,75 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
     my_cout_last = [jnp.stack([row[c] for row in cout["last"]])[r]
                     for c in range(nv)]
 
+    # ---- rolling-frame halo: frames reach at most `preceding` rows left
+    # and `following` rows right, so one ppermute each way of that many
+    # sorted rows (plus partition limbs and validity) from the neighbor
+    # shards makes every frame local. A frame bound exceeding a neighbor's
+    # valid row count trips the overflow flag -> exact replicated fallback.
+    roll_specs = [s for s in specs if s[0] in W._ROLLING_OPS]
+    roll_insufficient = jnp.bool_(False)
+    if roll_specs:
+        ph = max(s[2] for s in roll_specs)
+        fh = max(s[3] for s in roll_specs)
+        ph_eff, fh_eff = min(ph, cap), min(fh, cap)
+        roll_cids = sorted({
+            val_ids[id(s[1])] for s in roll_specs if s[1] is not None
+        })
+        vflag = v.astype(jnp.uint32)
+        halo_cols = [vflag, *sp] + [vals_s[c] for c in roll_cids]
+        hl = hr = None
+        if ph_eff:
+            # my LAST ph_eff valid rows -> next shard (left halo there)
+            lo_i = jnp.clip(cnt - ph_eff, 0, cap - ph_eff)
+            perm = [(s, s + 1) for s in range(num_devices - 1)]
+            hl = [
+                jax.lax.ppermute(
+                    jax.lax.dynamic_slice(x, (lo_i,), (ph_eff,)),
+                    axis_name, perm,
+                )
+                for x in halo_cols
+            ]
+        if fh_eff:
+            # my FIRST fh_eff rows -> previous shard (right halo there)
+            perm = [(s, s - 1) for s in range(1, num_devices)]
+            hr = [
+                jax.lax.ppermute(x[:fh_eff], axis_name, perm)
+                for x in halo_cols
+            ]
+
+        def _ext(k):
+            x = halo_cols[k]
+            if fh_eff:
+                # splice the right halo directly after my valid rows so
+                # frames stay contiguous across the shard boundary
+                x = jnp.concatenate([x, jnp.zeros((fh_eff,), x.dtype)])
+                x = jax.lax.dynamic_update_slice(x, hr[k], (cnt,))
+            if ph_eff:
+                x = jnp.concatenate([hl[k], x])
+            return x
+
+        exts = [_ext(k) for k in range(len(halo_cols))]
+        inv_ext = (exts[0] == 0).astype(jnp.uint32)
+        sp_ext = exts[1:1 + npl]
+        vals_ext = dict(zip(roll_cids, exts[1 + npl:]))
+        Lx = cap + ph_eff + fh_eff
+        ix = jnp.arange(Lx, dtype=jnp.int32)
+        pfx = W._boundary([inv_ext, *sp_ext], Lx)
+        plx = jnp.concatenate([pfx[1:], jnp.ones((1,), jnp.bool_)])
+        start_x = jax.lax.cummax(jnp.where(pfx, ix, -1))
+        pend_x = jax.lax.cummin(jnp.where(plx, ix, _BIG), reverse=True)
+        prev_cnt = g_cnt[jnp.maximum(r - 1, 0)]
+        next_cnt = g_cnt[jnp.minimum(r + 1, num_devices - 1)]
+        ins_l = ((r > 0) & (prev_cnt < ph)) if ph > 0 else jnp.bool_(False)
+        ins_r = (((r < num_devices - 1) & (next_cnt < fh))
+                 if fh > 0 else jnp.bool_(False))
+        roll_insufficient = ins_l | ins_r
+
     # ---- per-spec results on the sorted-local view ----
     headm_i = headm.astype(jnp.int32)
     tailm_i = tailm.astype(jnp.int32)
     results = []
-    for name, vcol, offset, fill in specs:
+    for name, vcol, p1, p2, fill in specs:
         c = val_ids[id(vcol)] if vcol is not None else None
         if name == "row_number":
             res = rn0 + 1 + headm_i * my_cin["cnt"]
@@ -473,6 +569,85 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
             local = pend - start + 1
             res = (local + headm_i * my_cin["cnt"]
                    + tailm_i * my_cout_cnt)
+        elif name == "percent_rank":
+            run_start = jax.lax.cummax(jnp.where(of, i, -1))
+            local = run_start - start + 1
+            adj = jnp.where(in_first_run,
+                            my_cin["cnt"] - my_cin["tie"], my_cin["cnt"])
+            rank_g = local + headm_i * adj
+            cnt_g = (pend - start + 1 + headm_i * my_cin["cnt"]
+                     + tailm_i * my_cout_cnt)
+            denom = jnp.maximum(cnt_g - 1, 1).astype(jnp.float32)
+            res = jnp.where(
+                cnt_g > 1, (rank_g - 1).astype(jnp.float32) / denom, 0.0
+            )
+        elif name == "cume_dist":
+            order_last = jnp.concatenate(
+                [of[1:], jnp.ones((1,), jnp.bool_)]
+            )
+            run_end = jax.lax.cummin(
+                jnp.where(order_last, i, _BIG), reverse=True
+            )
+            in_last_run = (rid == rid_last).astype(jnp.int32)
+            peers = (run_end - start + 1 + headm_i * my_cin["cnt"]
+                     + in_last_run * my_cout_tie)
+            cnt_g = (pend - start + 1 + headm_i * my_cin["cnt"]
+                     + tailm_i * my_cout_cnt)
+            res = (peers.astype(jnp.float32)
+                   / jnp.maximum(cnt_g, 1).astype(jnp.float32))
+        elif name == "ntile":
+            rn_g = rn0 + headm_i * my_cin["cnt"]  # 0-based global
+            cnt_g = (pend - start + 1 + headm_i * my_cin["cnt"]
+                     + tailm_i * my_cout_cnt)
+            base = cnt_g // p1
+            extra = cnt_g % p1
+            thr = extra * (base + 1)
+            tile = jnp.where(
+                rn_g < thr,
+                rn_g // (base + 1),
+                extra + (rn_g - thr) // jnp.maximum(base, 1),
+            )
+            res = tile.astype(jnp.int32) + 1
+        elif name in W._ROLLING_OPS:
+            ws = jnp.maximum(start_x, ix - p1)
+            we = jnp.minimum(pend_x, ix + p2)
+            max_len = p1 + p2 + 1
+            if name == "rolling_count":
+                res_x = (we - ws + 1).astype(jnp.int32)
+            elif name in ("rolling_min", "rolling_max"):
+                svx = vals_ext[c]
+                wcx = K.encode(svx)
+                if name == "rolling_min":
+                    ident = jnp.asarray(
+                        np.iinfo(np.dtype(wcx.dtype)).max, wcx.dtype
+                    )
+                    comb = jnp.minimum
+                else:
+                    ident = jnp.zeros((), wcx.dtype)
+                    comb = jnp.maximum
+                tables = W._pow2_tables(wcx, max_len, comb, ident)
+                a, b = W._rolling_two_windows(tables, ws, we)
+                res_x = K.decode(comb(a, b), svx.dtype)
+            else:  # rolling_sum / rolling_mean
+                svx = vals_ext[c]
+                if jnp.issubdtype(svx.dtype, jnp.floating):
+                    tables = W._pow2_tables(
+                        svx, max_len, jnp.add, svx.dtype.type(0)
+                    )
+                    s_x = W._binary_decomp_sum(
+                        tables, ws, we, svx.dtype.type(0)
+                    )
+                else:
+                    csum = jnp.cumsum(svx)
+                    prev = jnp.where(
+                        ws > 0, csum[jnp.maximum(ws - 1, 0)], 0
+                    )
+                    s_x = csum[we] - prev
+                if name == "rolling_mean":
+                    mdt = W._mean_dt(svx.dtype)
+                    s_x = s_x.astype(mdt) / (we - ws + 1).astype(mdt)
+                res_x = s_x
+            res = res_x[ph_eff:ph_eff + cap]
         elif name in ("sum", "mean"):
             sv = vals_s[c]
             seg = jax.ops.segment_sum(
@@ -558,5 +733,5 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
         np.uint32(np.iinfo(np.uint32).max), splitters=splitters_back,
     )
     outs = [x[:n_local] for x in (ov2 if isinstance(ov2, list) else [ov2])]
-    ovf = (ovf1[0] | ovf2[0]).reshape(1)
+    ovf = (ovf1[0] | ovf2[0] | roll_insufficient).reshape(1)
     return (*outs, ovf)

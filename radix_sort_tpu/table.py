@@ -202,9 +202,11 @@ class Table:
     def aggregate(self, by, aggs) -> "Table":
         """GROUP BY ``by`` (a column name/list, or None for one global
         group over the valid rows) computing ``aggs``: a dict of output
-        name -> ``(agg, column)`` with agg in sum/count/min/max/mean
-        (``"count"`` alone also works). One shared key sort computes every
-        aggregate (the engine's multi-aggregate)."""
+        name -> ``(agg, column)`` with agg in sum/count/min/max/mean/
+        first/last/median/var/std/count_distinct (``"count"`` alone also
+        works). One shared key sort computes every aggregate (the engine's
+        multi-aggregate; median/count_distinct each add one (key, value)
+        sort)."""
         by = _as_list(by)
         key_cols = self._resolve(by)
         if not key_cols:
@@ -299,6 +301,70 @@ class Table:
                 out_name = name + suffix if name in cols else name
                 cols[out_name] = jnp.where(matched, c[rg], 0)
         return Table(cols, cnt), ovf
+
+    def join_asof(self, other: "Table", on, *, direction: str = "backward",
+                  tolerance=None, suffix: str = "_r",
+                  matched_col: str | None = None) -> "Table":
+        """ASOF join (pandas ``merge_asof`` semantics): align each valid row
+        with ``other``'s nearest valid row on the shared ``on`` column
+        (``direction``: backward/forward/nearest; optional ``tolerance``).
+
+        Row-aligned: the result keeps this table's rows and count and adds
+        ``other``'s non-key columns (``suffix`` on collision), zero-filled
+        where unmatched; ``matched_col`` (optional name) adds the bool
+        match-indicator column. Padding rows on either side never match —
+        ``other``'s padding is excluded from candidacy entirely."""
+        (lk,) = self._resolve([on])
+        (rk,) = other._resolve([on])
+        rvalid = None if other._count is None else other.valid_mask()
+        ridx = jnp.arange(other._n, dtype=jnp.int32)
+        _, matched, rpos = rst.join_asof(
+            lk, rk, ridx, direction=direction, tolerance=tolerance,
+            right_valid=rvalid,
+        )
+        if self._count is not None:
+            matched = matched & self.valid_mask()
+        rg = jnp.clip(rpos, 0, other._n - 1)
+        cols = dict(self._cols)
+        for name, c in other._cols.items():
+            if name == on:
+                continue
+            out_name = name + suffix if name in cols else name
+            cols[out_name] = jnp.where(matched, c[rg], 0)
+        if matched_col is not None:
+            cols[matched_col] = matched
+        return Table(cols, self._count)
+
+    def _set_op(self, other: "Table", subset, want) -> "Table":
+        names = _as_list(subset) or list(self._cols)
+        a_cols = self._resolve(names)
+        b_cols = other._resolve(names)
+        from radix_sort_tpu.ops import relational
+        keys_out, count = relational._set_op(
+            a_cols if len(a_cols) > 1 else a_cols[0],
+            b_cols if len(b_cols) > 1 else b_cols[0],
+            want,
+            a_valid=None if self._count is None else self.valid_mask(),
+            b_valid=None if other._count is None else other.valid_mask(),
+        )
+        kouts = (list(keys_out) if isinstance(keys_out, (list, tuple))
+                 else [keys_out])
+        return Table(dict(zip(names, kouts)), count)
+
+    def union(self, other: "Table", subset=None) -> "Table":
+        """SQL ``UNION`` (distinct) over ``subset`` columns (default: all of
+        this table's columns; both tables need them with matching dtypes).
+        Padding rows on either side contribute nothing."""
+        return self._set_op(other, subset, lambda ha, hb: ha | hb)
+
+    def intersect(self, other: "Table", subset=None) -> "Table":
+        """SQL ``INTERSECT``: distinct rows present in both tables."""
+        return self._set_op(other, subset, lambda ha, hb: ha & hb)
+
+    def difference(self, other: "Table", subset=None) -> "Table":
+        """SQL ``EXCEPT``: distinct rows of this table absent from
+        ``other``."""
+        return self._set_op(other, subset, lambda ha, hb: ha & ~hb)
 
     def window(self, ops, *, partition_by=None, order_by=None) -> "Table":
         """Add window-function columns: ``ops`` is a dict of output name ->

@@ -502,3 +502,109 @@ class TestDistributedSetOps:
             ad, bd, mesh, max_unique=8
         )
         assert bool(ovf)
+
+
+class TestDistributedHolisticAggregate:
+    """first/last/median/var/std/count_distinct over the repartition
+    (shuffle-aggregate) plan vs the single-chip aggregates."""
+
+    @pytest.mark.parametrize(
+        "agg", ["first", "last", "median", "var", "std", "count_distinct"]
+    )
+    def test_matches_single_chip(self, rng, mesh, agg):
+        from radix_sort_tpu.ops import query
+
+        n = 8 * 256
+        keys = rng.integers(0, 37, n).astype(np.uint32)
+        vals = rng.integers(-100, 100, n).astype(np.int32)
+        kj, vj = runtime.shard_rows(mesh, jnp.asarray(keys), jnp.asarray(vals))
+        uk, av, cnt, ovf = dist_query.distributed_hash_aggregate(
+            kj, vj, mesh, agg, max_groups=64, exchange_capacity_factor=4.0,
+        )
+        suk, sav, scnt = query.hash_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), agg
+        )
+        assert not bool(ovf)
+        cnt = int(cnt)
+        assert cnt == int(scnt)
+        np.testing.assert_array_equal(
+            np.asarray(uk)[:cnt], np.asarray(suk)[:cnt]
+        )
+        if agg in ("var", "std"):
+            np.testing.assert_allclose(
+                np.asarray(av)[:cnt], np.asarray(sav)[:cnt],
+                rtol=1e-4, atol=1e-5,
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(av)[:cnt], np.asarray(sav)[:cnt]
+            )
+
+    def test_multi_agg_with_holistic_member(self, rng, mesh):
+        from radix_sort_tpu.ops import query
+
+        n = 8 * 256
+        keys = rng.integers(0, 20, n).astype(np.uint32)
+        v1 = rng.integers(0, 1000, n).astype(np.uint32)
+        v2 = rng.integers(-50, 50, n).astype(np.int32)
+        kj, v1j, v2j = runtime.shard_rows(
+            mesh, jnp.asarray(keys), jnp.asarray(v1), jnp.asarray(v2)
+        )
+        uk, outs, cnt, ovf = dist_query.distributed_hash_aggregate(
+            kj, [v1j, v2j, v2j], mesh, ["sum", "median", "first"],
+            max_groups=64, exchange_capacity_factor=4.0,
+        )
+        suk, souts, scnt = query.hash_aggregate(
+            jnp.asarray(keys),
+            [jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(v2)],
+            ["sum", "median", "first"],
+        )
+        assert not bool(ovf)
+        cnt = int(cnt)
+        assert cnt == int(scnt)
+        np.testing.assert_array_equal(
+            np.asarray(uk)[:cnt], np.asarray(suk)[:cnt]
+        )
+        for got, want in zip(outs, souts):
+            np.testing.assert_array_equal(
+                np.asarray(got)[:cnt], np.asarray(want)[:cnt]
+            )
+
+    def test_composite_keys(self, rng, mesh):
+        from radix_sort_tpu.ops import query
+
+        n = 8 * 256
+        k1 = rng.integers(0, 3, n).astype(np.uint32)   # low-cardinality lead
+        k2 = rng.integers(0, 11, n).astype(np.int32)
+        vals = rng.integers(0, 100, n).astype(np.int32)
+        k1j, k2j, vj = runtime.shard_rows(
+            mesh, jnp.asarray(k1), jnp.asarray(k2), jnp.asarray(vals)
+        )
+        uk, av, cnt, ovf = dist_query.distributed_hash_aggregate(
+            [k1j, k2j], vj, mesh, "median", max_groups=64,
+            exchange_capacity_factor=4.0,
+        )
+        suk, sav, scnt = query.hash_aggregate(
+            [jnp.asarray(k1), jnp.asarray(k2)], jnp.asarray(vals), "median"
+        )
+        assert not bool(ovf)
+        cnt = int(cnt)
+        assert cnt == int(scnt)
+        for g, w in zip(uk, suk):
+            np.testing.assert_array_equal(np.asarray(g)[:cnt],
+                                          np.asarray(w)[:cnt])
+        np.testing.assert_array_equal(np.asarray(av)[:cnt],
+                                      np.asarray(sav)[:cnt])
+
+    def test_skew_overflow_flagged(self, rng, mesh):
+        # all-equal keys concentrate every row on one shard: the exchange
+        # buffer (factor 1.0) cannot hold them -> flagged, never silent
+        n = 8 * 256
+        keys = np.zeros(n, np.uint32)
+        vals = rng.integers(0, 10, n).astype(np.int32)
+        kj, vj = runtime.shard_rows(mesh, jnp.asarray(keys), jnp.asarray(vals))
+        _, _, _, ovf = dist_query.distributed_hash_aggregate(
+            kj, vj, mesh, "median", max_groups=8,
+            exchange_capacity_factor=1.0,
+        )
+        assert bool(ovf)

@@ -24,7 +24,8 @@ def _mesh():
     return Mesh(np.array(jax.devices()), ("x",))
 
 
-ALL_OPS = ["row_number", "rank", "dense_rank", "count"]
+ALL_OPS = ["row_number", "rank", "dense_rank", "count", "percent_rank",
+           "cume_dist"]
 VALUE_OPS = ["sum", "min", "max", "mean", "cumsum", "cummin", "cummax",
              "first_value", "last_value"]
 
@@ -36,14 +37,17 @@ def _check(part, order, vals, *, n_part_cols=1):
     o = ([jnp.asarray(c) for c in order] if isinstance(order, list)
          else (jnp.asarray(order) if order is not None else None))
     v = jnp.asarray(vals)
-    specs = ALL_OPS + [(nm, v) for nm in VALUE_OPS]
+    specs = (ALL_OPS + [("ntile", 5), ("rolling_count", 3, 2)]
+             + [(nm, v) for nm in VALUE_OPS]
+             + [("rolling_sum", v, 4, 2), ("rolling_min", v, 3),
+                ("rolling_max", v, 0, 3), ("rolling_mean", v, 5)])
     got = distributed_window(specs, partition_by=p, order_by=o, mesh=mesh)
     want = rst.window(specs, partition_by=p, order_by=o)
     for spec, g, w in zip(specs, got, want):
         nm = spec if isinstance(spec, str) else spec[0]
         g, w = np.asarray(g), np.asarray(w)
-        if nm in ("mean", "sum", "cumsum") and np.issubdtype(
-                w.dtype, np.floating):
+        if nm in ("mean", "sum", "cumsum", "rolling_mean",
+                  "rolling_sum") and np.issubdtype(w.dtype, np.floating):
             np.testing.assert_allclose(g, w, rtol=2e-5, atol=2e-5,
                                        err_msg=nm)
         else:
@@ -147,3 +151,28 @@ def test_validation():
             (N + 1,), jnp.int32), mesh=mesh)
     with pytest.raises(ValueError):
         distributed_window("bogus", partition_by=z, mesh=mesh)
+
+
+def test_rolling_frame_exceeds_shard_falls_back_exact(rng):
+    # preceding > any shard's row count: the halo cannot cover the frame,
+    # the per-shard flag trips, and the exact replicated fallback runs
+    part = rng.integers(0, 3, size=N).astype(np.int32)
+    order = rng.integers(0, 1000, size=N).astype(np.uint32)
+    vals = rng.integers(-50, 50, size=N).astype(np.int32)
+    mesh = _mesh()
+    spec = ("rolling_sum", jnp.asarray(vals), N // 8 + 50)
+    got = distributed_window(
+        spec, partition_by=jnp.asarray(part), order_by=jnp.asarray(order),
+        mesh=mesh,
+    )
+    want = rst.window(
+        spec, partition_by=jnp.asarray(part), order_by=jnp.asarray(order)
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_unsupported_ops_raise():
+    z = jnp.zeros(N, jnp.int32)
+    for spec in [("lag", z), ("lead", z), ("nth_value", z, 2)]:
+        with pytest.raises(ValueError, match="not supported"):
+            distributed_window(spec, partition_by=z, mesh=_mesh())

@@ -51,11 +51,17 @@ class TestHashAggregate:
             "min": np.min,
             "max": np.max,
             "mean": np.mean,
+            "first": lambda g: g[0],
+            "last": lambda g: g[-1],
+            "median": lambda g: np.sort(g)[(len(g) - 1) // 2],
+            "var": lambda g: g.astype(np.float64).var(),
+            "std": lambda g: g.astype(np.float64).std(),
+            "count_distinct": lambda g: len(np.unique(g)),
         }
         ref = np.array([fns[agg](vals[keys == k]) for k in ref_keys])
-        if agg == "mean":
+        if agg in ("mean", "var", "std"):
             assert av.dtype == jnp.float32
-            np.testing.assert_allclose(np.asarray(av)[:cnt], ref, rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(av)[:cnt], ref, rtol=1e-5)
         else:
             np.testing.assert_array_equal(
                 np.asarray(av)[:cnt].astype(np.int64), ref.astype(np.int64)
@@ -109,7 +115,159 @@ class TestHashAggregate:
 
     def test_bad_agg_raises(self):
         with pytest.raises(ValueError, match="agg must be one of"):
-            query.hash_aggregate(jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.uint32), "median")
+            query.hash_aggregate(jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.uint32), "mode")
+
+
+class TestHolisticAggregations:
+    """first/last/median/var/std/count_distinct vs numpy group loops."""
+
+    def _data(self, rng, n=1500, kmax=40):
+        keys = rng.integers(0, kmax, n).astype(np.uint32)
+        vals = rng.integers(-100, 100, n).astype(np.int32)
+        return keys, vals
+
+    def _groups(self, keys):
+        return np.unique(keys)
+
+    def test_first_last(self, rng):
+        keys, vals = self._data(rng)
+        for agg in ("first", "last"):
+            uk, av, cnt = query.hash_aggregate(
+                jnp.asarray(keys), jnp.asarray(vals), agg
+            )
+            cnt = int(cnt)
+            uks = self._groups(keys)
+            assert cnt == len(uks)
+            np.testing.assert_array_equal(np.asarray(uk)[:cnt], uks)
+            for i, u in enumerate(uks):
+                grp = vals[keys == u]
+                want = grp[0] if agg == "first" else grp[-1]
+                assert np.asarray(av)[i] == want, (agg, u)
+
+    def test_median_lower(self, rng):
+        keys, vals = self._data(rng)
+        uk, av, cnt = query.hash_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), "median"
+        )
+        cnt = int(cnt)
+        for i, u in enumerate(self._groups(keys)):
+            grp = np.sort(vals[keys == u])
+            want = grp[(len(grp) - 1) // 2]  # lower median
+            assert np.asarray(av)[i] == want
+
+    def test_median_float_total_order(self, rng):
+        keys = rng.integers(0, 8, 300).astype(np.uint32)
+        vals = rng.standard_normal(300).astype(np.float32)
+        vals[:6] = [np.nan, -0.0, 0.0, np.inf, -np.inf, 1.0]
+        uk, av, cnt = query.hash_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), "median"
+        )
+        for i, u in enumerate(self._groups(keys)):
+            grp = vals[keys == u]
+            order = np.argsort([(np.isnan(x), x) for x in grp],
+                               axis=0)  # not total order for -nan; approx
+            # use the package's own total order as oracle (tested in
+            # test_keys.py): sort encoded words
+            from radix_sort_tpu import keys as K
+            w = np.asarray(K.encode(jnp.asarray(grp)))
+            srt = grp[np.argsort(w, kind="stable")]
+            want = srt[(len(grp) - 1) // 2]
+            got = np.asarray(av)[i]
+            assert (np.isnan(want) and np.isnan(got)) or want == got or (
+                want == 0 and got == 0
+            )
+
+    def test_var_std(self, rng):
+        keys, vals = self._data(rng)
+        for agg in ("var", "std"):
+            uk, av, cnt = query.hash_aggregate(
+                jnp.asarray(keys), jnp.asarray(vals), agg
+            )
+            for i, u in enumerate(self._groups(keys)):
+                grp = vals[keys == u].astype(np.float64)
+                want = grp.var() if agg == "var" else grp.std()
+                np.testing.assert_allclose(np.asarray(av)[i], want,
+                                           rtol=1e-5, atol=1e-5)
+
+    def test_var_float_values(self, rng):
+        keys, _ = self._data(rng)
+        vals = (rng.standard_normal(len(keys)) * 10).astype(np.float32)
+        uk, av, cnt = query.hash_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), "var"
+        )
+        for i, u in enumerate(self._groups(keys)):
+            want = vals[keys == u].astype(np.float64).var()
+            np.testing.assert_allclose(np.asarray(av)[i], want,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_count_distinct(self, rng):
+        keys, _ = self._data(rng)
+        vals = rng.integers(0, 12, len(keys)).astype(np.int32)
+        uk, av, cnt = query.hash_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), "count_distinct"
+        )
+        for i, u in enumerate(self._groups(keys)):
+            assert np.asarray(av)[i] == len(np.unique(vals[keys == u]))
+
+    def test_single_row_groups(self):
+        keys = jnp.asarray(np.arange(5, dtype=np.uint32))
+        vals = jnp.asarray(np.array([3, -1, 4, 1, -5], np.int32))
+        for agg, want in [
+            ("first", [3, -1, 4, 1, -5]), ("last", [3, -1, 4, 1, -5]),
+            ("median", [3, -1, 4, 1, -5]),
+            ("count_distinct", [1] * 5), ("var", [0.0] * 5),
+            ("std", [0.0] * 5),
+        ]:
+            _, av, cnt = query.hash_aggregate(keys, vals, agg)
+            assert int(cnt) == 5
+            np.testing.assert_allclose(np.asarray(av)[:5], want)
+
+    def test_multi_agg_with_holistics(self, rng):
+        keys, vals = self._data(rng)
+        vals2 = rng.integers(0, 7, len(keys)).astype(np.uint32)
+        uk, outs, cnt = query.hash_aggregate(
+            jnp.asarray(keys),
+            [jnp.asarray(vals)] * 5 + [jnp.asarray(vals2)],
+            ["first", "last", "median", "var", "sum", "count_distinct"],
+        )
+        cnt = int(cnt)
+        uks = self._groups(keys)
+        assert cnt == len(uks)
+        for i, u in enumerate(uks):
+            grp = vals[keys == u]
+            assert np.asarray(outs[0])[i] == grp[0]
+            assert np.asarray(outs[1])[i] == grp[-1]
+            assert np.asarray(outs[2])[i] == np.sort(grp)[(len(grp) - 1) // 2]
+            np.testing.assert_allclose(
+                np.asarray(outs[3])[i], grp.astype(np.float64).var(),
+                rtol=1e-5, atol=1e-5,
+            )
+            assert np.asarray(outs[4])[i] == grp.sum()
+            assert np.asarray(outs[5])[i] == len(
+                np.unique(vals2[keys == u])
+            )
+
+    def test_composite_keys_holistic(self, rng):
+        n = 600
+        k1 = rng.integers(0, 5, n).astype(np.uint32)
+        k2 = rng.integers(0, 4, n).astype(np.int32)
+        vals = rng.integers(-50, 50, n).astype(np.int32)
+        uk, av, cnt = query.hash_aggregate(
+            [jnp.asarray(k1), jnp.asarray(k2)], jnp.asarray(vals), "first"
+        )
+        cnt = int(cnt)
+        seen = sorted(set(zip(k1.tolist(), k2.tolist())))
+        assert cnt == len(seen)
+        for i, (a, b) in enumerate(seen):
+            grp = vals[(k1 == a) & (k2 == b)]
+            assert np.asarray(av)[i] == grp[0]
+
+    def test_empty_input_dtypes(self):
+        e = jnp.zeros((0,), jnp.int32)
+        for agg, dt in [("median", jnp.int32), ("count_distinct", jnp.int32),
+                        ("var", jnp.float32), ("first", jnp.int32)]:
+            _, av, cnt = query.hash_aggregate(e, e, agg)
+            assert int(cnt) == 0 and av.dtype == dt
 
 
 class TestHashJoin:

@@ -266,3 +266,61 @@ class TestQuantiles:
             rst.quantiles(x, [1.5])
         with pytest.raises(ValueError, match="empty"):
             rst.quantiles(jnp.zeros((0,), jnp.uint32), [0.5])
+
+
+class TestAsofRightValid:
+    def test_masked_rows_never_match(self, rng):
+        import radix_sort_tpu as rst
+
+        n_l, n_r = 200, 150
+        lk = rng.integers(0, 1000, n_l).astype(np.int32)
+        rk = rng.integers(0, 1000, n_r).astype(np.int32)
+        rv = rng.integers(0, 2**31, n_r).astype(np.uint32)
+        valid = rng.random(n_r) < 0.5
+        for direction in ("backward", "forward", "nearest"):
+            got_v, got_m, got_p = rst.join_asof(
+                jnp.asarray(lk), jnp.asarray(rk), jnp.asarray(rv),
+                direction=direction,
+                right_valid=jnp.asarray(valid),
+            )
+            # oracle: the plain op on the valid subset, positions remapped
+            sub_idx = np.flatnonzero(valid)
+            ref_v, ref_m, ref_p = rst.join_asof(
+                jnp.asarray(lk), jnp.asarray(rk[valid]),
+                jnp.asarray(rv[valid]), direction=direction,
+            )
+            np.testing.assert_array_equal(np.asarray(got_m),
+                                          np.asarray(ref_m), err_msg=direction)
+            np.testing.assert_array_equal(np.asarray(got_v),
+                                          np.asarray(ref_v), err_msg=direction)
+            ref_pos = np.where(np.asarray(ref_m),
+                               sub_idx[np.clip(np.asarray(ref_p), 0,
+                                               len(sub_idx) - 1)], -1)
+            np.testing.assert_array_equal(np.asarray(got_p), ref_pos,
+                                          err_msg=direction)
+
+    def test_all_invalid_matches_nothing(self, rng):
+        import radix_sort_tpu as rst
+
+        lk = jnp.asarray(np.array([5, 10], np.int32))
+        rk = jnp.asarray(np.array([1, 7], np.int32))
+        rv = jnp.asarray(np.array([11, 77], np.uint32))
+        v, m, p = rst.join_asof(
+            lk, rk, rv, right_valid=jnp.zeros(2, jnp.bool_), fill=99,
+        )
+        assert not np.asarray(m).any()
+        np.testing.assert_array_equal(np.asarray(v), [99, 99])
+        np.testing.assert_array_equal(np.asarray(p), [-1, -1])
+
+    def test_tolerance_with_validity(self, rng):
+        import radix_sort_tpu as rst
+
+        lk = jnp.asarray(np.array([10, 20, 30], np.int32))
+        rk = jnp.asarray(np.array([9, 19, 29], np.int32))
+        rv = jnp.asarray(np.array([1, 2, 3], np.uint32))
+        valid = jnp.asarray(np.array([True, False, True]))
+        v, m, p = rst.join_asof(lk, rk, rv, direction="backward",
+                                tolerance=1, right_valid=valid)
+        # query 20's nearest valid backward row is rk=9, distance 11 > tol
+        np.testing.assert_array_equal(np.asarray(m), [True, False, True])
+        np.testing.assert_array_equal(np.asarray(v), [1, 0, 3])

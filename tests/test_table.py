@@ -106,6 +106,25 @@ class TestAggregate:
         np.testing.assert_array_equal(out["k"], uk)
         np.testing.assert_array_equal(out["n"], cnts)
 
+    def test_holistic_aggs(self, tbl):
+        t = _t(tbl).aggregate(
+            "k", {"med": ("median", "v"), "f": ("first", "v"),
+                  "sd": ("std", "w"), "nd": ("count_distinct", "v")}
+        )
+        out = t.to_numpy()
+        uk = np.unique(tbl["k"])
+        np.testing.assert_array_equal(out["k"], uk)
+        for i, u in enumerate(uk):
+            grp = tbl["v"][tbl["k"] == u]
+            assert out["med"][i] == np.sort(grp)[(len(grp) - 1) // 2]
+            assert out["f"][i] == grp[0]
+            assert out["nd"][i] == len(np.unique(grp))
+            np.testing.assert_allclose(
+                out["sd"][i],
+                tbl["w"][tbl["k"] == u].astype(np.float64).std(),
+                rtol=1e-4, atol=1e-5,
+            )
+
     def test_distinct(self, tbl):
         t = _t(tbl).filter(lambda t: t["v"] > 900).distinct("k")
         np.testing.assert_array_equal(
@@ -286,3 +305,45 @@ class TestJit:
         assert cnt == len(uk_np)
         np.testing.assert_array_equal(np.asarray(uk)[:cnt], uk_np)
         np.testing.assert_array_equal(np.asarray(n_)[:cnt], cnts)
+
+
+class TestAsofAndSetOps:
+    def test_join_asof_with_padding(self, rng):
+        trades = Table({
+            "t": jnp.asarray([3, 8, 15, 22], jnp.int32),
+            "qty": jnp.asarray([1, 2, 3, 4], jnp.int32),
+        })
+        quotes_all = Table({
+            "t": jnp.asarray([1, 5, 9, 14, 20], jnp.int32),
+            "px": jnp.asarray([10, 50, 90, 140, 200], jnp.int32),
+            "ok": jnp.asarray([1, 0, 1, 1, 0], jnp.int32),
+        })
+        quotes = quotes_all.filter(lambda t: t["ok"] == 1)  # px 10/90/140
+        t = trades.join_asof(quotes.drop("ok"), "t",
+                             matched_col="matched")
+        out = t.to_numpy()
+        np.testing.assert_array_equal(out["t"], [3, 8, 15, 22])
+        # backward against valid quotes {1:10, 9:90, 14:140}
+        np.testing.assert_array_equal(out["px"], [10, 10, 140, 140])
+        assert out["matched"].all()
+
+    def test_join_asof_unmatched_zero(self):
+        lt = Table({"t": jnp.asarray([1, 9], jnp.int32)})
+        rt = Table({"t": jnp.asarray([5], jnp.int32),
+                    "px": jnp.asarray([55], jnp.int32)})
+        t = lt.join_asof(rt, "t", matched_col="m")
+        out = t.to_numpy()
+        np.testing.assert_array_equal(out["px"], [0, 55])
+        np.testing.assert_array_equal(out["m"], [False, True])
+
+    def test_set_ops_with_padding(self, tbl, rng):
+        a = _t(tbl).filter(lambda t: t["v"] > 600)
+        b = _t(tbl).filter(lambda t: t["v"] < 400)
+        ka = np.unique(tbl["k"][tbl["v"] > 600])
+        kb = np.unique(tbl["k"][tbl["v"] < 400])
+        got_u = a.union(b, "k").to_numpy()["k"]
+        got_i = a.intersect(b, "k").to_numpy()["k"]
+        got_d = a.difference(b, "k").to_numpy()["k"]
+        np.testing.assert_array_equal(got_u, np.union1d(ka, kb))
+        np.testing.assert_array_equal(got_i, np.intersect1d(ka, kb))
+        np.testing.assert_array_equal(got_d, np.setdiff1d(ka, kb))
