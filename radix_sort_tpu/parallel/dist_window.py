@@ -63,6 +63,42 @@ def _eq_rows(a, b):
     return e
 
 
+def _word_max_chains(g_stats, g_valid, g_whole, g_hp, g_tp, npl, r, nP):
+    """Partition-max carry replay for ONE derived word column.
+
+    ``g_stats``: (P, 2) gathered per-shard [head-partition max,
+    tail-partition max] of the derived word. Returns ``(cin, cout)`` for
+    shard ``r``: the max of the column over earlier shards' rows of my
+    head partition, and over later shards' rows of my tail partition —
+    the same P-step replicated replay as the main value chains, reduced
+    to one combine."""
+    zero = jnp.zeros((), g_stats.dtype)
+
+    def _run(rng, p_open, p_close, stat_col):
+        has = jnp.bool_(False)
+        p_st = [jnp.zeros((), jnp.uint32)] * npl
+        m_st = zero
+        carried = [None] * nP
+        for s in rng:
+            sv = g_valid[s]
+            cont = has & sv & _eq_rows(p_st, [g[s] for g in p_open]) \
+                if npl else (has & sv)
+            carried[s] = jnp.where(cont, m_st, zero)
+            acc = cont & g_whole[s]
+            n_m = jnp.maximum(g_stats[s, stat_col],
+                              jnp.where(acc, m_st, zero))
+            m_st = jnp.where(sv, n_m, m_st)
+            p_st = [jnp.where(sv, g[s], x) for x, g in zip(p_st, p_close)]
+            has = has | sv
+        return jnp.stack(carried)[r]
+
+    # forward: earlier shards' tail stats accumulate into my head partition
+    cin = _run(range(nP), g_hp, g_tp, 1)
+    # backward: later shards' head stats accumulate into my tail partition
+    cout = _run(range(nP - 1, -1, -1), g_tp, g_hp, 0)
+    return cin, cout
+
+
 def distributed_window(
     ops,
     *,
@@ -74,20 +110,23 @@ def distributed_window(
 ):
     """Evaluate window functions over row-sharded columns.
 
-    Same specs and semantics as :func:`radix_sort_tpu.window` (rank ops
-    incl. percent_rank/cume_dist/ntile, partition-wide aggregates, running
-    aggregates, first/last value, and rolling frames — ``lag``/``lead``/
-    ``nth_value`` are not yet supported distributed), with
-    ``partition_by`` / ``order_by`` as columns or column lists sharded over
-    ``mesh``'s ``axis_name``. Returns the result columns sharded exactly
-    like the inputs, row-aligned: element i of every output corresponds to
-    input row i. Ties in ``order_by`` break by global input position
-    (deterministic, matching the single-chip op bit-for-bit).
+    Same specs and semantics as :func:`radix_sort_tpu.window` — the FULL
+    single-chip surface (rank ops incl. percent_rank/cume_dist/ntile,
+    partition-wide aggregates, running aggregates, first/last/nth value,
+    lag/lead, rolling frames), with ``partition_by`` / ``order_by`` as
+    columns or column lists sharded over ``mesh``'s ``axis_name``. Returns
+    the result columns sharded exactly like the inputs, row-aligned:
+    element i of every output corresponds to input row i. Ties in
+    ``order_by`` break by global input position (deterministic, matching
+    the single-chip op bit-for-bit).
 
-    Rolling frames exchange a halo of ``preceding`` rows from the previous
-    shard and ``following`` rows from the next (one ``ppermute`` each way);
-    a frame bound exceeding a neighbor shard's row count trips the exact
-    replicated fallback — results are always exact.
+    Rolling frames and ``lag``/``lead`` exchange a halo of ``preceding``
+    (resp. offset) rows from the previous shard and ``following`` rows
+    from the next (one ``ppermute`` each way); a frame bound or offset
+    exceeding a neighbor shard's row count trips the exact replicated
+    fallback — results are always exact. ``nth_value`` broadcasts the
+    partition's k-th row by a marked-word partition max (one extra
+    O(P)-scalar carry replay per nth spec; no extra data exchange).
 
     ``capacity`` overrides the provisioned per-shard exchange bound
     (test/tuning knob, as in :func:`distributed_sort`).
@@ -98,11 +137,6 @@ def distributed_window(
     ]
     if not specs:
         raise ValueError("ops must contain at least one window op")
-    for name, _, _, _, _ in specs:
-        if name in ("lag", "lead", "nth_value"):
-            raise ValueError(
-                f"{name!r} is not supported by distributed_window yet"
-            )
 
     p_cols = ([] if partition_by is None else
               list(partition_by) if isinstance(partition_by, (list, tuple))
@@ -483,19 +517,54 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
     my_cout_last = [jnp.stack([row[c] for row in cout["last"]])[r]
                     for c in range(nv)]
 
-    # ---- rolling-frame halo: frames reach at most `preceding` rows left
-    # and `following` rows right, so one ppermute each way of that many
-    # sorted rows (plus partition limbs and validity) from the neighbor
-    # shards makes every frame local. A frame bound exceeding a neighbor's
-    # valid row count trips the overflow flag -> exact replicated fallback.
+    # ---- nth_value: the partition's k-th row under the global order marks
+    # its encoded word (global offsets need the forward chain, hence this
+    # second tiny replay); a partition-wide max — local segmented + one
+    # forward/backward carry per spec — broadcasts it to every row.
+    rn_g0 = rn0 + jnp.where(headm, my_cin["cnt"], 0)  # 0-based global
+    nth_carry = {}
+    for j, (name, vcol, p1, _, _) in enumerate(specs):
+        if name != "nth_value":
+            continue
+        c = val_ids[id(vcol)]
+        wc = col_stats[c][0]
+        zero = jnp.zeros((), wc.dtype)
+        marked = jnp.where(v & (rn_g0 == p1 - 1), wc, zero)
+        g_stats = _stack_gather(
+            [jnp.max(jnp.where(headm, marked, zero)),
+             jnp.max(jnp.where(tailm, marked, zero))],
+            axis_name, wc.dtype,
+        )  # (P, 2)
+        cin_j, cout_j = _word_max_chains(
+            g_stats, g_valid, g_whole, g_hp, g_tp, npl, r, num_devices
+        )
+        seg = jax.ops.segment_max(
+            marked, gid, num_segments=cap, indices_are_sorted=True
+        )
+        nth_carry[j] = jnp.maximum(
+            jnp.maximum(seg[gid], jnp.where(headm, cin_j, zero)),
+            jnp.where(tailm, cout_j, zero),
+        )
+
+    # ---- neighbor halo (rolling frames + lag/lead): frames/offsets reach
+    # at most `preceding` rows left and `following` rows right, so one
+    # ppermute each way of that many sorted rows (plus partition limbs and
+    # validity) from the neighbor shards makes every frame local. A bound
+    # exceeding a neighbor's valid row count trips the overflow flag ->
+    # exact replicated fallback.
     roll_specs = [s for s in specs if s[0] in W._ROLLING_OPS]
+    lag_specs = [s for s in specs if s[0] == "lag"]
+    lead_specs = [s for s in specs if s[0] == "lead"]
+    halo_specs = roll_specs + lag_specs + lead_specs
     roll_insufficient = jnp.bool_(False)
-    if roll_specs:
-        ph = max(s[2] for s in roll_specs)
-        fh = max(s[3] for s in roll_specs)
+    if halo_specs:
+        ph = max([s[2] for s in roll_specs]
+                 + [s[2] for s in lag_specs] + [0])
+        fh = max([s[3] for s in roll_specs]
+                 + [s[2] for s in lead_specs] + [0])
         ph_eff, fh_eff = min(ph, cap), min(fh, cap)
         roll_cids = sorted({
-            val_ids[id(s[1])] for s in roll_specs if s[1] is not None
+            val_ids[id(s[1])] for s in halo_specs if s[1] is not None
         })
         vflag = v.astype(jnp.uint32)
         halo_cols = [vflag, *sp] + [vals_s[c] for c in roll_cids]
@@ -551,7 +620,7 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
     headm_i = headm.astype(jnp.int32)
     tailm_i = tailm.astype(jnp.int32)
     results = []
-    for name, vcol, p1, p2, fill in specs:
+    for j, (name, vcol, p1, p2, fill) in enumerate(specs):
         c = val_ids[id(vcol)] if vcol is not None else None
         if name == "row_number":
             res = rn0 + 1 + headm_i * my_cin["cnt"]
@@ -718,6 +787,28 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
             sv = vals_s[c]
             res = jnp.where(headm & (my_cin["cnt"] > 0),
                             my_cin_first[c], sv[start])
+        elif name == "nth_value":
+            sv = vals_s[c]
+            fill_v = (sv.dtype.type(0) if fill is None
+                      else jnp.asarray(fill, sv.dtype))
+            cnt_g = (pend - start + 1 + headm_i * my_cin["cnt"]
+                     + tailm_i * my_cout_cnt)
+            res = jnp.where(cnt_g >= p1,
+                            K.decode(nth_carry[j], sv.dtype), fill_v)
+        elif name in ("lag", "lead"):
+            svx = vals_ext[c]
+            fill_v = (svx.dtype.type(0) if fill is None
+                      else jnp.asarray(fill, svx.dtype))
+            if name == "lag":
+                idx_x = ix - p1
+                okx = idx_x >= start_x
+            else:
+                idx_x = ix + p1
+                okx = idx_x <= pend_x
+            res_x = jnp.where(
+                okx, svx[jnp.clip(idx_x, 0, Lx - 1)], fill_v
+            )
+            res = res_x[ph_eff:ph_eff + cap]
         else:  # last_value
             sv = vals_s[c]
             res = jnp.where(tailm & (my_cout_cnt > 0),

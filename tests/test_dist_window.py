@@ -40,7 +40,9 @@ def _check(part, order, vals, *, n_part_cols=1):
     specs = (ALL_OPS + [("ntile", 5), ("rolling_count", 3, 2)]
              + [(nm, v) for nm in VALUE_OPS]
              + [("rolling_sum", v, 4, 2), ("rolling_min", v, 3),
-                ("rolling_max", v, 0, 3), ("rolling_mean", v, 5)])
+                ("rolling_max", v, 0, 3), ("rolling_mean", v, 5),
+                ("lag", v, 2, 7), ("lead", v, 3), ("lag", v, 1),
+                ("nth_value", v, 4, 9), ("nth_value", v, 1)])
     got = distributed_window(specs, partition_by=p, order_by=o, mesh=mesh)
     want = rst.window(specs, partition_by=p, order_by=o)
     for spec, g, w in zip(specs, got, want):
@@ -145,8 +147,6 @@ def test_validation():
     mesh = _mesh()
     z = jnp.zeros((N,), jnp.int32)
     with pytest.raises(ValueError):
-        distributed_window(("lag", z), partition_by=z, mesh=mesh)
-    with pytest.raises(ValueError):
         distributed_window("row_number", partition_by=jnp.zeros(
             (N + 1,), jnp.int32), mesh=mesh)
     with pytest.raises(ValueError):
@@ -171,8 +171,34 @@ def test_rolling_frame_exceeds_shard_falls_back_exact(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_unsupported_ops_raise():
-    z = jnp.zeros(N, jnp.int32)
-    for spec in [("lag", z), ("lead", z), ("nth_value", z, 2)]:
-        with pytest.raises(ValueError, match="not supported"):
-            distributed_window(spec, partition_by=z, mesh=_mesh())
+def test_lag_offset_exceeds_shard_falls_back_exact(rng):
+    # lag offset > any shard's row count trips the halo flag -> exact
+    # replicated fallback (same contract as rolling frames)
+    part = np.zeros(N, np.int32)
+    order = rng.integers(0, 1000, size=N).astype(np.uint32)
+    vals = rng.integers(-50, 50, size=N).astype(np.int32)
+    mesh = _mesh()
+    spec = ("lag", jnp.asarray(vals), N // 8 + 10, -1)
+    got = distributed_window(
+        spec, partition_by=jnp.asarray(part), order_by=jnp.asarray(order),
+        mesh=mesh,
+    )
+    want = rst.window(
+        spec, partition_by=jnp.asarray(part), order_by=jnp.asarray(order)
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_nth_value_spans_shards(rng):
+    # giant partitions: the k-th row usually lives shards away from the
+    # rows it broadcasts to — exercises the marked-word carry chains
+    part = rng.integers(0, 2, size=N).astype(np.int32)
+    order = rng.integers(0, 1 << 30, size=N).astype(np.uint32)
+    vals = rng.integers(-100, 100, size=N).astype(np.int32)
+    mesh = _mesh()
+    p, o, v = jnp.asarray(part), jnp.asarray(order), jnp.asarray(vals)
+    specs = [("nth_value", v, k) for k in (1, 2, 500, N)]
+    got = distributed_window(specs, partition_by=p, order_by=o, mesh=mesh)
+    want = rst.window(specs, partition_by=p, order_by=o)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
