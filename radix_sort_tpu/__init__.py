@@ -46,6 +46,16 @@ from radix_sort_tpu.table import Table
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # lazy: DistTable pulls the whole parallel layer (shard_map machinery),
+    # which plain single-chip users never pay for
+    if name == "DistTable":
+        from radix_sort_tpu.parallel.dist_table import DistTable
+
+        return DistTable
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 __all__ = [
     "config",
     "keys",
@@ -74,6 +84,7 @@ __all__ = [
     "ASOF_DIRECTIONS",
     "window",
     "Table",
+    "DistTable",
     "WINDOW_OPS",
     "AGGREGATIONS",
     "COMBINABLE_AGGREGATIONS",

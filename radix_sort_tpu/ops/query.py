@@ -44,14 +44,18 @@ __all__ = [
 
 AGGREGATIONS = (
     "sum", "count", "min", "max", "mean",
+    "any", "all",                 # bool OR / AND over (value != 0)
     "first", "last",              # group's first/last value in input order
     "median",                     # lower order statistic (exact)
+    "mode",                       # most frequent value (ties: smallest)
     "var", "std",                 # population variance / stddev (two-pass)
     "count_distinct",             # distinct values per group
+    "argmin", "argmax",           # input position of the group min/max
 )
 # aggregations whose per-shard partials combine with a plain reduction
 # (holistic ones need the repartition plan — parallel/dist_query.py)
-COMBINABLE_AGGREGATIONS = ("sum", "count", "min", "max", "mean")
+COMBINABLE_AGGREGATIONS = ("sum", "count", "min", "max", "mean",
+                           "any", "all")
 JOIN_HOWS = ("inner", "left", "right", "full", "semi", "anti")
 
 
@@ -247,7 +251,7 @@ def filter(mask: jnp.ndarray, *arrays: jnp.ndarray):
     return (*out[1:], count)
 
 
-def hash_aggregate(keys, values, agg: str = "sum"):
+def hash_aggregate(keys, values, agg: str = "sum", *, _positions=None):
     """Group ``values`` by ``keys`` and reduce with ``agg``.
 
     Returns ``(unique_keys, aggregates, count)``: rows [0, count) hold one
@@ -277,6 +281,18 @@ def hash_aggregate(keys, values, agg: str = "sum"):
         per-group segmented reductions — float32 (float64 values keep
         float64);
       - ``count_distinct``: distinct values per group (int32), exact.
+      - ``mode``: the group's most frequent value (ties break to the
+        SMALLEST value under the dtype's total order — deterministic);
+      - ``argmin`` / ``argmax``: the INPUT position (int32) of the group's
+        minimum / maximum value; ties break to the first occurrence in
+        input order (like ``np.argmin`` per group).
+
+    ``any`` / ``all`` (combinable) reduce the truth values ``value != 0``
+    to one bool per group.
+
+    ``_positions`` (internal): overrides the position column ``argmin`` /
+    ``argmax`` report — the distributed repartition plan passes each row's
+    original global position.
     """
     if isinstance(agg, (list, tuple)) or isinstance(values, (list, tuple)):
         if not (isinstance(agg, (list, tuple))
@@ -288,7 +304,8 @@ def hash_aggregate(keys, values, agg: str = "sum"):
             raise ValueError(
                 "values and agg lists must be non-empty and equal-length"
             )
-        return _hash_aggregate_multi(keys, list(values), list(agg))
+        return _hash_aggregate_multi(keys, list(values), list(agg),
+                                     _positions=_positions)
     if agg not in AGGREGATIONS:
         raise ValueError(f"agg must be one of {AGGREGATIONS}, got {agg!r}")
     multi = isinstance(keys, (list, tuple))
@@ -302,10 +319,13 @@ def hash_aggregate(keys, values, agg: str = "sum"):
     if values.shape[0] != n:
         raise ValueError("keys and values must have the same length")
     if n == 0:
-        vdt = (jnp.int32 if agg in ("count", "count_distinct")
+        vdt = (jnp.int32
+               if agg in ("count", "count_distinct", "argmin", "argmax")
                else values.dtype)
         if agg in ("mean", "var", "std"):
             vdt = jnp.float64 if values.dtype == jnp.float64 else jnp.float32
+        if agg in ("any", "all"):
+            vdt = jnp.bool_
         return keys, jnp.zeros((0,), vdt), jnp.int32(0)
     if agg == "mean":
         mdt = jnp.float64 if values.dtype == jnp.float64 else jnp.float32
@@ -316,12 +336,20 @@ def hash_aggregate(keys, values, agg: str = "sum"):
     limbs, specs = _cols_to_limbs(cols)
     nk = len(limbs)
 
-    if agg in ("min", "max", "median", "count_distinct"):
+    sposr = None
+    if agg in ("min", "max", "median", "count_distinct", "mode",
+               "argmin", "argmax"):
         # sort by (key, value): the group's order statistics sit at known
         # offsets and (key, value) runs mark distinct values
         vw = K.encode(values)
-        out = _stable_sort([*limbs, vw], num_keys=nk + 1)
-        sk, svw = list(out[:-1]), out[-1]
+        if agg in ("argmin", "argmax"):
+            posr = (_positions if _positions is not None
+                    else jnp.arange(n, dtype=jnp.int32))
+            out = _stable_sort([*limbs, vw, posr], num_keys=nk + 1)
+            sk, svw, sposr = list(out[:-2]), out[-2], out[-1]
+        else:
+            out = _stable_sort([*limbs, vw], num_keys=nk + 1)
+            sk, svw = list(out[:-1]), out[-1]
         sv = K.decode(svw, values.dtype)
     else:
         out = _stable_sort([*limbs, values], num_keys=nk)
@@ -348,6 +376,66 @@ def hash_aggregate(keys, values, agg: str = "sum"):
         starts_c = jnp.roll(ends_c, 1).at[0].set(-1) + 1
         med_idx = starts_c + (ends_c - starts_c) // 2
         return _pack(out_keys), sv[jnp.clip(med_idx, 0, n - 1)], count
+    if agg in ("argmin", "argmax"):
+        # (key, value)-sorted with positions riding: the group's first row
+        # holds argmin; the first row of its LAST value run holds argmax
+        # (stable sort -> first occurrence among ties, both cases)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        *out_keys, ends_c, count = filter(last, *uk_cols, pos)
+        if agg == "argmin":
+            idx = jnp.roll(ends_c, 1).at[0].set(-1) + 1  # group starts
+        else:
+            kv_first = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_),
+                 _limbs_differ([w[1:] for w in sk] + [svw[1:]],
+                               [w[:-1] for w in sk] + [svw[:-1]])]
+            )
+            run_start = jax.lax.cummax(jnp.where(kv_first, pos, -1))
+            idx = run_start[jnp.clip(ends_c, 0, n - 1)]
+        return (_pack(out_keys),
+                sposr[jnp.clip(idx, 0, n - 1)].astype(jnp.int32), count)
+    if agg == "mode":
+        # (key, value) runs: per-group max run length, then the FIRST run
+        # attaining it (runs ascend by value -> smallest value wins ties)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        kv_first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_),
+             _limbs_differ([w[1:] for w in sk] + [svw[1:]],
+                           [w[:-1] for w in sk] + [svw[:-1]])]
+        )
+        kv_last = jnp.concatenate([kv_first[1:], jnp.ones((1,), jnp.bool_)])
+        big = jnp.int32(2**31 - 1)
+        run_start = jax.lax.cummax(jnp.where(kv_first, pos, -1))
+        run_end = jax.lax.cummin(jnp.where(kv_last, pos, big), reverse=True)
+        run_len = run_end - run_start + 1
+        gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+        gmax = jax.ops.segment_max(
+            run_len, gid, num_segments=n, indices_are_sorted=True
+        )
+        cand = kv_first & (run_len == gmax[gid])
+        # segment g's entry == output row g (groups ascend by key)
+        cidx = jax.ops.segment_min(
+            jnp.where(cand, pos, big), gid, num_segments=n,
+            indices_are_sorted=True,
+        )
+        *out_keys, _, count = filter(last, *uk_cols, sv)
+        return _pack(out_keys), sv[jnp.clip(cidx, 0, n - 1)], count
+    if agg in ("any", "all"):
+        # exact via the int cumsum-difference: count of true rows per group
+        t = (sv != 0).astype(jnp.uint32)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        *out_keys, tcsum_c, ends_c, count = filter(
+            last, *uk_cols, jnp.cumsum(t), pos
+        )
+        tprev = jnp.roll(tcsum_c, 1).at[0].set(0)
+        ntrue = tcsum_c - tprev
+        if agg == "any":
+            out_v = ntrue > 0
+        else:
+            group_n = (ends_c - (jnp.roll(ends_c, 1).at[0].set(-1))
+                       ).astype(jnp.uint32)
+            out_v = ntrue == group_n
+        return _pack(out_keys), out_v, count
     if agg == "count_distinct":
         # (key, value) run starts; per-group distinct count = exact
         # int32 prefix-difference of the run-start cumsum at group ends
@@ -411,7 +499,7 @@ def hash_aggregate(keys, values, agg: str = "sum"):
     return _pack(out_keys), out_vals, count
 
 
-def _hash_aggregate_multi(keys, val_cols, aggs):
+def _hash_aggregate_multi(keys, val_cols, aggs, _positions=None):
     """Several aggregations over one GROUP BY, sharing a single key sort.
 
     All value columns ride the ONE stable sort by key limbs; per-group
@@ -444,10 +532,12 @@ def _hash_aggregate_multi(keys, val_cols, aggs):
         return jnp.float64 if dt == jnp.float64 else jnp.float32
 
     def _out_dt(a, dt):
-        if a in ("count", "count_distinct"):
+        if a in ("count", "count_distinct", "argmin", "argmax"):
             return jnp.int32
         if a in ("mean", "var", "std"):
             return _mean_dt(dt)
+        if a in ("any", "all"):
+            return jnp.bool_
         return dt
 
     if n == 0:
@@ -458,8 +548,9 @@ def _hash_aggregate_multi(keys, val_cols, aggs):
     # (key, value)-sorted holistic aggs delegate to single-agg calls (rows
     # align: both produce groups ascending by key)
     delegated = {
-        i: hash_aggregate(keys, val_cols[i], a)[1]
-        for i, a in enumerate(aggs) if a in ("median", "count_distinct")
+        i: hash_aggregate(keys, val_cols[i], a, _positions=_positions)[1]
+        for i, a in enumerate(aggs)
+        if a in ("median", "count_distinct", "mode", "argmin", "argmax")
     }
 
     limbs, specs = _cols_to_limbs(cols)
@@ -486,16 +577,21 @@ def _hash_aggregate_multi(keys, val_cols, aggs):
     ]
     last_idx = [i for i, a in enumerate(aggs) if a == "last"]
     first_idx = [i for i, a in enumerate(aggs) if a == "first"]
+    anyall_idx = [i for i, a in enumerate(aggs) if a in ("any", "all")]
     csums = [jnp.cumsum(svs[i]) for i in int_sum_idx]
+    tcsums = [jnp.cumsum((svs[i] != 0).astype(jnp.uint32))
+              for i in anyall_idx]
     pos = jnp.arange(n, dtype=jnp.int32)
     *compacted, count = filter(
-        last, *uk_cols, pos, *csums, *[svs[i] for i in last_idx]
+        last, *uk_cols, pos, *csums, *tcsums,
+        *[svs[i] for i in last_idx]
     )
     out_keys = compacted[:len(uk_cols)]
     pos_c = compacted[len(uk_cols)]
     base = len(uk_cols) + 1
     csums_c = compacted[base:base + len(csums)]
-    lasts_c = compacted[base + len(csums):]
+    tcsums_c = compacted[base + len(csums):base + len(csums) + len(tcsums)]
+    lasts_c = compacted[base + len(csums) + len(tcsums):]
     group_n = pos_c - (jnp.roll(pos_c, 1).at[0].set(-1))
     # "first" values share one more filter at group starts
     firsts_c = []
@@ -506,6 +602,7 @@ def _hash_aggregate_multi(keys, val_cols, aggs):
         return c - jnp.roll(c, 1).at[0].set(0)
 
     int_sums = {i: _diff(c) for i, c in zip(int_sum_idx, csums_c)}
+    ntrues = {i: _diff(c) for i, c in zip(anyall_idx, tcsums_c)}
     last_vals = dict(zip(last_idx, lasts_c))
     first_vals = dict(zip(first_idx, firsts_c))
 
@@ -527,6 +624,10 @@ def _hash_aggregate_multi(keys, val_cols, aggs):
             continue
         if a == "last":
             results.append(last_vals[i])
+            continue
+        if a in ("any", "all"):
+            results.append(ntrues[i] > 0 if a == "any"
+                           else ntrues[i] == group_n.astype(jnp.uint32))
             continue
         is_float = jnp.issubdtype(sv.dtype, jnp.floating)
         if a in ("sum", "mean"):
@@ -658,6 +759,17 @@ def join_expand(
         how = "left"
     multi = isinstance(lkw, (list, tuple))
     lkws = _as_limb_list(lkw)
+    multi_lv = isinstance(left_values, (list, tuple))
+    lvs = list(left_values) if multi_lv else [left_values]
+    multi_rv = isinstance(rvs, (list, tuple))
+    rvs_l = list(rvs) if multi_rv else [rvs]
+
+    def _pack_lv(outs):
+        return outs if multi_lv else outs[0]
+
+    def _pack_rv(outs):
+        return outs if multi_rv else outs[0]
+
     n_l = lkws[0].shape[0]
     matches = hi - lo
     if valid_left is not None:
@@ -669,22 +781,24 @@ def join_expand(
         sel = (matches > 0) if how == "semi" else (matches == 0)
         if valid_left is not None:
             sel = sel & valid_left
-        *cks, cv, cnt = filter(sel, *lkws, left_values)
+        *c_all, cnt = filter(sel, *lkws, *lvs)
+        cks, cvs = c_all[:len(lkws)], c_all[len(lkws):]
         pad = capacity - n_l
-        if pad >= 0:
-            cks = [jnp.concatenate([ck, jnp.zeros((pad,), ck.dtype)])
-                   for ck in cks]
-            cv = jnp.concatenate([cv, jnp.zeros((pad,), cv.dtype)])
-        else:
-            cks = [ck[:capacity] for ck in cks]
-            cv = cv[:capacity]
+
+        def _fit(a):
+            if pad >= 0:
+                return jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+            return a[:capacity]
+
+        cks = [_fit(ck) for ck in cks]
+        cvs = [_fit(cv) for cv in cvs]
         t = jnp.arange(capacity, dtype=jnp.int32)
         valid = t < jnp.minimum(cnt, capacity)
         out_ks = [jnp.where(valid, ck, 0) for ck in cks]
         return (
             out_ks if multi else out_ks[0],
-            jnp.where(valid, cv, 0),
-            jnp.zeros((capacity,), rvs.dtype),
+            _pack_lv([jnp.where(valid, cv, 0) for cv in cvs]),
+            _pack_rv([jnp.zeros((capacity,), rv.dtype) for rv in rvs_l]),
             jnp.minimum(cnt, capacity),
             cnt > capacity,
         )
@@ -709,15 +823,17 @@ def join_expand(
     use_kernel = (
         n_l > 0
         and not multi
+        and not multi_lv
+        and not multi_rv
         and capacity >= 64 * n_l
         and lkws[0].dtype == jnp.uint32
-        and left_values.dtype.itemsize == 4
-        and rvs.dtype.itemsize == 4
+        and lvs[0].dtype.itemsize == 4
+        and rvs_l[0].dtype.itemsize == 4
         and (jax.default_backend() == "tpu" or capacity <= (1 << 16))
     )
     if use_kernel:
         return _join_expand_kernel(
-            lkws[0], left_values, rvs, lo, matches, emit, starts, total,
+            lkws[0], lvs[0], rvs_l[0], lo, matches, emit, starts, total,
             capacity,
         )
 
@@ -740,17 +856,20 @@ def join_expand(
     i = jnp.clip(i, 0, n_l - 1)
     j = t - starts[i]
     valid = t < total
-    ridx = jnp.clip(lo[i] + j, 0, rvs.shape[0] - 1)
+    ridx = jnp.clip(lo[i] + j, 0, rvs_l[0].shape[0] - 1)
 
-    out_rv = rvs[ridx]
-    if how == "left":
-        out_rv = jnp.where(matches[i] > 0, out_rv, 0)
+    out_rvs = []
+    for rv in rvs_l:
+        orv = rv[ridx]
+        if how == "left":
+            orv = jnp.where(matches[i] > 0, orv, 0)
+        out_rvs.append(jnp.where(valid, orv, 0))
     out_ks = [jnp.where(valid, w[i], 0) for w in lkws]
-    out_lv = jnp.where(valid, left_values[i], 0)
-    out_rv = jnp.where(valid, out_rv, 0)
+    out_lvs = [jnp.where(valid, lv[i], 0) for lv in lvs]
     count = jnp.minimum(total, capacity)
     overflow = (total > capacity) | wrapped
-    return (out_ks if multi else out_ks[0]), out_lv, out_rv, count, overflow
+    return ((out_ks if multi else out_ks[0]), _pack_lv(out_lvs),
+            _pack_rv(out_rvs), count, overflow)
 
 
 def _join_expand_kernel(
@@ -816,11 +935,15 @@ def append_unmatched_right(
     slots [count, count + n_unmatched); rows that would exceed ``capacity``
     are dropped and flagged, so the first ``capacity`` rows stay exact.
 
-    ``out_ks`` / ``rks`` are parallel limb lists; ``valid_left`` /
-    ``valid_right`` mask shard padding rows (distributed callers). Returns
+    ``out_ks`` / ``rks`` are parallel limb lists; ``rvs`` / ``out_rv`` /
+    ``out_lv`` may be value-column lists; ``valid_left`` / ``valid_right``
+    mask shard padding rows (distributed callers). Returns
     ``(out_ks, out_lv, out_rv, count, overflow)`` with the same contract.
     """
-    n_r = rvs.shape[0]
+    multi_rv = isinstance(rvs, (list, tuple))
+    rvs_l = list(rvs) if multi_rv else [rvs]
+    orv_l = list(out_rv) if multi_rv else [out_rv]
+    n_r = rvs_l[0].shape[0]
     has = hi > lo
     if valid_left is not None:
         has = has & valid_left
@@ -832,8 +955,8 @@ def append_unmatched_right(
     unmatched = ~covered
     if valid_right is not None:
         unmatched = unmatched & valid_right
-    *cu, cnt_u = filter(unmatched, *rks, rvs)
-    cks, crv = cu[:-1], cu[-1]
+    *cu, cnt_u = filter(unmatched, *rks, *rvs_l)
+    cks, crvs = cu[:len(rks)], cu[len(rks):]
     # slot per appended row; junk rows (>= cnt_u) poison to capacity -> drop
     slot = count + jnp.arange(n_r, dtype=jnp.int32)
     slot = jnp.where(jnp.arange(n_r, dtype=jnp.int32) < cnt_u, slot, capacity)
@@ -842,12 +965,12 @@ def append_unmatched_right(
     ]
     # left values of appended rows are 0 — the slots were already zeroed by
     # the expansion's validity mask, so only the right values need writing
-    out_rv = out_rv.at[slot].set(crv, mode="drop")
+    orv_l = [o.at[slot].set(c, mode="drop") for o, c in zip(orv_l, crvs)]
     total = count + cnt_u
     return (
         out_ks,
         out_lv,
-        out_rv,
+        orv_l if multi_rv else orv_l[0],
         jnp.minimum(total, capacity),
         overflow | (total > capacity),
     )
@@ -887,6 +1010,10 @@ def hash_join(
     ``left_keys`` and ``right_keys`` (matching dtypes per column, any
     supported mix) — the join key is the tuple of columns and the returned
     ``keys`` is a list of columns.
+
+    Multi-column payloads: ``left_values`` and/or ``right_values`` may
+    independently be lists of equal-length columns (a whole table side
+    riding the one join); the matching output is then a list.
     """
     if how not in JOIN_HOWS:
         raise ValueError(f"how must be one of {JOIN_HOWS}, got {how!r}")
@@ -909,43 +1036,57 @@ def hash_join(
                          "match in count and dtypes")
     n_l = l_cols[0].shape[0]
     n_r = r_cols[0].shape[0]
+    multi_lv = isinstance(left_values, (list, tuple))
+    lv_cols = list(left_values) if multi_lv else [left_values]
+    multi_rv = isinstance(right_values, (list, tuple))
+    rv_cols = list(right_values) if multi_rv else [right_values]
+
+    def _pack_lv(outs):
+        return outs if multi_lv else outs[0]
+
+    def _pack_rv(outs):
+        return outs if multi_rv else outs[0]
+
     for c in l_cols:
         if c.shape[0] != n_l:
             raise ValueError("left key columns must have equal length")
     for c in r_cols:
         if c.shape[0] != n_r:
             raise ValueError("right key columns must have equal length")
-    if left_values.shape[0] != n_l:
-        raise ValueError("left keys/values length mismatch")
-    if right_values.shape[0] != n_r:
-        raise ValueError("right keys/values length mismatch")
+    for c in lv_cols:
+        if c.shape[0] != n_l:
+            raise ValueError("left keys/values length mismatch")
+    for c in rv_cols:
+        if c.shape[0] != n_r:
+            raise ValueError("right keys/values length mismatch")
     if n_l == 0 or (n_r == 0 and how == "inner"):
         if how == "full" and n_r > 0:
             # degenerate full outer join: every right row is unmatched
             rk_limbs, rspecs = _cols_to_limbs(r_cols)
             out = _stable_sort(
-                [*rk_limbs, right_values], num_keys=len(rk_limbs)
+                [*rk_limbs, *rv_cols], num_keys=len(rk_limbs)
             )
-            rks, rvs = list(out[:-1]), out[-1]
+            rks, rvs = list(out[:len(rk_limbs)]), list(out[len(rk_limbs):])
             e = jnp.zeros((0,), jnp.int32)
             out_ks, out_lv, out_rv, count, overflow = append_unmatched_right(
                 [jnp.zeros((capacity,), w.dtype) for w in rks],
-                jnp.zeros((capacity,), left_values.dtype),
-                jnp.zeros((capacity,), right_values.dtype),
+                _pack_lv([jnp.zeros((capacity,), c.dtype)
+                          for c in lv_cols]),
+                [jnp.zeros((capacity,), c.dtype) for c in rv_cols],
                 jnp.int32(0), jnp.bool_(False),
                 rks, rvs, e, e, capacity=capacity,
             )
             out_cols = _limbs_to_cols(out_ks, rspecs)
             return (
                 out_cols if multi else out_cols[0],
-                out_lv, out_rv, count, overflow,
+                out_lv, _pack_rv(out_rv), count, overflow,
             )
         # an empty side is a normal inner-join input: zero matching pairs
         zk = [jnp.zeros((capacity,), c.dtype) for c in l_cols]
         return (
             zk if multi else zk[0],
-            jnp.zeros((capacity,), left_values.dtype),
-            jnp.zeros((capacity,), right_values.dtype),
+            _pack_lv([jnp.zeros((capacity,), c.dtype) for c in lv_cols]),
+            _pack_rv([jnp.zeros((capacity,), c.dtype) for c in rv_cols]),
             jnp.int32(0),
             jnp.bool_(False),
         )
@@ -953,23 +1094,24 @@ def hash_join(
     if n_r == 0:
         # left/semi/anti against an empty right side: no row matches
         lo = hi = jnp.zeros((n_l,), jnp.int32)
-        rvs = jnp.zeros((1,), right_values.dtype)
+        rvs = [jnp.zeros((1,), c.dtype) for c in rv_cols]
     else:
         rk_limbs, _ = _cols_to_limbs(r_cols)
         out = _stable_sort(
-            [*rk_limbs, right_values], num_keys=len(rk_limbs)
+            [*rk_limbs, *rv_cols], num_keys=len(rk_limbs)
         )
-        rks, rvs = list(out[:-1]), out[-1]
+        rks, rvs = list(out[:len(rk_limbs)]), list(out[len(rk_limbs):])
         lo, hi = merge_rank_pair(rks, lk_limbs)
 
     lk_arg = lk_limbs if multi or len(lk_limbs) > 1 else lk_limbs[0]
     out_kw, out_lv, out_rv, count, overflow = join_expand(
-        lk_arg, left_values, rvs, lo, hi, capacity=capacity, how=how
+        lk_arg, _pack_lv(lv_cols), _pack_rv(rvs), lo, hi,
+        capacity=capacity, how=how,
     )
     if how == "full" and n_r > 0:
         out_kw, out_lv, out_rv, count, overflow = append_unmatched_right(
             _as_limb_list(out_kw), out_lv, out_rv, count, overflow,
-            rks, rvs, lo, hi, capacity=capacity,
+            rks, _pack_rv(rvs), lo, hi, capacity=capacity,
         )
     out_limbs = _as_limb_list(out_kw)
     out_cols = _limbs_to_cols(out_limbs, specs)

@@ -45,6 +45,12 @@ def _identity(dtype, combine):
     dt = np.dtype(dtype)
     if combine in ("sum", "count"):
         return dt.type(0)
+    if combine == "any":
+        return dt.type(0)          # False under OR
+    if combine == "all":
+        return dt.type(1)          # True under AND
+    if dt.kind == "b":
+        return dt.type(combine == "min")
     if dt.kind in "ui":
         info = np.iinfo(dt)
         return dt.type(info.max if combine == "min" else info.min)
@@ -63,11 +69,11 @@ def distributed_hash_aggregate(
 ):
     """Group-by + reduce over row-sharded keys/values.
 
-    Combinable aggregations (sum/count/min/max/mean) run the two-phase
-    plan: per-shard sort-based aggregate, then an ``all_gather`` of
-    per-shard partials and a replicated final combine. Holistic
-    aggregations (first/last/median/var/std/count_distinct) run the
-    repartition (shuffle-aggregate) plan instead: rows route by key with a
+    Combinable aggregations (sum/count/min/max/mean/any/all) run the
+    two-phase plan: per-shard sort-based aggregate, then an ``all_gather``
+    of per-shard partials and a replicated final combine. Holistic
+    aggregations (first/last/median/mode/var/std/count_distinct/argmin/
+    argmax) run the repartition (shuffle-aggregate) plan instead: rows route by key with a
     shared splitter sketch so every group lands wholly on one shard, the
     exact single-chip aggregate runs locally, and the disjoint per-shard
     group results gather and merge (``exchange_capacity_factor`` provisions
@@ -309,7 +315,7 @@ def _distributed_holistic_aggregate(keys, val_cols, aggs, mesh, axis_name,
         -(-int(n // nshards * exchange_capacity_factor) // 128) * 128,
     )
     nv = len(val_cols)
-    need_pos = any(a in ("first", "last") for a in aggs)
+    need_pos = any(a in ("first", "last", "argmin", "argmax") for a in aggs)
     single = nv == 1
 
     def local(*ops):
@@ -334,20 +340,24 @@ def _distributed_holistic_aggregate(keys, val_cols, aggs, mesh, axis_name,
         vss = list(vss) if isinstance(vss, (list, tuple)) else [vss]
         rcnt = cnt[0]
         inv = (jnp.arange(cap, dtype=jnp.int32) >= rcnt).astype(jnp.uint32)
+        gpos_sorted = None
         if need_pos:
             gpos_x = vss[-1]
             vss = vss[:-1]
             # restore global input order within groups so first/last are
-            # exact (order-insensitive aggs don't care)
+            # exact (order-insensitive aggs don't care); the sorted global
+            # positions feed argmin/argmax
             srt = query._stable_sort(
                 [inv, *wlist, gpos_x, *vss], num_keys=nk + 2
             )
             inv, wlist = srt[0], list(srt[1:1 + nk])
+            gpos_sorted = srt[1 + nk]
             vss = list(srt[2 + nk:])
         uk, outs, gcnt = query.hash_aggregate(
             [inv, *wlist],
             vss[0] if single else vss,
             aggs[0] if single else list(aggs),
+            _positions=gpos_sorted,
         )
         outs = [outs] if single else list(outs)
         invc, kcols = uk[0], list(uk[1:])
@@ -372,19 +382,21 @@ def _distributed_holistic_aggregate(keys, val_cols, aggs, mesh, axis_name,
             (lovf | xovf[0]).astype(jnp.int32), axis_name
         ) > 0
         # groups are disjoint across shards, so ANY reduction keeps the one
-        # real row per group; "max" has an identity for every dtype, which
-        # neutralizes the re-keyed padding rows (anchor note in
-        # distributed_hash_aggregate)
+        # real row per group; "max" has an identity for every numeric dtype
+        # ("any"/False for bool columns), which neutralizes the re-keyed
+        # padding rows (anchor note in distributed_hash_aggregate)
         any_valid = jnp.any(gvalid)
         a_idx = jnp.argmax(gvalid)
         guks2 = [jnp.where(gvalid, g, g[a_idx]) for g in guks]
+        combines = ["any" if g.dtype == jnp.bool_ else "max" for g in gouts]
         gouts2 = [
-            jnp.where(gvalid, g, _identity(g.dtype, "max")) for g in gouts
+            jnp.where(gvalid, g, _identity(g.dtype, c))
+            for g, c in zip(gouts, combines)
         ]
         fk, fouts, fc = query.hash_aggregate(
             guks2 if len(guks2) > 1 else guks2[0],
             gouts2,
-            ["max"] * len(gouts2),
+            combines,
         )
         fks = tuple(fk) if len(guks2) > 1 else (fk,)
         fc = jnp.where(any_valid, fc, 0)
@@ -654,6 +666,17 @@ def distributed_hash_join(
     sentinel = jnp.asarray(np.iinfo(np.uint32).max, dtype=jnp.uint32)
     n_left = lk_limbs[0].shape[0]
     n_right = rk_limbs[0].shape[0]
+    multi_lv = isinstance(left_values, (list, tuple))
+    lv_cols = list(left_values) if multi_lv else [left_values]
+    multi_rv = isinstance(right_values, (list, tuple))
+    rv_cols = list(right_values) if multi_rv else [right_values]
+    nlv, nrv = len(lv_cols), len(rv_cols)
+    for c in lv_cols:
+        if c.shape[0] != n_left:
+            raise ValueError("left keys/values length mismatch")
+    for c in rv_cols:
+        if c.shape[0] != n_right:
+            raise ValueError("right keys/values length mismatch")
     # per-device receive capacity (the ragged exchange lands exact counts;
     # the factor provisions for key-skew imbalance, which key-only routing
     # cannot bound — overflow is flagged)
@@ -662,9 +685,11 @@ def distributed_hash_join(
 
     def local(*ops):
         lw = list(ops[:nk])
-        lv = ops[nk]
-        rw = list(ops[nk + 1:2 * nk + 1])
-        rv = ops[2 * nk + 1]
+        lv_l = list(ops[nk:nk + nlv])
+        rw = list(ops[nk + nlv:2 * nk + nlv])
+        rv_l = list(ops[2 * nk + nlv:])
+        lv = lv_l if multi_lv else lv_l[0]
+        rv = rv_l if multi_rv else rv_l[0]
         if nk > 1:
             # composite keys: route on a hash word mixed over all limbs
             # (prepended as the leading sort/exchange key; dropped from the
@@ -725,24 +750,27 @@ def distributed_hash_join(
         out_ks = query._as_limb_list(out_k)
         if nk > 1:
             out_ks = out_ks[1:]  # drop the routing hash word
-        return (*out_ks, out_lv, out_rv, gcnt, govf.reshape(1))
+        out_lvs = list(out_lv) if multi_lv else [out_lv]
+        out_rvs = list(out_rv) if multi_rv else [out_rv]
+        return (*out_ks, *out_lvs, *out_rvs, gcnt, govf.reshape(1))
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis_name),) * (2 * nk + 2),
-        out_specs=(P(axis_name),) * (nk + 2) + (P(), P()),
+        in_specs=(P(axis_name),) * (2 * nk + nlv + nrv),
+        out_specs=(P(axis_name),) * (nk + nlv + nrv) + (P(), P()),
         check_vma=False,
     )
-    out = fn(*lk_limbs, left_values, *rk_limbs, right_values)
-    k_limbs, lv, rv, cnts, ovf = (
-        list(out[:nk]), out[nk], out[nk + 1], out[nk + 2], out[nk + 3]
-    )
+    out = fn(*lk_limbs, *lv_cols, *rk_limbs, *rv_cols)
+    k_limbs = list(out[:nk])
+    lvs = list(out[nk:nk + nlv])
+    rvs = list(out[nk + nlv:nk + nlv + nrv])
+    cnts, ovf = out[nk + nlv + nrv], out[nk + nlv + nrv + 1]
     out_cols = query._limbs_to_cols(k_limbs, specs)
     return (
         out_cols if multi else out_cols[0],
-        lv,
-        rv,
+        lvs if multi_lv else lvs[0],
+        rvs if multi_rv else rvs[0],
         cnts[:nshards],
         ovf[0],
     )

@@ -1,0 +1,642 @@
+"""DistTable: the distributed (MPP) relation facade over the parallel
+operators.
+
+The row-sharded counterpart of :class:`radix_sort_tpu.Table`: named
+columns live sharded over a device mesh axis, every relational verb routes
+to the corresponding ``parallel/`` operator (splitter-sampled exchanges,
+two-phase/repartition aggregation plans, carry-chain windows), and the
+static-shape convention generalizes to the MPP layout — each shard owns a
+VALID PREFIX of its rows, described by one replicated ``(P,)`` counts
+vector. Concatenating the shards' valid prefixes IS the relation, in a
+deterministic global order.
+
+Validity weaves in the engine way (an extra leading key word), exactly as
+the single-chip Table:
+
+  - sorts order by (invalid-flag, keys...): valid rows form a global
+    prefix across shards, per-shard counts are recomputed from the sorted
+    flags;
+  - group-bys/distincts/set-ops key on (invalid-flag, keys...): junk
+    groups sort after all valid groups and drop from the output count;
+  - joins key on per-side flags so padding never matches, with the same
+    unmatched-padding post-filter as the single-chip facade;
+  - windows partition on (invalid-flag, partition keys...).
+
+Reduction-shaped verbs (aggregate / distinct / top_k / set ops) return a
+REPLICATED single-chip :class:`Table` — their results are group-sized, and
+every shard holds them after the gather/combine phase (the MPP
+"coordinator" result). Row-shaped verbs (filter / sort_by / join / window
+/ concat) stay sharded and return a DistTable.
+
+The reference crate is a single-process CPU sort
+(src/radix_sort/mod.rs:61-176, threads over chunks); this layer is the
+north-star query-engine surface (BASELINE.json) scaled over the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radix_sort_tpu import keys as K
+from radix_sort_tpu.ops import query as Q
+from radix_sort_tpu.parallel import dist_asof, dist_query, dist_sort
+from radix_sort_tpu.parallel import dist_window as DW
+from radix_sort_tpu.table import Table, _as_list
+
+__all__ = ["DistTable"]
+
+
+class DistTable:
+    """An immutable row-sharded relation over ``mesh``'s ``axis_name``:
+    equal-length named columns (length divisible by the axis size) plus a
+    per-shard valid-row counts vector (``None`` = every row valid). Shard
+    d's rows are the contiguous block ``[d*rows_per_shard, (d+1)*...)``
+    and its valid rows are that block's prefix of ``counts[d]``."""
+
+    def __init__(self, columns, mesh: Mesh, counts=None,
+                 axis_name: str = "x"):
+        cols = dict(columns)
+        if not cols:
+            raise ValueError("a DistTable needs at least one column")
+        nshards = mesh.shape[axis_name]
+        n = None
+        for name, c in cols.items():
+            c = jnp.asarray(c)
+            if c.ndim != 1:
+                raise ValueError(f"column {name!r} must be 1-D, got {c.shape}")
+            if n is None:
+                n = c.shape[0]
+            elif c.shape[0] != n:
+                raise ValueError(
+                    f"column {name!r} has length {c.shape[0]}, expected {n}"
+                )
+            cols[name] = c
+        if n % nshards != 0:
+            raise ValueError(
+                f"row count {n} must divide the mesh axis ({nshards})"
+            )
+        self._cols = cols
+        self._n = n
+        self._mesh = mesh
+        self._axis = axis_name
+        self._P = nshards
+        self._nl = n // nshards
+        if counts is not None:
+            counts = jnp.asarray(counts, jnp.int32)
+            if counts.shape != (nshards,):
+                raise ValueError(
+                    f"counts must have shape ({nshards},), got {counts.shape}"
+                )
+        self._counts = counts
+
+    # ---- construction ---------------------------------------------------
+
+    @classmethod
+    def from_table(cls, table: Table, mesh: Mesh,
+                   axis_name: str = "x") -> "DistTable":
+        """Shard a single-chip :class:`Table` row-wise over the mesh. The
+        table's valid prefix maps to per-shard prefix counts."""
+        nshards = mesh.shape[axis_name]
+        n = table.num_rows
+        if n % nshards != 0:
+            raise ValueError(
+                f"row count {n} must divide the mesh axis ({nshards})"
+            )
+        nl = n // nshards
+        sh = NamedSharding(mesh, P(axis_name))
+        cols = {name: jax.device_put(table[name], sh)
+                for name in table.column_names}
+        if table.count is None:
+            counts = None
+        else:
+            # global valid prefix -> per-shard prefix counts
+            starts = jnp.arange(nshards, dtype=jnp.int32) * nl
+            counts = jnp.clip(table.count - starts, 0, nl)
+        return cls(cols, mesh, counts, axis_name)
+
+    # ---- introspection --------------------------------------------------
+
+    @property
+    def num_rows(self) -> int:
+        """Static row capacity across all shards (valid + padding)."""
+        return self._n
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self._nl
+
+    @property
+    def mesh(self) -> Mesh:
+        return self._mesh
+
+    @property
+    def counts(self):
+        """Per-shard valid-row counts: a replicated (P,) int32 vector, or
+        None when every row is valid."""
+        return self._counts
+
+    @property
+    def column_names(self):
+        return list(self._cols)
+
+    def __getitem__(self, name: str) -> jnp.ndarray:
+        return self._cols[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._cols
+
+    def __repr__(self):
+        cnt = "all" if self._counts is None else "traced"
+        return (f"DistTable({self._P} shards x {self._nl} rows "
+                f"[{cnt} valid], columns={list(self._cols)})")
+
+    def total_count(self):
+        """Total valid rows: an int32 scalar (``num_rows`` when all
+        valid)."""
+        if self._counts is None:
+            return jnp.int32(self._n)
+        return jnp.sum(self._counts)
+
+    def valid_mask(self) -> jnp.ndarray:
+        """Bool mask of each shard's valid prefix (sharded like the
+        columns)."""
+        if self._counts is None:
+            return jnp.ones((self._n,), jnp.bool_)
+        i = jnp.arange(self._n, dtype=jnp.int32)
+        return (i % self._nl) < self._counts[i // self._nl]
+
+    def _flag(self):
+        """Leading validity key word: 0 valid, 1 invalid (None when the
+        whole table is valid)."""
+        if self._counts is None:
+            return None
+        return (~self.valid_mask()).astype(jnp.uint32)
+
+    def _resolve(self, cols):
+        out = []
+        for c in _as_list(cols):
+            out.append(self._cols[c] if isinstance(c, str) else jnp.asarray(c))
+        return out
+
+    def _counts_from_flags(self, flag_col, fill_counts, nl):
+        """Per-shard valid counts after a (flag, ...) sort: count the
+        flag==0 rows inside each shard's exchange prefix of
+        ``fill_counts``."""
+        i = jnp.arange(flag_col.shape[0], dtype=jnp.int32)
+        in_prefix = (i % nl) < fill_counts[i // nl]
+        ok = (in_prefix & (flag_col == 0)).astype(jnp.int32)
+        return jax.ops.segment_sum(ok, i // nl, num_segments=self._P)
+
+    # ---- projection -----------------------------------------------------
+
+    def select(self, *names) -> "DistTable":
+        return DistTable({n: self._cols[n] for n in names}, self._mesh,
+                         self._counts, self._axis)
+
+    def drop(self, *names) -> "DistTable":
+        keep = {n: c for n, c in self._cols.items() if n not in names}
+        return DistTable(keep, self._mesh, self._counts, self._axis)
+
+    def rename(self, mapping) -> "DistTable":
+        return DistTable(
+            {mapping.get(n, n): c for n, c in self._cols.items()},
+            self._mesh, self._counts, self._axis,
+        )
+
+    def with_columns(self, **named) -> "DistTable":
+        cols = dict(self._cols)
+        for n, c in named.items():
+            c = jnp.asarray(c)
+            if c.shape[0] != self._n:
+                raise ValueError(
+                    f"column {n!r} has length {c.shape[0]}, expected {self._n}"
+                )
+            cols[n] = c
+        return DistTable(cols, self._mesh, self._counts, self._axis)
+
+    # ---- row-shaped verbs (stay sharded) ---------------------------------
+
+    def filter(self, mask) -> "DistTable":
+        """Rows where ``mask`` holds (a bool column or a callable taking
+        this DistTable), compacted to each shard's front in shard order —
+        the global filtered relation in original order."""
+        if callable(mask):
+            mask = mask(self)
+        mask = jnp.asarray(mask)
+        if self._counts is not None:
+            mask = mask & self.valid_mask()
+        *out, counts = dist_query.distributed_filter(
+            mask, *self._cols.values(), mesh=self._mesh,
+            axis_name=self._axis,
+        )
+        return DistTable(dict(zip(self._cols, out)), self._mesh, counts,
+                         self._axis)
+
+    def _flag_sorted(self, limbs, ndesc=None):
+        """One distributed stable sort of every column by ``limbs`` (with
+        the validity flag leading when present); returns the new DistTable.
+        ``ndesc``: per-limb complement mask for descending columns."""
+        if ndesc:
+            limbs = [~w if d else w for w, d in zip(limbs, ndesc)]
+        flag = self._flag()
+        key_limbs = [flag, *limbs] if flag is not None else list(limbs)
+        if not key_limbs:
+            key_limbs = [jnp.zeros((self._n,), jnp.uint32)]
+            flag = None
+        ows, ovs, fill_counts, _ = dist_sort.distributed_sort_limbs(
+            key_limbs, list(self._cols.values()), mesh=self._mesh,
+            axis_name=self._axis,
+        )
+        ovs = list(ovs) if isinstance(ovs, (list, tuple)) else [ovs]
+        cap = ovs[0].shape[0] // self._P
+        if flag is not None:
+            counts = self._counts_from_flags(ows[0], fill_counts, cap)
+        else:
+            counts = fill_counts
+        return DistTable(dict(zip(self._cols, ovs)), self._mesh, counts,
+                         self._axis)
+
+    def sort_by(self, by, descending=False) -> "DistTable":
+        """Globally stable sort of the valid rows by one or more columns
+        over the composite-splitter exchange (balanced for any
+        distribution); every other column rides the one sort. The result's
+        row capacity grows to the exchange bound; valid rows form a global
+        prefix across shards. ``descending`` is a bool or per-column
+        list."""
+        by = _as_list(by)
+        desc = ([descending] * len(by)
+                if isinstance(descending, bool) else list(descending))
+        if len(desc) != len(by):
+            raise ValueError("descending list must match the by list")
+        key_cols = self._resolve(by)
+        limbs, ndesc = [], []
+        for c, d in zip(key_cols, desc):
+            ws = K.encode_limbs(c)
+            limbs.extend(ws)
+            ndesc.extend([bool(d)] * len(ws))
+        return self._flag_sorted(limbs, ndesc)
+
+    def join(self, other: "DistTable", on, *, capacity_per_shard: int,
+             how: str = "inner", suffix: str = "_r",
+             exchange_capacity_factor: float = 2.0):
+        """Equi-join with ``other`` on the shared ``on`` column(s) — the
+        co-partitioned MPP join: both sides route by one shared splitter
+        sketch, each shard joins locally. Returns ``(DistTable, overflow)``
+        with the same column conventions as :meth:`Table.join` (suffix on
+        collision; unmatched sides zero-filled; semi/anti emit left columns
+        only)."""
+        if how not in Q.JOIN_HOWS:
+            raise ValueError(
+                f"how must be one of {Q.JOIN_HOWS}, got {how!r}"
+            )
+        on = _as_list(on)
+        lk = self._resolve(on)
+        rk = other._resolve(on)
+        lflag, rflag = self._flag(), other._flag()
+        flagged = lflag is not None or rflag is not None
+        if flagged:
+            lf = (lflag if lflag is not None
+                  else jnp.zeros((self._n,), jnp.uint32))
+            rf = ((rflag * jnp.uint32(2)) if rflag is not None
+                  else jnp.zeros((other._n,), jnp.uint32))
+            lk, rk = [lf, *lk], [rf, *rk]
+        l_other = [n for n in self._cols if n not in on]
+        r_other = [n for n in other._cols if n not in on]
+        # the join contract zero-fills the unmatched side's values, so the
+        # data columns ride the exchange directly (no index gathers)
+        lv = [self._cols[n] for n in l_other] or [
+            jnp.zeros((self._n,), jnp.uint32)
+        ]
+        rv = [other._cols[n] for n in r_other] or [
+            jnp.zeros((other._n,), jnp.uint32)
+        ]
+        jk, jl, jr, counts, ovf = dist_query.distributed_hash_join(
+            lk, lv, rk, rv, self._mesh, self._axis,
+            capacity_per_shard=capacity_per_shard,
+            exchange_capacity_factor=exchange_capacity_factor, how=how,
+        )
+        jks = list(jk) if isinstance(jk, (list, tuple)) else [jk]
+        jls = list(jl) if isinstance(jl, (list, tuple)) else [jl]
+        jrs = list(jr) if isinstance(jr, (list, tuple)) else [jr]
+        cols = {}
+        if flagged:
+            fcol, jks = jks[0], jks[1:]
+        cols.update(zip(on, jks))
+        cols.update(zip(l_other, jls[:len(l_other)]))
+        if how in ("inner", "left", "right", "full"):
+            for name, arr in zip(r_other, jrs[:len(r_other)]):
+                out_name = name + suffix if name in cols else name
+                cols[out_name] = arr
+        out = DistTable(cols, self._mesh, counts, self._axis)
+        if flagged and how in ("left", "anti", "right", "full"):
+            # unmatched padding rows emit under these variants; drop them
+            out = DistTable({**cols, "__flag": fcol}, self._mesh, counts,
+                            self._axis)
+            out = out.filter(lambda t: t["__flag"] == 0).drop("__flag")
+        return out, ovf
+
+    def join_asof(self, other: "DistTable", on, *,
+                  direction: str = "backward", tolerance=None,
+                  suffix: str = "_r",
+                  matched_col: str | None = None) -> "DistTable":
+        """Distributed ASOF join, row-aligned with this table (pandas
+        ``merge_asof`` semantics over the tagged-union exchange). ``other``
+        must be fully valid (no padding) — filter/compact it first;
+        this table's padding rows simply never match."""
+        if other._counts is not None:
+            raise ValueError(
+                "join_asof needs a fully-valid right DistTable "
+                "(materialize/compact it first)"
+            )
+        (lk,) = self._resolve([on])
+        (rk,) = other._resolve([on])
+        ridx = jnp.arange(other._n, dtype=jnp.int32)
+        _, matched, rpos = dist_asof.distributed_join_asof(
+            lk, rk, ridx, self._mesh, self._axis,
+            direction=direction, tolerance=tolerance, fill=-1,
+        )
+        if self._counts is not None:
+            matched = matched & self.valid_mask()
+        rg = jnp.clip(rpos, 0, other._n - 1)
+        cols = dict(self._cols)
+        for name, c in other._cols.items():
+            if name == on:
+                continue
+            out_name = name + suffix if name in cols else name
+            # global-position gather: XLA inserts the cross-shard collective
+            cols[out_name] = jnp.where(matched, c[rg], 0)
+        if matched_col is not None:
+            cols[matched_col] = matched
+        return DistTable(cols, self._mesh, self._counts, self._axis)
+
+    def window(self, ops, *, partition_by=None, order_by=None,
+               capacity: int | None = None) -> "DistTable":
+        """Add window-function columns over the MPP window plan (full
+        single-chip spec surface; column NAMES in place of value arrays, as
+        :meth:`Table.window`). Padding rows are fenced into their own
+        partitions; results stay row-aligned and sharded."""
+        specs = []
+        for spec in ops.values():
+            if isinstance(spec, str):
+                specs.append(spec)
+            else:
+                spec = list(spec)
+                if spec[0] not in ("ntile", "rolling_count"):
+                    spec[1] = self._resolve(spec[1])[0]
+                specs.append(tuple(spec))
+        p_cols = self._resolve(partition_by)
+        flag = self._flag()
+        if flag is not None:
+            p_cols = [flag, *p_cols]
+        outs = DW.distributed_window(
+            specs,
+            partition_by=p_cols or None,
+            order_by=self._resolve(order_by) or None,
+            mesh=self._mesh, axis_name=self._axis, capacity=capacity,
+        )
+        if isinstance(outs, jnp.ndarray):
+            outs = [outs]
+        return self.with_columns(**dict(zip(ops, outs)))
+
+    def concat(self, other: "DistTable") -> "DistTable":
+        """UNION ALL: the two relations' valid rows, this table's first
+        (same column names/dtypes). One flag-keyed distributed stable sort
+        re-packs the combined valid rows into a global prefix."""
+        if list(self._cols) != list(other._cols):
+            raise ValueError("concat needs identical column names")
+        for n, c in self._cols.items():
+            if np.dtype(c.dtype) != np.dtype(other._cols[n].dtype):
+                raise ValueError(f"column {n!r} dtypes differ")
+        cols = {
+            n: jnp.concatenate([c, other._cols[n]])
+            for n, c in self._cols.items()
+        }
+        if self._counts is None and other._counts is None:
+            return DistTable(cols, self._mesh, None, self._axis)
+        flag = jnp.concatenate([
+            (~self.valid_mask()).astype(jnp.uint32),
+            (~other.valid_mask()).astype(jnp.uint32),
+        ])
+        # order by (flag, original position): valid rows first, in order;
+        # the sorted flag comes back as the leading key limb
+        pos = jnp.arange(flag.shape[0], dtype=jnp.uint32)
+        ows, ovs, fill_counts, _ = dist_sort.distributed_sort_limbs(
+            [flag, pos], list(cols.values()), mesh=self._mesh,
+            axis_name=self._axis,
+        )
+        ovs = list(ovs) if isinstance(ovs, (list, tuple)) else [ovs]
+        cap = ovs[0].shape[0] // self._P
+        counts = self._counts_from_flags(ows[0], fill_counts, cap)
+        return DistTable(dict(zip(cols, ovs)), self._mesh, counts,
+                         self._axis)
+
+    # ---- reduction-shaped verbs (replicated results) ----------------------
+
+    def distinct(self, subset=None, *, max_unique: int) -> Table:
+        """Distinct valid rows over ``subset`` columns (default: all) —
+        the two-phase MPP DISTINCT. ``max_unique`` bounds each shard's
+        local distinct count (result flagged invalid past it). Returns a
+        replicated :class:`Table`."""
+        names = _as_list(subset) or list(self._cols)
+        key_cols = self._resolve(names)
+        flag = self._flag()
+        karg = [flag, *key_cols] if flag is not None else (
+            key_cols if len(key_cols) > 1 else key_cols[0]
+        )
+        uk, _, num, ovf = dist_query.distributed_unique(
+            karg, self._mesh, self._axis, max_unique=max_unique,
+        )
+        uks = list(uk) if isinstance(uk, (list, tuple)) else [uk]
+        if flag is not None:
+            fcol, uks = uks[0], uks[1:]
+            pos = jnp.arange(uks[0].shape[0], dtype=jnp.int32)
+            num = jnp.sum(((pos < num) & (fcol == 0)).astype(jnp.int32))
+        return Table(dict(zip(names, uks)), num)
+
+    def aggregate(self, by, aggs, *, max_groups: int,
+                  exchange_capacity_factor: float = 2.0) -> Table:
+        """Distributed GROUP BY (two-phase partial merge for combinable
+        aggregations, repartition/shuffle-aggregate for holistic ones) —
+        same ``aggs`` dict as :meth:`Table.aggregate`. ``max_groups``
+        bounds each shard's group count. Returns a replicated
+        :class:`Table`; ``argmin``/``argmax`` report global row
+        positions."""
+        by = _as_list(by)
+        key_cols = self._resolve(by)
+        if not key_cols:
+            key_cols = [jnp.zeros((self._n,), jnp.uint32)]
+        flag = self._flag()
+        keys_arg = [flag, *key_cols] if flag is not None else key_cols
+        names, val_cols, agg_list = [], [], []
+        for out_name, spec in aggs.items():
+            if isinstance(spec, str):
+                agg, col = spec, None
+            else:
+                agg, col = spec[0], (spec[1] if len(spec) > 1 else None)
+            if col is None:
+                if agg != "count":
+                    raise ValueError(
+                        f"{out_name!r}: {agg!r} needs a value column"
+                    )
+                col = keys_arg[-1]
+            names.append(out_name)
+            val_cols.append(self._resolve(col)[0])
+            agg_list.append(agg)
+        uk, outs, cnt, ovf = dist_query.distributed_hash_aggregate(
+            keys_arg, val_cols, self._mesh, agg_list, self._axis,
+            max_groups=max_groups,
+            exchange_capacity_factor=exchange_capacity_factor,
+        )
+        uks = list(uk)
+        if flag is not None:
+            fcol, uks = uks[0], uks[1:]
+            pos = jnp.arange(fcol.shape[0], dtype=jnp.int32)
+            cnt = jnp.sum(((pos < cnt) & (fcol == 0)).astype(jnp.int32))
+        cols = dict(zip(by, uks[:len(by)]))
+        cols.update(zip(names, outs))
+        return Table(cols, cnt)
+
+    def top_k(self, k: int, by, largest: bool = True) -> Table:
+        """The global ``k`` rows with extreme ``by`` keys (ORDER BY ...
+        LIMIT k over the mesh; k rows per shard on the wire). Returns a
+        replicated :class:`Table`."""
+        by = _as_list(by)
+        key_cols = self._resolve(by)
+        keys_arg = list(key_cols)
+        flag = self._flag()
+        if flag is not None:
+            ind = (self.valid_mask().astype(jnp.uint32) if largest
+                   else flag)
+            keys_arg = [ind, *keys_arg]
+        others = list(self._cols)
+        out = dist_query.distributed_top_k(
+            keys_arg if len(keys_arg) > 1 else keys_arg[0],
+            k, *[self._cols[n] for n in others],
+            mesh=self._mesh, axis_name=self._axis, largest=largest,
+        )
+        cols = dict(zip(others, out[1:]))
+        cnt = (None if self._counts is None
+               else jnp.minimum(self.total_count(), jnp.int32(k)))
+        return Table(cols, cnt)
+
+    def _set_op(self, other: "DistTable", subset, op_name, max_unique):
+        names = _as_list(subset) or list(self._cols)
+        a_cols = self._resolve(names)
+        b_cols = other._resolve(names)
+        aflag, bflag = self._flag(), other._flag()
+        flagged = aflag is not None or bflag is not None
+        if flagged:
+            af = (aflag if aflag is not None
+                  else jnp.zeros((self._n,), jnp.uint32))
+            bf = (bflag if bflag is not None
+                  else jnp.zeros((other._n,), jnp.uint32))
+            a_cols, b_cols = [af, *a_cols], [bf, *b_cols]
+        fn = {
+            "union": dist_query.distributed_set_union,
+            "intersect": dist_query.distributed_set_intersect,
+            "difference": dist_query.distributed_set_difference,
+        }[op_name]
+        keys_out, count, ovf = fn(
+            a_cols if len(a_cols) > 1 else a_cols[0],
+            b_cols if len(b_cols) > 1 else b_cols[0],
+            self._mesh, self._axis, max_unique=max_unique,
+        )
+        kouts = (list(keys_out) if isinstance(keys_out, (list, tuple))
+                 else [keys_out])
+        if flagged:
+            fcol, kouts = kouts[0], kouts[1:]
+            pos = jnp.arange(kouts[0].shape[0], dtype=jnp.int32)
+            count = jnp.sum(((pos < count) & (fcol == 0)).astype(jnp.int32))
+        return Table(dict(zip(names, kouts)), count)
+
+    def union(self, other: "DistTable", subset=None, *,
+              max_unique: int) -> Table:
+        """SQL ``UNION`` (distinct) over ``subset`` columns — the two-phase
+        distributed set op; padding on either side contributes nothing.
+        Returns a replicated :class:`Table`."""
+        return self._set_op(other, subset, "union", max_unique)
+
+    def intersect(self, other: "DistTable", subset=None, *,
+                  max_unique: int) -> Table:
+        """SQL ``INTERSECT`` over the mesh."""
+        return self._set_op(other, subset, "intersect", max_unique)
+
+    def difference(self, other: "DistTable", subset=None, *,
+                   max_unique: int) -> Table:
+        """SQL ``EXCEPT`` over the mesh (this table minus ``other``)."""
+        return self._set_op(other, subset, "difference", max_unique)
+
+    def quantiles(self, column, qs, *, method: str = "lower"):
+        """Exact global quantiles of a column's valid rows (replicated
+        values; the distributed sort resolves each global rank to its one
+        owning shard). With padding present, ranks are taken inside the
+        valid prefix of a (validity, column) sort."""
+        (col,) = self._resolve([column])
+        if self._counts is None:
+            return dist_query.distributed_quantiles(
+                col, qs, self._mesh, self._axis, method=method
+            )
+        qs = [float(q) for q in qs]
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(
+                    f"quantile points must be in [0, 1], got {q}"
+                )
+        from radix_sort_tpu.ops.relational import QUANTILE_METHODS
+        if method not in QUANTILE_METHODS:
+            raise ValueError(
+                f"method must be one of {QUANTILE_METHODS}, got {method!r}"
+            )
+        flag = self._flag()
+        limbs = K.encode_limbs(col)
+        ows, _, fill_counts, _ = dist_sort.distributed_sort_limbs(
+            [flag, *limbs], None, mesh=self._mesh, axis_name=self._axis,
+        )
+        total = self.total_count()
+        x = jnp.asarray(qs, jnp.float32) * (total - 1).astype(jnp.float32)
+        if method == "lower":
+            r = jnp.floor(x)
+        elif method == "higher":
+            r = jnp.ceil(x)
+        else:
+            r = jnp.floor(x + 0.5)
+        ranks = jnp.clip(r.astype(jnp.int32), 0, jnp.maximum(total - 1, 0))
+        # valid rows are the global prefix of the (flag, value) sort: rank
+        # j's owner is found from the exchange fill counts (valid rows are
+        # a prefix of each shard's fill — flag 0 sorts first globally)
+        svals = K.decode_limbs(list(ows[1:]), col.dtype)
+        cap = svals.shape[0] // self._P
+        offs = jnp.cumsum(fill_counts) - fill_counts
+        shard = jnp.clip(
+            jnp.searchsorted(offs, ranks, side="right") - 1, 0, self._P - 1
+        ).astype(jnp.int32)
+        local = ranks - offs[shard]
+        return svals[jnp.clip(shard * cap + local, 0, svals.shape[0] - 1)]
+
+    # ---- materialization --------------------------------------------------
+
+    def to_table(self) -> Table:
+        """Re-pack into a single-chip :class:`Table`: one stable validity
+        sort makes the valid rows one global prefix (stays traced)."""
+        if self._counts is None:
+            return Table(dict(self._cols), None)
+        flag = self._flag()
+        out = Q._stable_sort([flag, *self._cols.values()], num_keys=1)
+        return Table(dict(zip(self._cols, out[1:])), self.total_count())
+
+    def to_numpy(self):
+        """dict of numpy arrays holding ONLY the valid rows, in global
+        shard order (eager only)."""
+        if self._counts is None:
+            return {n: np.asarray(c) for n, c in self._cols.items()}
+        cnts = np.asarray(self._counts)
+        out = {}
+        for n, c in self._cols.items():
+            parts = np.split(np.asarray(c), self._P)
+            out[n] = np.concatenate(
+                [p[: cnts[d]] for d, p in enumerate(parts)]
+            )
+        return out

@@ -203,10 +203,12 @@ class Table:
         """GROUP BY ``by`` (a column name/list, or None for one global
         group over the valid rows) computing ``aggs``: a dict of output
         name -> ``(agg, column)`` with agg in sum/count/min/max/mean/
-        first/last/median/var/std/count_distinct (``"count"`` alone also
-        works). One shared key sort computes every aggregate (the engine's
-        multi-aggregate; median/count_distinct each add one (key, value)
-        sort)."""
+        any/all/first/last/median/mode/var/std/count_distinct/argmin/
+        argmax (``"count"`` alone also works). One shared key sort
+        computes every aggregate (the engine's multi-aggregate;
+        median/mode/count_distinct/argmin/argmax each add one
+        (key, value) sort). ``argmin``/``argmax`` report positions in
+        this table's row numbering."""
         by = _as_list(by)
         key_cols = self._resolve(by)
         if not key_cols:

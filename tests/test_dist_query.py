@@ -13,11 +13,11 @@ def mesh():
     return runtime.data_mesh()
 
 
-@pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max", "any", "all"])
 def test_matches_single_chip(rng, mesh, agg):
     n = 8 * 1024
     keys = rng.integers(0, 37, n).astype(np.uint32)
-    vals = rng.integers(1, 1000, n).astype(np.uint32)
+    vals = rng.integers(0, 1000, n).astype(np.uint32)  # zeros: any/all vary
     k, v = runtime.shard_rows(mesh, jnp.asarray(keys), jnp.asarray(vals))
     uk, av, cnt, ovf = dist_query.distributed_hash_aggregate(
         k, v, mesh, agg, max_groups=64
@@ -27,7 +27,8 @@ def test_matches_single_chip(rng, mesh, agg):
     ref_keys = np.unique(keys)
     assert cnt == len(ref_keys)
     np.testing.assert_array_equal(np.asarray(uk)[:cnt], ref_keys)
-    fns = {"sum": np.sum, "count": len, "min": np.min, "max": np.max}
+    fns = {"sum": np.sum, "count": len, "min": np.min, "max": np.max,
+           "any": lambda g: (g != 0).any(), "all": lambda g: (g != 0).all()}
     ref = np.array([fns[agg](vals[keys == u]) for u in ref_keys], dtype=np.int64)
     np.testing.assert_array_equal(np.asarray(av)[:cnt].astype(np.int64), ref)
 
@@ -509,7 +510,8 @@ class TestDistributedHolisticAggregate:
     (shuffle-aggregate) plan vs the single-chip aggregates."""
 
     @pytest.mark.parametrize(
-        "agg", ["first", "last", "median", "var", "std", "count_distinct"]
+        "agg", ["first", "last", "median", "var", "std", "count_distinct",
+                "mode", "argmin", "argmax"]
     )
     def test_matches_single_chip(self, rng, mesh, agg):
         from radix_sort_tpu.ops import query

@@ -1,0 +1,254 @@
+"""DistTable (the MPP relation facade) vs the single-chip Table on the
+8-virtual-device CPU mesh.
+
+Every verb must agree with the single-chip facade (itself oracle-tested in
+test_table.py) on the same logical relation: ``DistTable.from_table(t)``
+carries t's rows at the same global positions, so row-shaped verbs compare
+via ``to_numpy()`` (valid rows in global order) and reduction-shaped verbs
+return replicated Tables compared directly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+import radix_sort_tpu as rst
+from radix_sort_tpu.parallel.dist_table import DistTable
+from radix_sort_tpu.table import Table
+
+N = 8 * 128
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()), ("x",))
+
+
+@pytest.fixture
+def tbl(rng):
+    return {
+        "k": rng.integers(0, 13, N).astype(np.uint32),
+        "v": rng.integers(-500, 500, N).astype(np.int32),
+        "w": rng.standard_normal(N).astype(np.float32),
+    }
+
+
+def _pair(tbl, frac_valid=0.7):
+    """The same padded relation as a Table and a DistTable."""
+    t = Table({k: jnp.asarray(v) for k, v in tbl.items()},
+              jnp.int32(int(N * frac_valid)))
+    d = DistTable.from_table(t, _mesh())
+    return t, d
+
+
+def _rows(np_dict):
+    names = sorted(np_dict)
+    return sorted(zip(*[np_dict[n].tolist() for n in names]))
+
+
+class TestBasics:
+    def test_from_table_counts_and_roundtrip(self, tbl):
+        t, d = _pair(tbl, 0.6)
+        cnts = np.asarray(d.counts)
+        assert cnts.sum() == int(N * 0.6)
+        got, want = d.to_numpy(), t.to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n])
+
+    def test_fully_valid(self, tbl):
+        t = Table({k: jnp.asarray(v) for k, v in tbl.items()})
+        d = DistTable.from_table(t, _mesh())
+        assert d.counts is None
+        assert int(d.total_count()) == N
+        got = d.to_numpy()
+        np.testing.assert_array_equal(got["k"], tbl["k"])
+
+    def test_projection(self, tbl):
+        _, d = _pair(tbl)
+        assert d.select("k", "v").column_names == ["k", "v"]
+        assert d.drop("w").column_names == ["k", "v"]
+        assert d.rename({"k": "key"}).column_names == ["key", "v", "w"]
+        d2 = d.with_columns(z=jnp.arange(N, dtype=jnp.int32))
+        assert "z" in d2
+
+    def test_to_table(self, tbl):
+        t, d = _pair(tbl, 0.5)
+        back = d.to_table()
+        got, want = back.to_numpy(), t.to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n])
+
+    def test_validation(self, tbl):
+        mesh = _mesh()
+        with pytest.raises(ValueError, match="divide"):
+            DistTable({"k": jnp.zeros(N + 1, jnp.int32)}, mesh)
+        with pytest.raises(ValueError, match="counts"):
+            DistTable({"k": jnp.zeros(N, jnp.int32)}, mesh,
+                      jnp.zeros(3, jnp.int32))
+
+
+class TestRowShaped:
+    def test_filter(self, tbl):
+        t, d = _pair(tbl)
+        got = d.filter(lambda x: x["v"] > 0).to_numpy()
+        want = t.filter(lambda x: x["v"] > 0).to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n])
+
+    def test_sort_by(self, tbl):
+        t, d = _pair(tbl)
+        got = d.sort_by(["k", "v"], descending=[False, True]).to_numpy()
+        want = t.sort_by(["k", "v"], descending=[False, True]).to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n])
+
+    def test_sort_by_all_valid(self, tbl):
+        t = Table({k: jnp.asarray(v) for k, v in tbl.items()})
+        d = DistTable.from_table(t, _mesh())
+        got = d.sort_by("v").to_numpy()
+        want = t.sort_by("v").to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n])
+
+    def test_window(self, tbl):
+        t, d = _pair(tbl)
+        ops = {"rn": "row_number", "s": ("sum", "v"),
+               "prev": ("lag", "v", 1), "roll": ("rolling_sum", "v", 3, 1)}
+        got = d.window(ops, partition_by="k", order_by="w").to_numpy()
+        want = t.window(ops, partition_by="k", order_by="w").to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n], err_msg=n)
+
+    def test_concat(self, tbl, rng):
+        t, d = _pair(tbl, 0.5)
+        t2, d2 = _pair(
+            {k: rng.permutation(v) for k, v in tbl.items()}, 0.25
+        )
+        got = d.concat(d2).to_numpy()
+        want = t.concat(t2).to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n])
+        assert int(d.concat(d2).total_count()) == int(N * 0.75)
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti",
+                                     "right", "full"])
+    def test_join(self, rng, how):
+        # wider key space (0..97) keeps per-shard pair counts bounded
+        lt = {
+            "k": rng.integers(0, 97, N).astype(np.uint32),
+            "v": rng.integers(-500, 500, N).astype(np.int32),
+        }
+        t, d = _pair(lt)
+        rt = Table({
+            "k": jnp.asarray(rng.integers(0, 97, N).astype(np.uint32)),
+            "p": jnp.asarray(rng.integers(0, 9999, N).astype(np.int32)),
+        }, jnp.int32(N // 2))
+        rd = DistTable.from_table(rt, _mesh())
+        dj, dovf = d.join(rd, "k", capacity_per_shard=N * 4, how=how,
+                          exchange_capacity_factor=4.0)
+        tj, tovf = t.join(rt, "k", capacity=8 * N * 4, how=how)
+        assert not bool(dovf) and not bool(tovf)
+        got, want = dj.to_numpy(), tj.to_numpy()
+        assert sorted(got) == sorted(want)  # same columns
+        assert _rows(got) == _rows(want)    # same row multiset
+
+    def test_join_asof(self, tbl):
+        t, d = _pair(tbl)
+        rt = Table({
+            "k": jnp.asarray(np.arange(N, dtype=np.uint32) * 3),
+            "px": jnp.asarray(np.arange(N, dtype=np.int32) + 1000),
+        })
+        rd = DistTable.from_table(rt, _mesh())
+        got = d.join_asof(rd, "k", direction="backward",
+                          matched_col="m").to_numpy()
+        want = t.join_asof(rt, "k", direction="backward",
+                           matched_col="m").to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n], err_msg=n)
+
+    def test_join_asof_needs_valid_right(self, tbl):
+        _, d = _pair(tbl)
+        with pytest.raises(ValueError, match="fully-valid"):
+            d.join_asof(d, "k")
+
+
+class TestReductionShaped:
+    def test_aggregate(self, tbl):
+        t, d = _pair(tbl)
+        aggs = {"s": ("sum", "v"), "m": ("median", "v"),
+                "am": ("argmin", "v"), "sd": ("std", "w"),
+                "n": "count"}
+        got = d.aggregate("k", aggs, max_groups=64,
+                          exchange_capacity_factor=4.0).to_numpy()
+        want = t.aggregate("k", aggs).to_numpy()
+        for n in ("k", "s", "m", "am", "n"):
+            np.testing.assert_array_equal(got[n], want[n], err_msg=n)
+        np.testing.assert_allclose(got["sd"], want["sd"], rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_distinct(self, tbl):
+        t, d = _pair(tbl)
+        got = d.distinct("k", max_unique=64).to_numpy()
+        want = t.distinct("k").to_numpy()
+        np.testing.assert_array_equal(got["k"], want["k"])
+
+    def test_top_k(self, tbl):
+        t, d = _pair(tbl)
+        got = d.top_k(10, "v").to_numpy()
+        want = t.top_k(10, "v").to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n])
+
+    def test_quantiles(self, tbl):
+        t, d = _pair(tbl)
+        qs = [0.0, 0.25, 0.5, 1.0]
+        np.testing.assert_array_equal(
+            np.asarray(d.quantiles("v", qs)),
+            np.asarray(t.quantiles("v", qs)),
+        )
+        # fully-valid path
+        tf = Table({k: jnp.asarray(v) for k, v in tbl.items()})
+        df = DistTable.from_table(tf, _mesh())
+        np.testing.assert_array_equal(
+            np.asarray(df.quantiles("v", qs)),
+            np.asarray(tf.quantiles("v", qs)),
+        )
+
+    def test_set_ops(self, tbl, rng):
+        t, d = _pair(tbl)
+        t2, d2 = _pair(
+            {k: rng.permutation(v) for k, v in tbl.items()}, 0.4
+        )
+        for op in ("union", "intersect", "difference"):
+            got = getattr(d, op)(d2, "k", max_unique=64).to_numpy()
+            want = getattr(t, op)(t2, "k").to_numpy()
+            np.testing.assert_array_equal(got["k"], want["k"], err_msg=op)
+
+
+def test_jit_pipeline(tbl):
+    """A composed pipeline (filter -> window -> aggregate) under one jit."""
+    mesh = _mesh()
+
+    def run(k, v, w):
+        d = DistTable({"k": k, "v": v, "w": w}, mesh)
+        d = d.filter(d["v"] > -200)
+        d = d.window({"rn": "row_number"}, partition_by="k", order_by="w")
+        out = d.aggregate("k", {"s": ("sum", "v"), "top": ("max", "rn")},
+                          max_groups=64)
+        return out["k"], out["s"], out["top"], out.count
+
+    got = jax.jit(run)(jnp.asarray(tbl["k"]), jnp.asarray(tbl["v"]),
+                       jnp.asarray(tbl["w"]))
+    t = Table({k: jnp.asarray(v) for k, v in tbl.items()})
+    t = t.filter(t["v"] > -200)
+    t = t.window({"rn": "row_number"}, partition_by="k", order_by="w")
+    want = t.aggregate("k", {"s": ("sum", "v"), "top": ("max", "rn")})
+    cnt = int(got[3])
+    assert cnt == int(want.count)
+    np.testing.assert_array_equal(np.asarray(got[0])[:cnt],
+                                  want.to_numpy()["k"])
+    np.testing.assert_array_equal(np.asarray(got[1])[:cnt],
+                                  want.to_numpy()["s"])
+    np.testing.assert_array_equal(np.asarray(got[2])[:cnt],
+                                  want.to_numpy()["top"])

@@ -81,3 +81,40 @@ def test_table_demo_matches_oracle(rng):
     np.testing.assert_array_equal(
         np.sort(got_n), np.sort(np.array([r[1] for r in ref]))
     )
+
+
+def test_dist_table_demo_matches_oracle(rng):
+    from jax.sharding import Mesh
+
+    from examples.dist_table_demo import build_pipeline
+
+    n, n_sym, min_qty = 8 * 512, 16, 100
+    sym = rng.integers(0, n_sym, n).astype(np.uint32)
+    qty = rng.integers(1, 1000, n).astype(np.uint32)
+    ts = rng.integers(0, 1 << 30, n).astype(np.uint32)
+
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+    run = build_pipeline(mesh, min_qty=min_qty, max_groups=n_sym * 2)
+    s, cnt, vol, peak, num = run(
+        jnp.asarray(sym), jnp.asarray(qty), jnp.asarray(ts)
+    )
+    num = int(num)
+
+    keep = qty > min_qty
+    ks, kq, kt = sym[keep], qty[keep], ts[keep]
+    refs = []
+    for u in np.unique(ks):
+        g = kq[ks == u]
+        order = np.argsort(kt[ks == u], kind="stable")
+        refs.append((int(u), len(g), int(g.sum()),
+                     int(np.max(np.cumsum(g[order])))))
+    refs.sort(key=lambda r: (-r[2],))
+    assert num == len(refs)
+    got_v = np.asarray(vol)[:num].astype(np.int64)
+    np.testing.assert_array_equal(got_v, [r[2] for r in refs])
+    # ties in volume may order by input position; compare per-volume sets
+    got = list(zip(np.asarray(s)[:num].tolist(),
+                   np.asarray(cnt)[:num].tolist(),
+                   got_v.tolist(),
+                   np.asarray(peak)[:num].astype(np.int64).tolist()))
+    assert sorted(got) == sorted(refs)

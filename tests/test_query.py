@@ -57,8 +57,19 @@ class TestHashAggregate:
             "var": lambda g: g.astype(np.float64).var(),
             "std": lambda g: g.astype(np.float64).std(),
             "count_distinct": lambda g: len(np.unique(g)),
+            "any": lambda g: (g != 0).any(),
+            "all": lambda g: (g != 0).all(),
+            "mode": lambda g: np.unique(g, return_counts=True)[0][
+                np.argmax(np.unique(g, return_counts=True)[1])],
         }
-        ref = np.array([fns[agg](vals[keys == k]) for k in ref_keys])
+        if agg in ("argmin", "argmax"):
+            pick = np.argmin if agg == "argmin" else np.argmax
+            ref = np.array([
+                np.flatnonzero(keys == k)[pick(vals[keys == k])]
+                for k in ref_keys
+            ])
+        else:
+            ref = np.array([fns[agg](vals[keys == k]) for k in ref_keys])
         if agg in ("mean", "var", "std"):
             assert av.dtype == jnp.float32
             np.testing.assert_allclose(np.asarray(av)[:cnt], ref, rtol=1e-5)
@@ -115,7 +126,7 @@ class TestHashAggregate:
 
     def test_bad_agg_raises(self):
         with pytest.raises(ValueError, match="agg must be one of"):
-            query.hash_aggregate(jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.uint32), "mode")
+            query.hash_aggregate(jnp.zeros(4, jnp.uint32), jnp.zeros(4, jnp.uint32), "product")
 
 
 class TestHolisticAggregations:
@@ -265,9 +276,43 @@ class TestHolisticAggregations:
     def test_empty_input_dtypes(self):
         e = jnp.zeros((0,), jnp.int32)
         for agg, dt in [("median", jnp.int32), ("count_distinct", jnp.int32),
-                        ("var", jnp.float32), ("first", jnp.int32)]:
+                        ("var", jnp.float32), ("first", jnp.int32),
+                        ("any", jnp.bool_), ("all", jnp.bool_),
+                        ("mode", jnp.int32), ("argmin", jnp.int32),
+                        ("argmax", jnp.int32)]:
             _, av, cnt = query.hash_aggregate(e, e, agg)
             assert int(cnt) == 0 and av.dtype == dt
+
+    def test_mode_ties_pick_smallest(self):
+        keys = jnp.asarray(np.array([0, 0, 0, 0, 1, 1], np.uint32))
+        vals = jnp.asarray(np.array([7, -2, 7, -2, 5, 3], np.int32))
+        _, av, cnt = query.hash_aggregate(keys, vals, "mode")
+        # group 0: -2 and 7 tie at 2 -> smallest (-2); group 1: 3/5 tie -> 3
+        np.testing.assert_array_equal(np.asarray(av)[:2], [-2, 3])
+
+    def test_argminmax_first_occurrence(self):
+        keys = jnp.asarray(np.array([0, 0, 0, 0], np.uint32))
+        vals = jnp.asarray(np.array([5, 1, 1, 5], np.int32))
+        _, amin, _ = query.hash_aggregate(keys, vals, "argmin")
+        _, amax, _ = query.hash_aggregate(keys, vals, "argmax")
+        assert int(np.asarray(amin)[0]) == 1  # first of the two 1s
+        assert int(np.asarray(amax)[0]) == 0  # first of the two 5s
+
+    def test_any_all_bool_and_float(self, rng):
+        keys = rng.integers(0, 9, 500).astype(np.uint32)
+        b = rng.random(500) < 0.4
+        f = rng.standard_normal(500).astype(np.float32) * (
+            rng.random(500) < 0.8)
+        for vals in (b, f):
+            for agg in ("any", "all"):
+                _, av, cnt = query.hash_aggregate(
+                    jnp.asarray(keys), jnp.asarray(vals), agg
+                )
+                assert av.dtype == jnp.bool_
+                for i, u in enumerate(np.unique(keys)):
+                    g = vals[keys == u] != 0
+                    want = g.any() if agg == "any" else g.all()
+                    assert bool(np.asarray(av)[i]) == want, (agg, u)
 
 
 class TestHashJoin:
@@ -298,6 +343,37 @@ class TestHashJoin:
         assert cnt == len(ref)
         got = list(zip(np.asarray(jk)[:cnt], np.asarray(jlv)[:cnt], np.asarray(jrv)[:cnt]))
         assert got == ref
+
+    @pytest.mark.parametrize("how", ["inner", "left", "right", "full",
+                                     "semi", "anti"])
+    def test_multi_column_payloads(self, rng, how):
+        """Value-column LISTS ride the one join; each output column must
+        equal the single-payload join of that column alone."""
+        nl, nr = 400, 300
+        lk = jnp.asarray(rng.integers(0, 60, nl).astype(np.uint32))
+        rk = jnp.asarray(rng.integers(0, 60, nr).astype(np.uint32))
+        lvs = [jnp.asarray(rng.integers(0, 2**31, nl).astype(np.uint32)),
+               jnp.asarray(rng.integers(-50, 50, nl).astype(np.int32))]
+        rvs = [jnp.asarray(rng.integers(0, 9999, nr).astype(np.int32)),
+               jnp.asarray(rng.standard_normal(nr).astype(np.float32))]
+        cap = 8192
+        jk, jl, jr, cnt, ovf = query.hash_join(
+            lk, lvs, rk, rvs, capacity=cap, how=how
+        )
+        assert not bool(ovf)
+        assert isinstance(jl, list) and isinstance(jr, list)
+        cnt = int(cnt)
+        for ci in range(2):
+            k1, l1, r1, c1, o1 = query.hash_join(
+                lk, lvs[ci], rk, rvs[ci], capacity=cap, how=how
+            )
+            assert int(c1) == cnt
+            np.testing.assert_array_equal(np.asarray(jk)[:cnt],
+                                          np.asarray(k1)[:cnt])
+            np.testing.assert_array_equal(np.asarray(jl[ci])[:cnt],
+                                          np.asarray(l1)[:cnt])
+            np.testing.assert_array_equal(np.asarray(jr[ci])[:cnt],
+                                          np.asarray(r1)[:cnt])
 
     def test_overflow_flag(self, rng):
         lk = np.zeros(100, np.uint32)

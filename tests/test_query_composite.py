@@ -90,7 +90,7 @@ class TestMultiAggregate:
         with pytest.raises(ValueError, match="equal-length"):
             rst.hash_aggregate(k, [v], ["sum", "min"])
         with pytest.raises(ValueError, match="agg must be"):
-            rst.hash_aggregate(k, [v], ["mode"])
+            rst.hash_aggregate(k, [v], ["product"])
 
     def test_empty(self):
         k = jnp.zeros(0, jnp.uint32)
