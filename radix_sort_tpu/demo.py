@@ -55,6 +55,15 @@ def _parse_args(argv=None):
     p.add_argument("--n", type=float, default=None,
                    help="element count for --gen-data")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--suite", default="sort", choices=["sort", "ops"],
+                   help="sort = the reference GB sweep (default); ops = "
+                        "query-operator throughputs (window / rolling / "
+                        "asof join / holistic aggregates / hash join) at "
+                        "--ops-n rows")
+    p.add_argument("--ops-n", type=float, default=float(1 << 24),
+                   help="row count for --suite ops")
+    p.add_argument("--groups", type=float, default=float(1 << 20),
+                   help="group/partition count for --suite ops")
     return p.parse_args(argv)
 
 
@@ -115,10 +124,108 @@ def _engine_fns(dt_name, engines):
     return fns
 
 
+def _ops_suite(args):
+    """Query-operator throughput table (one packed buffer each way — the
+    relay's ~29 ms/buffer dispatch charge would otherwise dominate)."""
+    import radix_sort_tpu as rst
+    from radix_sort_tpu.utils.timing import sync
+
+    n = int(args.ops_n)
+    g = max(1, int(args.groups))
+    runs = args.runs
+    rng = np.random.default_rng(args.seed)
+    as_i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+
+    def timed(fn, packed):
+        sync(fn(packed))  # compile + warm
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            sync(fn(packed))
+            ts.append(time.perf_counter() - t0)
+        return float(np.mean(ts))
+
+    def report(name, rows, dt):
+        print(f"{name:45s} {dt*1e3:9.1f} ms   {rows/dt/1e6:8.1f} M rows/s")
+
+    print(f"backend={jax.default_backend()} n={n:,} groups={g:,} runs={runs}")
+
+    k = rng.integers(0, g, n).astype(np.uint32)
+    o = rng.integers(0, 1 << 31, n).astype(np.uint32)
+    v = rng.integers(-1000, 1000, n).astype(np.int32)
+    packed = jnp.asarray(np.stack([k, o, v.view(np.uint32)]))
+
+    @jax.jit
+    def win(x):
+        outs = rst.window(
+            ["rank", ("cumsum", as_i32(x[2])), ("sum", as_i32(x[2]))],
+            partition_by=x[0], order_by=x[1],
+        )
+        return jnp.stack([o.astype(jnp.uint32) for o in outs])
+
+    report("window rank+cumsum+sum", n, timed(win, packed))
+
+    @jax.jit
+    def win_roll(x):
+        out = rst.window(("rolling_sum", as_i32(x[2]), 64, 32),
+                         partition_by=x[0], order_by=x[1])
+        return out.astype(jnp.uint32)[None]
+
+    report("window rolling_sum(64,32)", n, timed(win_roll, packed))
+
+    for agg in ("sum", "median", "mode", "argmax", "count_distinct", "var"):
+        @jax.jit
+        def hagg(x, agg=agg):
+            uk, av, cnt = rst.hash_aggregate(x[0], as_i32(x[2]), agg)
+            return jnp.stack([uk, av.astype(jnp.uint32)])
+
+        report(f"hash_aggregate {agg}", n, timed(hagg, packed))
+
+    m = n // 4
+    lk = rng.integers(0, 1 << 31, m).astype(np.int32)
+    rk = rng.integers(0, 1 << 31, m).astype(np.int32)
+    rv = rng.integers(0, 1 << 31, m).astype(np.uint32)
+    packed2 = jnp.asarray(np.stack([lk.view(np.uint32), rk.view(np.uint32),
+                                    rv]))
+
+    @jax.jit
+    def asof(x):
+        vals, matched, pos = rst.join_asof(
+            as_i32(x[0]), as_i32(x[1]), x[2], direction="backward"
+        )
+        return jnp.stack(
+            [vals, matched.astype(jnp.uint32), pos.astype(jnp.uint32)]
+        )
+
+    def _fmt(x):
+        return f"{x/(1<<20):g}M" if x >= (1 << 20) else f"{x/1024:g}K"
+
+    report(f"join_asof backward {_fmt(m)}x{_fmt(m)}", m, timed(asof, packed2))
+
+    jk = rng.integers(0, max(m // 4, 1), m).astype(np.uint32)
+    jk2 = rng.integers(0, max(m // 4, 1), m).astype(np.uint32)
+    packed3 = jnp.asarray(np.stack([jk, jk2, rv]))
+    cap = 8 * m
+
+    @jax.jit
+    def hj(x):
+        _, jl, jr, cnt, ovf = rst.hash_join(
+            x[0], x[2], x[1], x[2], capacity=cap, how="inner"
+        )
+        return jnp.stack([jl, jr])
+
+    report(f"hash_join inner {_fmt(m)}x{_fmt(m)} (cap {_fmt(cap)})",
+           m, timed(hj, packed3))
+
+
 def main(argv=None):
     args = _parse_args(argv)
     from radix_sort_tpu.utils.timing import sync
     from radix_sort_tpu.utils import io
+
+    if args.suite == "ops":
+        _ops_suite(args)
+        return
 
     if args.gen_data:
         if args.n is None:

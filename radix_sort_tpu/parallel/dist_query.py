@@ -776,6 +776,58 @@ def distributed_hash_join(
     )
 
 
+def distributed_repeat(
+    values,
+    counts: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "x",
+    *,
+    total_size_per_shard: int,
+):
+    """UNNEST over row-sharded arrays: row i emits ``counts[i]`` copies of
+    every value column, in order, into each shard's static
+    ``total_size_per_shard`` rows (expansion is embarrassingly shard-local
+    — no wire traffic beyond the count/overflow gather).
+
+    ``values`` may be one array or a list (one shared expansion index).
+    Returns ``(*outs, out_counts, overflow)``: shard s's valid expansion is
+    its first ``out_counts[s]`` rows; ``overflow`` is True if any shard's
+    true expansion exceeded its bound (that shard then holds its first
+    ``total_size_per_shard`` rows, exactly — :func:`repeat`'s contract).
+    """
+    multi = isinstance(values, (list, tuple))
+    cols = list(values) if multi else [values]
+    n = counts.shape[0]
+    for c in cols:
+        if c.shape[0] != n:
+            raise ValueError("values and counts must have the same length")
+    nshards = mesh.shape[axis_name]
+
+    def local(*ops):
+        *vs, c = ops
+        outs, cnt, ovf = query._expand_rows(
+            list(vs), c, total_size_per_shard
+        )
+        gcnt = jax.lax.all_gather(cnt.reshape(1), axis_name, tiled=True)
+        govf = jax.lax.psum(ovf.astype(jnp.int32), axis_name) > 0
+        return (*outs, gcnt, govf.reshape(1))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * (len(cols) + 1),
+        out_specs=(P(axis_name),) * len(cols) + (P(), P()),
+        check_vma=False,
+    )
+    out = fn(*cols, counts)
+    outs = list(out[:len(cols)])
+    return (
+        *(outs if multi else outs[:1]),
+        out[len(cols)][:nshards],
+        out[len(cols) + 1][0],
+    )
+
+
 def distributed_quantiles(
     x: jnp.ndarray,
     qs,

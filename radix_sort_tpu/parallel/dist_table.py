@@ -401,6 +401,25 @@ class DistTable:
             outs = [outs]
         return self.with_columns(**dict(zip(ops, outs)))
 
+    def unnest(self, counts, total_size_per_shard: int):
+        """UNNEST / explode: valid row i emits ``counts[i]`` copies of every
+        column, in row order, into each shard's static
+        ``total_size_per_shard`` rows (shard-local expansion — no wire
+        traffic). Returns ``(DistTable, overflow)``; padding rows emit
+        nothing."""
+        (c,) = self._resolve([counts])
+        if self._counts is not None:
+            c = jnp.where(self.valid_mask(), c, 0)
+        *outs, new_counts, ovf = dist_query.distributed_repeat(
+            list(self._cols.values()), c, self._mesh, self._axis,
+            total_size_per_shard=total_size_per_shard,
+        )
+        return (
+            DistTable(dict(zip(self._cols, outs)), self._mesh, new_counts,
+                      self._axis),
+            ovf,
+        )
+
     def concat(self, other: "DistTable") -> "DistTable":
         """UNION ALL: the two relations' valid rows, this table's first
         (same column names/dtypes). One flag-keyed distributed stable sort

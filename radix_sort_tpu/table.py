@@ -425,6 +425,23 @@ class Table:
         )
         return Table(cols, cnt)
 
+    def unnest(self, counts, total_size: int):
+        """UNNEST / explode: valid row i emits ``counts[i]`` copies of
+        every column, in row order, into a static ``total_size`` result
+        (the relation form of :func:`radix_sort_tpu.repeat`; the expansion
+        index is computed once and shared by all columns).
+
+        Returns ``(Table, overflow)``: ``overflow`` is True if the true
+        expansion exceeds ``total_size`` (rows [0, count) exact
+        regardless). Padding rows emit nothing."""
+        (c,) = self._resolve([counts])
+        if self._count is not None:
+            c = jnp.where(self.valid_mask(), c, 0)
+        outs, cnt, ovf = Q._expand_rows(
+            list(self._cols.values()), c, total_size
+        )
+        return Table(dict(zip(self._cols, outs)), cnt), ovf
+
     def limit(self, k: int) -> "Table":
         """First ``k`` valid rows (static head slice)."""
         k = min(int(k), self._n)

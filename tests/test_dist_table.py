@@ -120,6 +120,24 @@ class TestRowShaped:
         for n in want:
             np.testing.assert_array_equal(got[n], want[n], err_msg=n)
 
+    def test_unnest(self, tbl):
+        t, d = _pair(tbl, 0.5)
+        t = t.with_columns(c=jnp.asarray(np.tile([2, 0, 1, 3], N // 4)))
+        d = d.with_columns(c=jnp.asarray(np.tile([2, 0, 1, 3], N // 4)))
+        dd, ovf = d.unnest("c", total_size_per_shard=N)
+        tt, tovf = t.unnest("c", total_size=8 * N)
+        assert not bool(ovf) and not bool(tovf)
+        got, want = dd.to_numpy(), tt.to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n])
+
+    def test_unnest_overflow_flag(self, tbl):
+        _, d = _pair(tbl, 1.0)
+        big = jnp.full((N,), 100, jnp.int32)
+        d = d.with_columns(c=big)
+        _, ovf = d.unnest("c", total_size_per_shard=8)
+        assert bool(ovf)
+
     def test_concat(self, tbl, rng):
         t, d = _pair(tbl, 0.5)
         t2, d2 = _pair(

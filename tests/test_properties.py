@@ -168,3 +168,35 @@ def test_repeat_matches_numpy(data, n):
     )
     assert int(cnt) == len(ref) and not bool(ovf)
     np.testing.assert_array_equal(np.asarray(out)[: len(ref)], ref)
+
+
+@_SET
+@given(st.data(), st.integers(1, 120), st.integers(1, 8))
+def test_holistic_aggregates_match_numpy(data, n, ngroups):
+    keys = np.array(
+        data.draw(st.lists(st.integers(0, ngroups - 1),
+                           min_size=n, max_size=n)),
+        np.uint32,
+    )
+    vals = np.array(
+        data.draw(st.lists(st.integers(-(2**31), 2**31 - 1),
+                           min_size=n, max_size=n)),
+        np.int32,
+    )
+    uk, outs, cnt = rst.hash_aggregate(
+        jnp.asarray(keys), [jnp.asarray(vals)] * 6,
+        ["median", "mode", "argmin", "argmax", "any", "count_distinct"],
+    )
+    cnt = int(cnt)
+    uks = np.unique(keys)
+    assert cnt == len(uks)
+    for i, u in enumerate(uks):
+        idx = np.flatnonzero(keys == u)
+        g = vals[idx]
+        assert np.asarray(outs[0])[i] == np.sort(g)[(len(g) - 1) // 2]
+        v_, c_ = np.unique(g, return_counts=True)
+        assert np.asarray(outs[1])[i] == v_[np.argmax(c_)]
+        assert np.asarray(outs[2])[i] == idx[np.argmin(g)]
+        assert np.asarray(outs[3])[i] == idx[np.argmax(g)]
+        assert bool(np.asarray(outs[4])[i]) == (g != 0).any()
+        assert np.asarray(outs[5])[i] == len(v_)

@@ -336,6 +336,22 @@ class TestAsofAndSetOps:
         np.testing.assert_array_equal(out["px"], [0, 55])
         np.testing.assert_array_equal(out["m"], [False, True])
 
+    def test_unnest(self, rng):
+        t = Table({
+            "k": jnp.asarray(np.array([7, 8, 9, 10], np.uint32)),
+            "c": jnp.asarray(np.array([2, 0, 3, 5], np.int32)),
+        }, jnp.int32(3))  # row 10/5 is padding -> emits nothing
+        out, ovf = t.unnest("c", total_size=8)
+        assert not bool(ovf)
+        assert int(out.count) == 5
+        np.testing.assert_array_equal(
+            out.to_numpy()["k"], [7, 7, 9, 9, 9]
+        )
+        # overflow: truncated prefix exact, flag set
+        out2, ovf2 = t.unnest("c", total_size=3)
+        assert bool(ovf2)
+        np.testing.assert_array_equal(out2.to_numpy()["k"], [7, 7, 9])
+
     def test_set_ops_with_padding(self, tbl, rng):
         a = _t(tbl).filter(lambda t: t["v"] > 600)
         b = _t(tbl).filter(lambda t: t["v"] < 400)
