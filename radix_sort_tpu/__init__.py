@@ -42,6 +42,7 @@ from radix_sort_tpu.ops.relational import (
     ASOF_DIRECTIONS,
 )
 from radix_sort_tpu.ops.window import window, WINDOW_OPS
+from radix_sort_tpu.expr import col, lit, udf
 from radix_sort_tpu.table import Table
 
 __version__ = "0.1.0"
@@ -54,6 +55,10 @@ def __getattr__(name):
         from radix_sort_tpu.parallel.dist_table import DistTable
 
         return DistTable
+    if name == "LazyTable":
+        from radix_sort_tpu.plan import LazyTable
+
+        return LazyTable
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
@@ -85,6 +90,10 @@ __all__ = [
     "window",
     "Table",
     "DistTable",
+    "LazyTable",
+    "col",
+    "lit",
+    "udf",
     "WINDOW_OPS",
     "AGGREGATIONS",
     "COMBINABLE_AGGREGATIONS",

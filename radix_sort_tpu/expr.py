@@ -1,0 +1,314 @@
+"""Column expressions: a small analyzable AST for the lazy query planner.
+
+``col("v") * 2 > col("lo")`` builds an :class:`Expr` tree instead of
+computing anything. The tree knows two things a raw lambda cannot tell us:
+
+  - ``columns``: exactly which columns it reads — what makes projection
+    pruning through the logical plan (``plan.py``) possible, the optimizer
+    lever that actually matters on this engine (every relational operator
+    is one variadic sort whose cost is proportional to the number of
+    operand words it carries; see ``plan.py``'s cost model);
+  - ``evaluate(table)``: how to compute it, elementwise ``jnp`` ops over
+    the named columns — identical semantics eager (``Table``) and sharded
+    (``DistTable``: elementwise ops map over shards untouched).
+
+The surface is deliberately closed (literals, columns, arithmetic,
+comparisons, boolean algebra, ``where``, ``cast``/``abs``, and an explicit
+``udf`` escape hatch that still declares its column reads) so every node
+stays analyzable and printable by ``LazyTable.explain()``.
+
+The reference crate has no expression layer (it is sort-only,
+src/radix_sort/mod.rs); this belongs to the north-star query-engine
+surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Expr", "col", "lit", "where", "udf"]
+
+# binary op name -> (callable, printable symbol)
+_BINOPS = {
+    "add": (lambda a, b: a + b, "+"),
+    "sub": (lambda a, b: a - b, "-"),
+    "mul": (lambda a, b: a * b, "*"),
+    "truediv": (lambda a, b: a / b, "/"),
+    "floordiv": (lambda a, b: a // b, "//"),
+    "mod": (lambda a, b: a % b, "%"),
+    "eq": (lambda a, b: a == b, "=="),
+    "ne": (lambda a, b: a != b, "!="),
+    "lt": (lambda a, b: a < b, "<"),
+    "le": (lambda a, b: a <= b, "<="),
+    "gt": (lambda a, b: a > b, ">"),
+    "ge": (lambda a, b: a >= b, ">="),
+    "and": (lambda a, b: a & b, "&"),
+    "or": (lambda a, b: a | b, "|"),
+    "xor": (lambda a, b: a ^ b, "^"),
+    "lshift": (lambda a, b: a << b, "<<"),
+    "rshift": (lambda a, b: a >> b, ">>"),
+    "min": (jnp.minimum, "min"),
+    "max": (jnp.maximum, "max"),
+}
+
+_UNOPS = {
+    "neg": (lambda a: -a, "-"),
+    "invert": (lambda a: ~a, "~"),
+    "abs": (jnp.abs, "abs"),
+}
+
+
+class Expr:
+    """One node of a column-expression tree.
+
+    ``kind`` is one of ``col | lit | bin | un | cast | where | udf``;
+    ``args`` holds the operands (child ``Expr`` nodes and/or python
+    values). Build trees with :func:`col` / :func:`lit` and operators —
+    never construct nodes directly.
+    """
+
+    __slots__ = ("kind", "args")
+
+    def __init__(self, kind, args):
+        self.kind = kind
+        self.args = tuple(args)
+
+    # -- analysis ---------------------------------------------------------
+
+    @property
+    def columns(self) -> frozenset:
+        """Names of every column this expression reads."""
+        if self.kind == "col":
+            return frozenset((self.args[0],))
+        if self.kind == "lit":
+            return frozenset()
+        if self.kind == "udf":
+            return frozenset(self.args[2])
+        out = frozenset()
+        for a in self.args:
+            if isinstance(a, Expr):
+                out |= a.columns
+        return out
+
+    def rename(self, mapping) -> "Expr":
+        """The same expression reading renamed columns (for pushing
+        filters through ``rename`` nodes)."""
+        if self.kind == "col":
+            return Expr("col", (mapping.get(self.args[0], self.args[0]),))
+        if self.kind == "lit":
+            return self
+        if self.kind == "udf":
+            fn, label, cols = self.args
+            return Expr("udf", (fn, label,
+                                tuple(mapping.get(c, c) for c in cols)))
+        return Expr(
+            self.kind,
+            tuple(a.rename(mapping) if isinstance(a, Expr) else a
+                  for a in self.args),
+        )
+
+    # -- evaluation -------------------------------------------------------
+
+    def evaluate(self, table):
+        """Compute against anything supporting ``table[name]``."""
+        k = self.kind
+        if k == "col":
+            return table[self.args[0]]
+        if k == "lit":
+            return self.args[0]
+        if k == "bin":
+            op, a, b = self.args
+            return _BINOPS[op][0](_ev(a, table), _ev(b, table))
+        if k == "un":
+            op, a = self.args
+            return _UNOPS[op][0](_ev(a, table))
+        if k == "cast":
+            a, dt = self.args
+            return _ev(a, table).astype(dt)
+        if k == "where":
+            c, a, b = self.args
+            return jnp.where(_ev(c, table), _ev(a, table), _ev(b, table))
+        if k == "udf":
+            fn, _, cols = self.args
+            return fn(*(table[c] for c in cols))
+        raise AssertionError(f"unknown Expr kind {k!r}")
+
+    # -- operators --------------------------------------------------------
+
+    def _bin(self, op, other, swap=False):
+        other = other if isinstance(other, Expr) else lit(other)
+        a, b = (other, self) if swap else (self, other)
+        return Expr("bin", (op, a, b))
+
+    def __add__(self, o):
+        return self._bin("add", o)
+
+    def __radd__(self, o):
+        return self._bin("add", o, swap=True)
+
+    def __sub__(self, o):
+        return self._bin("sub", o)
+
+    def __rsub__(self, o):
+        return self._bin("sub", o, swap=True)
+
+    def __mul__(self, o):
+        return self._bin("mul", o)
+
+    def __rmul__(self, o):
+        return self._bin("mul", o, swap=True)
+
+    def __truediv__(self, o):
+        return self._bin("truediv", o)
+
+    def __rtruediv__(self, o):
+        return self._bin("truediv", o, swap=True)
+
+    def __floordiv__(self, o):
+        return self._bin("floordiv", o)
+
+    def __rfloordiv__(self, o):
+        return self._bin("floordiv", o, swap=True)
+
+    def __mod__(self, o):
+        return self._bin("mod", o)
+
+    def __rmod__(self, o):
+        return self._bin("mod", o, swap=True)
+
+    def __lshift__(self, o):
+        return self._bin("lshift", o)
+
+    def __rshift__(self, o):
+        return self._bin("rshift", o)
+
+    def __eq__(self, o):  # noqa: D105 — Expr equality builds a node
+        return self._bin("eq", o)
+
+    def __ne__(self, o):
+        return self._bin("ne", o)
+
+    def __lt__(self, o):
+        return self._bin("lt", o)
+
+    def __le__(self, o):
+        return self._bin("le", o)
+
+    def __gt__(self, o):
+        return self._bin("gt", o)
+
+    def __ge__(self, o):
+        return self._bin("ge", o)
+
+    def __and__(self, o):
+        return self._bin("and", o)
+
+    def __rand__(self, o):
+        return self._bin("and", o, swap=True)
+
+    def __or__(self, o):
+        return self._bin("or", o)
+
+    def __ror__(self, o):
+        return self._bin("or", o, swap=True)
+
+    def __xor__(self, o):
+        return self._bin("xor", o)
+
+    def __rxor__(self, o):
+        return self._bin("xor", o, swap=True)
+
+    def __neg__(self):
+        return Expr("un", ("neg", self))
+
+    def __invert__(self):
+        return Expr("un", ("invert", self))
+
+    def __hash__(self):  # __eq__ is overloaded; hash by identity
+        return id(self)
+
+    def __bool__(self):
+        raise TypeError(
+            "an Expr has no truth value (it is a deferred column "
+            "expression); combine predicates with & | ~, not and/or/not"
+        )
+
+    def abs(self) -> "Expr":
+        return Expr("un", ("abs", self))
+
+    def cast(self, dtype) -> "Expr":
+        return Expr("cast", (self, np.dtype(dtype)))
+
+    def minimum(self, o) -> "Expr":
+        return self._bin("min", o)
+
+    def maximum(self, o) -> "Expr":
+        return self._bin("max", o)
+
+    def isin(self, values) -> "Expr":
+        """Membership in a small static value list (ORed equalities)."""
+        vals = list(values)
+        if not vals:
+            return lit(False)
+        out = self == vals[0]
+        for v in vals[1:]:
+            out = out | (self == v)
+        return out
+
+    # -- display ----------------------------------------------------------
+
+    def __repr__(self):
+        k = self.kind
+        if k == "col":
+            return f"col({self.args[0]!r})"
+        if k == "lit":
+            return repr(self.args[0])
+        if k == "bin":
+            op, a, b = self.args
+            sym = _BINOPS[op][1]
+            if sym in ("min", "max"):
+                return f"{sym}({a!r}, {b!r})"
+            return f"({a!r} {sym} {b!r})"
+        if k == "un":
+            op, a = self.args
+            sym = _UNOPS[op][1]
+            return f"{sym}({a!r})" if sym == "abs" else f"{sym}{a!r}"
+        if k == "cast":
+            a, dt = self.args
+            return f"{a!r}.cast({dt.name})"
+        if k == "where":
+            c, a, b = self.args
+            return f"where({c!r}, {a!r}, {b!r})"
+        if k == "udf":
+            _, label, cols = self.args
+            return f"udf({label}, columns={sorted(cols)})"
+        return f"Expr({k})"
+
+
+def _ev(x, table):
+    return x.evaluate(table) if isinstance(x, Expr) else x
+
+
+def col(name: str) -> Expr:
+    """Reference a column by name."""
+    return Expr("col", (str(name),))
+
+
+def lit(value) -> Expr:
+    """A literal scalar (or array) operand."""
+    return Expr("lit", (value,))
+
+
+def where(cond, a, b) -> Expr:
+    """Elementwise ``cond ? a : b`` (SQL ``CASE WHEN``)."""
+    mk = lambda x: x if isinstance(x, Expr) else lit(x)
+    return Expr("where", (mk(cond), mk(a), mk(b)))
+
+
+def udf(fn, columns, label: str = "udf") -> Expr:
+    """Escape hatch: an arbitrary elementwise function of the named
+    columns — ``fn(*arrays) -> array``. Unlike a raw lambda at the plan
+    level, the column reads are DECLARED, so projection pruning still
+    works through it."""
+    return Expr("udf", (fn, str(label), tuple(str(c) for c in columns)))

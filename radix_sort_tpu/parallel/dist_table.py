@@ -635,6 +635,16 @@ class DistTable:
         local = ranks - offs[shard]
         return svals[jnp.clip(shard * cap + local, 0, svals.shape[0] - 1)]
 
+    # ---- deferred execution -------------------------------------------
+
+    def lazy(self):
+        """A :class:`~radix_sort_tpu.plan.LazyTable` rooted at this
+        sharded relation (same planner as :meth:`Table.lazy`; per-shard
+        capacity knobs ride each verb's kwargs into the executor)."""
+        from radix_sort_tpu.plan import LazyTable, Source
+
+        return LazyTable(Source(self))
+
     # ---- materialization --------------------------------------------------
 
     def to_table(self) -> Table:

@@ -512,6 +512,17 @@ class Table:
                        jnp.maximum(self._count - 1, 0))
         return svals[idx]
 
+    # ---- deferred execution ---------------------------------------------
+
+    def lazy(self):
+        """A :class:`~radix_sort_tpu.plan.LazyTable` rooted at this table:
+        record the pipeline as a logical plan, optimize (filter/sort/window
+        fusion, sort+limit -> top_k, projection pruning), execute on
+        ``collect()``."""
+        from radix_sort_tpu.plan import LazyTable, Source
+
+        return LazyTable(Source(self))
+
     # ---- materialization ------------------------------------------------
 
     def to_numpy(self):
