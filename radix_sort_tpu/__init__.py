@@ -7,7 +7,7 @@ shuffle over device meshes and the query-operator set (filter, hash join,
 hash aggregate). See SURVEY.md for the layer map this package mirrors.
 """
 
-from radix_sort_tpu import config, keys
+from radix_sort_tpu import config, keys, strings
 from radix_sort_tpu.ops.sort import (
     sort,
     argsort,
@@ -64,6 +64,7 @@ def __getattr__(name):
 __all__ = [
     "config",
     "keys",
+    "strings",
     "sort",
     "argsort",
     "sort_pairs",

@@ -41,10 +41,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from radix_sort_tpu import keys as K
+from radix_sort_tpu import strings as S
 from radix_sort_tpu.ops import query as Q
 from radix_sort_tpu.parallel import dist_asof, dist_query, dist_sort
 from radix_sort_tpu.parallel import dist_window as DW
-from radix_sort_tpu.table import Table, _as_list
+from radix_sort_tpu.table import (
+    Table, _as_list, _NUMERIC_ONLY_AGGS, _VALUE_PRESERVING_WINDOW,
+)
 
 __all__ = ["DistTable"]
 
@@ -57,13 +60,20 @@ class DistTable:
     and its valid rows are that block's prefix of ``counts[d]``."""
 
     def __init__(self, columns, mesh: Mesh, counts=None,
-                 axis_name: str = "x"):
+                 axis_name: str = "x", dictionaries=None):
         cols = dict(columns)
         if not cols:
             raise ValueError("a DistTable needs at least one column")
+        dicts = dict(dictionaries) if dictionaries else {}
         nshards = mesh.shape[axis_name]
         n = None
         for name, c in cols.items():
+            if name not in dicts and S.is_string_data(c):
+                # dictionary-encode on host; codes shard like any uint32
+                # column, the vocabulary is replicated host state
+                codes, vocab = S.encode(c)
+                dicts[name] = vocab
+                c = codes
             c = jnp.asarray(c)
             if c.ndim != 1:
                 raise ValueError(f"column {name!r} must be 1-D, got {c.shape}")
@@ -91,6 +101,7 @@ class DistTable:
                     f"counts must have shape ({nshards},), got {counts.shape}"
                 )
         self._counts = counts
+        self._dicts = {k: v for k, v in dicts.items() if k in cols}
 
     # ---- construction ---------------------------------------------------
 
@@ -115,7 +126,8 @@ class DistTable:
             # global valid prefix -> per-shard prefix counts
             starts = jnp.arange(nshards, dtype=jnp.int32) * nl
             counts = jnp.clip(table.count - starts, 0, nl)
-        return cls(cols, mesh, counts, axis_name)
+        return cls(cols, mesh, counts, axis_name,
+                   dictionaries=table._dicts)
 
     # ---- introspection --------------------------------------------------
 
@@ -181,6 +193,50 @@ class DistTable:
             out.append(self._cols[c] if isinstance(c, str) else jnp.asarray(c))
         return out
 
+    # ---- string columns (same model as Table: uint32 codes sharded on
+    # device, one replicated host-side sorted vocabulary per column) ------
+
+    def is_string(self, name: str) -> bool:
+        return name in self._dicts
+
+    def dictionary(self, name: str) -> np.ndarray:
+        return self._dicts[name]
+
+    def code(self, name: str, value):
+        """uint32 code(s) of string value(s) under ``name``'s dictionary
+        (absent values get a code equal to nothing)."""
+        return jnp.asarray(S.lookup(self._dicts[name], value))
+
+    def decode(self, name: str, codes=None) -> np.ndarray:
+        if codes is None:
+            codes = self._cols[name]
+        return S.decode(np.asarray(codes), self._dicts[name])
+
+    def _subdicts(self, names):
+        return {n: self._dicts[n] for n in names if n in self._dicts}
+
+    def _no_string(self, col, what: str):
+        if isinstance(col, str) and col in self._dicts:
+            raise TypeError(
+                f"{what} is arithmetic over values and is undefined on "
+                f"string column {col!r} (dictionary codes)"
+            )
+
+    def _unify_key(self, other, name, lc, rc, key_dicts):
+        """Remap one string join/set key pair into the unified code
+        space; records the union vocabulary in ``key_dicts``."""
+        if isinstance(name, str) and (
+                (name in self._dicts) != (name in other._dicts)):
+            raise TypeError(
+                f"key {name!r} is a string column on one side only"
+            )
+        if isinstance(name, str) and name in self._dicts:
+            union, ra, rb = S.unify(self._dicts[name], other._dicts[name])
+            lc = jnp.asarray(ra)[lc]
+            rc = jnp.asarray(rb)[rc]
+            key_dicts[name] = union
+        return lc, rc
+
     def _counts_from_flags(self, flag_col, fill_counts, nl):
         """Per-shard valid counts after a (flag, ...) sort: count the
         flag==0 rows inside each shard's exchange prefix of
@@ -194,28 +250,40 @@ class DistTable:
 
     def select(self, *names) -> "DistTable":
         return DistTable({n: self._cols[n] for n in names}, self._mesh,
-                         self._counts, self._axis)
+                         self._counts, self._axis,
+                         dictionaries=self._subdicts(names))
 
     def drop(self, *names) -> "DistTable":
         keep = {n: c for n, c in self._cols.items() if n not in names}
-        return DistTable(keep, self._mesh, self._counts, self._axis)
+        return DistTable(keep, self._mesh, self._counts, self._axis,
+                         dictionaries=self._subdicts(keep))
 
     def rename(self, mapping) -> "DistTable":
         return DistTable(
             {mapping.get(n, n): c for n, c in self._cols.items()},
             self._mesh, self._counts, self._axis,
+            dictionaries={mapping.get(n, n): d
+                          for n, d in self._dicts.items()},
         )
 
     def with_columns(self, **named) -> "DistTable":
         cols = dict(self._cols)
+        dicts = dict(self._dicts)
         for n, c in named.items():
+            if S.is_string_data(c):
+                codes, vocab = S.encode(c)
+                dicts[n] = vocab
+                c = codes
+            else:
+                dicts.pop(n, None)
             c = jnp.asarray(c)
             if c.shape[0] != self._n:
                 raise ValueError(
                     f"column {n!r} has length {c.shape[0]}, expected {self._n}"
                 )
             cols[n] = c
-        return DistTable(cols, self._mesh, self._counts, self._axis)
+        return DistTable(cols, self._mesh, self._counts, self._axis,
+                         dictionaries=dicts)
 
     # ---- row-shaped verbs (stay sharded) ---------------------------------
 
@@ -233,7 +301,7 @@ class DistTable:
             axis_name=self._axis,
         )
         return DistTable(dict(zip(self._cols, out)), self._mesh, counts,
-                         self._axis)
+                         self._axis, dictionaries=self._dicts)
 
     def _flag_sorted(self, limbs, ndesc=None):
         """One distributed stable sort of every column by ``limbs`` (with
@@ -257,7 +325,7 @@ class DistTable:
         else:
             counts = fill_counts
         return DistTable(dict(zip(self._cols, ovs)), self._mesh, counts,
-                         self._axis)
+                         self._axis, dictionaries=self._dicts)
 
     def sort_by(self, by, descending=False) -> "DistTable":
         """Globally stable sort of the valid rows by one or more columns
@@ -293,8 +361,11 @@ class DistTable:
                 f"how must be one of {Q.JOIN_HOWS}, got {how!r}"
             )
         on = _as_list(on)
-        lk = self._resolve(on)
-        rk = other._resolve(on)
+        lk, rk, key_dicts = [], [], {}
+        for name, lc, rc in zip(on, self._resolve(on), other._resolve(on)):
+            lc, rc = self._unify_key(other, name, lc, rc, key_dicts)
+            lk.append(lc)
+            rk.append(rc)
         lflag, rflag = self._flag(), other._flag()
         flagged = lflag is not None or rflag is not None
         if flagged:
@@ -322,19 +393,24 @@ class DistTable:
         jls = list(jl) if isinstance(jl, (list, tuple)) else [jl]
         jrs = list(jr) if isinstance(jr, (list, tuple)) else [jr]
         cols = {}
+        dicts = dict(key_dicts)
         if flagged:
             fcol, jks = jks[0], jks[1:]
         cols.update(zip(on, jks))
         cols.update(zip(l_other, jls[:len(l_other)]))
+        dicts.update(self._subdicts(l_other))
         if how in ("inner", "left", "right", "full"):
             for name, arr in zip(r_other, jrs[:len(r_other)]):
                 out_name = name + suffix if name in cols else name
                 cols[out_name] = arr
-        out = DistTable(cols, self._mesh, counts, self._axis)
+                if name in other._dicts:
+                    dicts[out_name] = other._dicts[name]
+        out = DistTable(cols, self._mesh, counts, self._axis,
+                        dictionaries=dicts)
         if flagged and how in ("left", "anti", "right", "full"):
             # unmatched padding rows emit under these variants; drop them
             out = DistTable({**cols, "__flag": fcol}, self._mesh, counts,
-                            self._axis)
+                            self._axis, dictionaries=dicts)
             out = out.filter(lambda t: t["__flag"] == 0).drop("__flag")
         return out, ovf
 
@@ -353,6 +429,7 @@ class DistTable:
             )
         (lk,) = self._resolve([on])
         (rk,) = other._resolve([on])
+        lk, rk = self._unify_key(other, on, lk, rk, {})
         ridx = jnp.arange(other._n, dtype=jnp.int32)
         _, matched, rpos = dist_asof.distributed_join_asof(
             lk, rk, ridx, self._mesh, self._axis,
@@ -362,15 +439,19 @@ class DistTable:
             matched = matched & self.valid_mask()
         rg = jnp.clip(rpos, 0, other._n - 1)
         cols = dict(self._cols)
+        dicts = dict(self._dicts)
         for name, c in other._cols.items():
             if name == on:
                 continue
             out_name = name + suffix if name in cols else name
             # global-position gather: XLA inserts the cross-shard collective
             cols[out_name] = jnp.where(matched, c[rg], 0)
+            if name in other._dicts:
+                dicts[out_name] = other._dicts[name]
         if matched_col is not None:
             cols[matched_col] = matched
-        return DistTable(cols, self._mesh, self._counts, self._axis)
+        return DistTable(cols, self._mesh, self._counts, self._axis,
+                         dictionaries=dicts)
 
     def window(self, ops, *, partition_by=None, order_by=None,
                capacity: int | None = None) -> "DistTable":
@@ -379,12 +460,20 @@ class DistTable:
         :meth:`Table.window`). Padding rows are fenced into their own
         partitions; results stay row-aligned and sharded."""
         specs = []
-        for spec in ops.values():
+        out_dicts = {}
+        for out_name, spec in ops.items():
             if isinstance(spec, str):
                 specs.append(spec)
             else:
                 spec = list(spec)
                 if spec[0] not in ("ntile", "rolling_count"):
+                    if (isinstance(spec[1], str) and spec[1] in self._dicts):
+                        if spec[0] in _VALUE_PRESERVING_WINDOW:
+                            out_dicts[out_name] = self._dicts[spec[1]]
+                        else:
+                            self._no_string(
+                                spec[1], f"window op {spec[0]!r}"
+                            )
                     spec[1] = self._resolve(spec[1])[0]
                 specs.append(tuple(spec))
         p_cols = self._resolve(partition_by)
@@ -399,7 +488,11 @@ class DistTable:
         )
         if isinstance(outs, jnp.ndarray):
             outs = [outs]
-        return self.with_columns(**dict(zip(ops, outs)))
+        res = self.with_columns(**dict(zip(ops, outs)))
+        if out_dicts:
+            res = DistTable(res._cols, res._mesh, res._counts, res._axis,
+                            dictionaries={**res._dicts, **out_dicts})
+        return res
 
     def unnest(self, counts, total_size_per_shard: int):
         """UNNEST / explode: valid row i emits ``counts[i]`` copies of every
@@ -416,7 +509,7 @@ class DistTable:
         )
         return (
             DistTable(dict(zip(self._cols, outs)), self._mesh, new_counts,
-                      self._axis),
+                      self._axis, dictionaries=self._dicts),
             ovf,
         )
 
@@ -429,12 +522,24 @@ class DistTable:
         for n, c in self._cols.items():
             if np.dtype(c.dtype) != np.dtype(other._cols[n].dtype):
                 raise ValueError(f"column {n!r} dtypes differ")
+            if (n in self._dicts) != (n in other._dicts):
+                raise TypeError(
+                    f"column {n!r} is a string column on one side only"
+                )
+        out_dicts, remapped = {}, {}
+        for n in self._dicts:
+            union, ra, rb = S.unify(self._dicts[n], other._dicts[n])
+            remapped[n] = (jnp.asarray(ra)[self._cols[n]],
+                           jnp.asarray(rb)[other._cols[n]])
+            out_dicts[n] = union
         cols = {
-            n: jnp.concatenate([c, other._cols[n]])
+            n: (jnp.concatenate(remapped[n]) if n in remapped
+                else jnp.concatenate([c, other._cols[n]]))
             for n, c in self._cols.items()
         }
         if self._counts is None and other._counts is None:
-            return DistTable(cols, self._mesh, None, self._axis)
+            return DistTable(cols, self._mesh, None, self._axis,
+                             dictionaries=out_dicts)
         flag = jnp.concatenate([
             (~self.valid_mask()).astype(jnp.uint32),
             (~other.valid_mask()).astype(jnp.uint32),
@@ -450,7 +555,7 @@ class DistTable:
         cap = ovs[0].shape[0] // self._P
         counts = self._counts_from_flags(ows[0], fill_counts, cap)
         return DistTable(dict(zip(cols, ovs)), self._mesh, counts,
-                         self._axis)
+                         self._axis, dictionaries=out_dicts)
 
     # ---- reduction-shaped verbs (replicated results) ----------------------
 
@@ -473,7 +578,8 @@ class DistTable:
             fcol, uks = uks[0], uks[1:]
             pos = jnp.arange(uks[0].shape[0], dtype=jnp.int32)
             num = jnp.sum(((pos < num) & (fcol == 0)).astype(jnp.int32))
-        return Table(dict(zip(names, uks)), num)
+        return Table(dict(zip(names, uks)), num,
+                     dictionaries=self._subdicts(names))
 
     def aggregate(self, by, aggs, *, max_groups: int,
                   exchange_capacity_factor: float = 2.0) -> Table:
@@ -489,7 +595,7 @@ class DistTable:
             key_cols = [jnp.zeros((self._n,), jnp.uint32)]
         flag = self._flag()
         keys_arg = [flag, *key_cols] if flag is not None else key_cols
-        names, val_cols, agg_list = [], [], []
+        names, val_cols, agg_list, out_dicts = [], [], [], {}
         for out_name, spec in aggs.items():
             if isinstance(spec, str):
                 agg, col = spec, None
@@ -501,6 +607,12 @@ class DistTable:
                         f"{out_name!r}: {agg!r} needs a value column"
                     )
                 col = keys_arg[-1]
+            if agg in _NUMERIC_ONLY_AGGS:
+                self._no_string(col, f"{out_name!r}: {agg}")
+            elif (isinstance(col, str) and col in self._dicts
+                  and agg in ("min", "max", "first", "last", "mode",
+                              "median")):
+                out_dicts[out_name] = self._dicts[col]
             names.append(out_name)
             val_cols.append(self._resolve(col)[0])
             agg_list.append(agg)
@@ -516,7 +628,8 @@ class DistTable:
             cnt = jnp.sum(((pos < cnt) & (fcol == 0)).astype(jnp.int32))
         cols = dict(zip(by, uks[:len(by)]))
         cols.update(zip(names, outs))
-        return Table(cols, cnt)
+        return Table(cols, cnt,
+                     dictionaries={**self._subdicts(by), **out_dicts})
 
     def top_k(self, k: int, by, largest: bool = True) -> Table:
         """The global ``k`` rows with extreme ``by`` keys (ORDER BY ...
@@ -539,12 +652,17 @@ class DistTable:
         cols = dict(zip(others, out[1:]))
         cnt = (None if self._counts is None
                else jnp.minimum(self.total_count(), jnp.int32(k)))
-        return Table(cols, cnt)
+        return Table(cols, cnt, dictionaries=self._dicts)
 
     def _set_op(self, other: "DistTable", subset, op_name, max_unique):
         names = _as_list(subset) or list(self._cols)
         a_cols = self._resolve(names)
         b_cols = other._resolve(names)
+        out_dicts = {}
+        for i, name in enumerate(names):
+            a_cols[i], b_cols[i] = self._unify_key(
+                other, name, a_cols[i], b_cols[i], out_dicts
+            )
         aflag, bflag = self._flag(), other._flag()
         flagged = aflag is not None or bflag is not None
         if flagged:
@@ -569,7 +687,7 @@ class DistTable:
             fcol, kouts = kouts[0], kouts[1:]
             pos = jnp.arange(kouts[0].shape[0], dtype=jnp.int32)
             count = jnp.sum(((pos < count) & (fcol == 0)).astype(jnp.int32))
-        return Table(dict(zip(names, kouts)), count)
+        return Table(dict(zip(names, kouts)), count, dictionaries=out_dicts)
 
     def union(self, other: "DistTable", subset=None, *,
               max_unique: int) -> Table:
@@ -593,6 +711,11 @@ class DistTable:
         values; the distributed sort resolves each global rank to its one
         owning shard). With padding present, ranks are taken inside the
         valid prefix of a (validity, column) sort."""
+        if isinstance(column, str) and column in self._dicts:
+            raise TypeError(
+                f"quantiles on string column {column!r}: take them on "
+                f"t[{column!r}] codes and decode(..) explicitly if intended"
+            )
         (col,) = self._resolve([column])
         if self._counts is None:
             return dist_query.distributed_quantiles(
@@ -651,21 +774,28 @@ class DistTable:
         """Re-pack into a single-chip :class:`Table`: one stable validity
         sort makes the valid rows one global prefix (stays traced)."""
         if self._counts is None:
-            return Table(dict(self._cols), None)
+            return Table(dict(self._cols), None, dictionaries=self._dicts)
         flag = self._flag()
         out = Q._stable_sort([flag, *self._cols.values()], num_keys=1)
-        return Table(dict(zip(self._cols, out[1:])), self.total_count())
+        return Table(dict(zip(self._cols, out[1:])), self.total_count(),
+                     dictionaries=self._dicts)
 
     def to_numpy(self):
         """dict of numpy arrays holding ONLY the valid rows, in global
-        shard order (eager only)."""
+        shard order (eager only). String columns decode through their
+        dictionaries."""
         if self._counts is None:
-            return {n: np.asarray(c) for n, c in self._cols.items()}
+            return {n: (S.decode(np.asarray(c), self._dicts[n])
+                        if n in self._dicts else np.asarray(c))
+                    for n, c in self._cols.items()}
         cnts = np.asarray(self._counts)
         out = {}
         for n, c in self._cols.items():
             parts = np.split(np.asarray(c), self._P)
-            out[n] = np.concatenate(
+            a = np.concatenate(
                 [p[: cnts[d]] for d, p in enumerate(parts)]
             )
+            if n in self._dicts:
+                a = S.decode(a, self._dicts[n])
+            out[n] = a
         return out

@@ -1,0 +1,101 @@
+"""Dictionary-encoded string columns.
+
+TPU-idiomatic strings: the device never sees a character. A string column
+is a ``uint32`` code array on device plus a host-side sorted vocabulary
+(the dictionary). Because the vocabulary is sorted, codes are
+ORDER-PRESERVING — every engine operator (sort, group-by, join, distinct,
+min/max, windows) works on the codes unchanged and produces
+lexicographically correct results. Cross-table operators (join, set ops,
+concat) first unify the two dictionaries on the host and remap codes with
+one small device gather, so the shared code space stays order-preserving.
+
+Conventions:
+  - every vocabulary contains ``""`` at index 0 ("" is the lexicographic
+    minimum, so forcing it keeps the vocabulary sorted). Zero-filled cells
+    (e.g. unmatched join rows) therefore decode to ``""``.
+  - ``NOT_FOUND`` (0xFFFFFFFF) is the code for a value absent from a
+    vocabulary; it compares unequal to every real code.
+
+The reference crate (jgrodzki/radix_sort) is numeric-only; this layer is
+part of the north-star query-engine surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "NOT_FOUND",
+    "is_string_data",
+    "encode",
+    "decode",
+    "unify",
+    "lookup",
+]
+
+NOT_FOUND = np.uint32(0xFFFFFFFF)
+
+
+def is_string_data(x) -> bool:
+    """True for host-side string data: a numpy array of unicode/bytes/
+    object-of-str, or a list/tuple of str/bytes."""
+    if isinstance(x, np.ndarray):
+        if x.dtype.kind in ("U", "S"):
+            return True
+        if x.dtype.kind == "O":
+            return all(isinstance(v, (str, bytes)) for v in x.ravel())
+        return False
+    if isinstance(x, (list, tuple)):
+        return len(x) > 0 and all(isinstance(v, (str, bytes)) for v in x)
+    return False
+
+
+def _as_str_array(x) -> np.ndarray:
+    arr = np.asarray(x)
+    if arr.dtype.kind == "S":
+        arr = arr.astype(np.str_)
+    elif arr.dtype.kind == "O":
+        arr = np.array([v.decode() if isinstance(v, bytes) else str(v)
+                        for v in arr], dtype=np.str_)
+    return arr.astype(np.str_)
+
+
+def encode(x):
+    """Encode host string data into ``(codes, vocab)``: ``codes`` is a
+    ``uint32`` numpy array, ``vocab`` a sorted numpy unicode array with
+    ``""`` at index 0. ``vocab[codes]`` reproduces the input."""
+    arr = _as_str_array(x)
+    vocab, inv = np.unique(arr, return_inverse=True)
+    if vocab.shape[0] == 0 or vocab[0] != "":
+        vocab = np.concatenate([np.array([""], dtype=vocab.dtype), vocab])
+        inv = inv + 1
+    return inv.astype(np.uint32), vocab
+
+
+def decode(codes, vocab) -> np.ndarray:
+    """Decode a code array against a vocabulary. ``NOT_FOUND`` and any
+    out-of-range code decode to ``""`` (index 0)."""
+    codes = np.asarray(codes)
+    bad = codes >= np.uint32(vocab.shape[0])
+    return vocab[np.where(bad, 0, codes)]
+
+
+def unify(vocab_a: np.ndarray, vocab_b: np.ndarray):
+    """Merge two vocabularies into one sorted union and return
+    ``(union, remap_a, remap_b)`` where ``remap_x[old_code] = new_code``
+    (uint32 numpy arrays, applied on device as one small gather)."""
+    union = np.union1d(vocab_a, vocab_b)  # sorted; "" stays at index 0
+    remap_a = np.searchsorted(union, vocab_a).astype(np.uint32)
+    remap_b = np.searchsorted(union, vocab_b).astype(np.uint32)
+    return union, remap_a, remap_b
+
+
+def lookup(vocab: np.ndarray, values):
+    """Codes for ``values`` under ``vocab``; absent values get
+    ``NOT_FOUND`` (which equals no real code). Scalar in, scalar out."""
+    scalar = isinstance(values, (str, bytes))
+    arr = _as_str_array([values] if scalar else values)
+    idx = np.searchsorted(vocab, arr)
+    idx_c = np.minimum(idx, vocab.shape[0] - 1)
+    codes = np.where(vocab[idx_c] == arr, idx_c, NOT_FOUND).astype(np.uint32)
+    return codes[0] if scalar else codes

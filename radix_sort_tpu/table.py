@@ -26,6 +26,12 @@ Everything stays traced — no host round trip, no dynamic shapes; ``count``
 is an int32 scalar that downstream ops thread through. Materialize with
 ``to_numpy()`` (eager only).
 
+String columns are dictionary-encoded (strings.py): host string data in
+the constructor becomes uint32 codes on device + a sorted host-side
+vocabulary, so every operator — sorts, group-bys, joins (with automatic
+cross-table dictionary unification), distinct, min/max, windows — runs on
+the codes with lexicographically correct results; ``to_numpy`` decodes.
+
 The reference crate is sort-only (src/radix_sort/mod.rs); this layer is
 part of the north-star query-engine surface (BASELINE.json).
 """
@@ -37,9 +43,21 @@ import numpy as np
 
 import radix_sort_tpu as rst
 from radix_sort_tpu import keys as K
+from radix_sort_tpu import strings as S
 from radix_sort_tpu.ops import query as Q
 
 __all__ = ["Table"]
+
+# aggregations that are arithmetic over the value domain — meaningless on
+# dictionary codes (order-based / identity-based ones are fine: codes are
+# order-preserving)
+_NUMERIC_ONLY_AGGS = ("sum", "mean", "var", "std", "any", "all")
+# window ops whose output is a value from the input column (the output
+# column inherits the source column's dictionary)
+_VALUE_PRESERVING_WINDOW = (
+    "lag", "lead", "first_value", "last_value", "nth_value",
+    "min", "max", "cummin", "cummax", "rolling_min", "rolling_max",
+)
 
 
 def _as_list(x):
@@ -52,12 +70,19 @@ class Table:
     """An immutable relation: equal-length named columns + a valid-row
     count (the static-shape convention; rows [0, count) are the data)."""
 
-    def __init__(self, columns, count=None):
+    def __init__(self, columns, count=None, dictionaries=None):
         cols = dict(columns)
         if not cols:
             raise ValueError("a Table needs at least one column")
+        dicts = dict(dictionaries) if dictionaries else {}
         n = None
         for name, c in cols.items():
+            if name not in dicts and S.is_string_data(c):
+                # dictionary-encode host string data: uint32 codes on
+                # device, sorted vocabulary on host (order-preserving)
+                codes, vocab = S.encode(c)
+                dicts[name] = vocab
+                c = codes
             c = jnp.asarray(c)
             if c.ndim != 1:
                 raise ValueError(f"column {name!r} must be 1-D, got {c.shape}")
@@ -71,6 +96,16 @@ class Table:
         self._cols = cols
         self._n = n
         self._count = None if count is None else jnp.asarray(count, jnp.int32)
+        self._dicts = {k: v for k, v in dicts.items() if k in cols}
+
+    @classmethod
+    def from_csv(cls, path: str, *, delimiter: str = ",",
+                 dtypes=None) -> "Table":
+        """Read a headered CSV into a Table (text columns are
+        dictionary-encoded automatically; see utils/io.read_csv)."""
+        from radix_sort_tpu.utils.io import read_csv
+
+        return cls(read_csv(path, delimiter=delimiter, dtypes=dtypes))
 
     # ---- introspection -------------------------------------------------
 
@@ -120,31 +155,77 @@ class Table:
             out.append(self._cols[c] if isinstance(c, str) else jnp.asarray(c))
         return out
 
+    # ---- string columns --------------------------------------------------
+
+    def is_string(self, name: str) -> bool:
+        """True if ``name`` is a dictionary-encoded string column."""
+        return name in self._dicts
+
+    def dictionary(self, name: str) -> np.ndarray:
+        """The sorted host-side vocabulary of a string column
+        (``vocab[code]`` is the value; index 0 is always ``""``)."""
+        return self._dicts[name]
+
+    def code(self, name: str, value):
+        """The uint32 code(s) of string value(s) under ``name``'s
+        dictionary; absent values get a sentinel equal to no real code.
+        Use in filters: ``t.filter(t["city"] == t.code("city", "nyc"))``."""
+        return jnp.asarray(S.lookup(self._dicts[name], value))
+
+    def decode(self, name: str, codes=None) -> np.ndarray:
+        """Decode a code array (default: the column itself) against
+        ``name``'s dictionary (eager: fetches to host)."""
+        if codes is None:
+            codes = self._cols[name]
+        return S.decode(np.asarray(codes), self._dicts[name])
+
+    def _subdicts(self, names):
+        return {n: self._dicts[n] for n in names if n in self._dicts}
+
+    def _no_string(self, col, what: str):
+        if isinstance(col, str) and col in self._dicts:
+            raise TypeError(
+                f"{what} is arithmetic over values and is undefined on "
+                f"string column {col!r} (dictionary codes); use an "
+                f"order/identity-based op (min/max/first/last/...) or the "
+                f"raw codes explicitly"
+            )
+
     # ---- projection ----------------------------------------------------
 
     def select(self, *names) -> "Table":
-        return Table({n: self._cols[n] for n in names}, self._count)
+        return Table({n: self._cols[n] for n in names}, self._count,
+                     dictionaries=self._subdicts(names))
 
     def drop(self, *names) -> "Table":
         keep = {n: c for n, c in self._cols.items() if n not in names}
-        return Table(keep, self._count)
+        return Table(keep, self._count, dictionaries=self._subdicts(keep))
 
     def rename(self, mapping) -> "Table":
         return Table(
             {mapping.get(n, n): c for n, c in self._cols.items()},
             self._count,
+            dictionaries={mapping.get(n, n): d
+                          for n, d in self._dicts.items()},
         )
 
     def with_columns(self, **named) -> "Table":
         cols = dict(self._cols)
+        dicts = dict(self._dicts)
         for n, c in named.items():
+            if S.is_string_data(c):
+                codes, vocab = S.encode(c)
+                dicts[n] = vocab
+                c = codes
+            else:
+                dicts.pop(n, None)  # replaced by a numeric column
             c = jnp.asarray(c)
             if c.shape[0] != self._n:
                 raise ValueError(
                     f"column {n!r} has length {c.shape[0]}, expected {self._n}"
                 )
             cols[n] = c
-        return Table(cols, self._count)
+        return Table(cols, self._count, dictionaries=dicts)
 
     # ---- relational operators ------------------------------------------
 
@@ -157,7 +238,8 @@ class Table:
         if self._count is not None:
             mask = mask & self.valid_mask()
         *out, cnt = rst.filter(mask, *self._cols.values())
-        return Table(dict(zip(self._cols, out)), cnt)
+        return Table(dict(zip(self._cols, out)), cnt,
+                     dictionaries=self._dicts)
 
     def sort_by(self, by, descending=False) -> "Table":
         """Stable sort of the valid rows by one or more columns (every
@@ -179,7 +261,8 @@ class Table:
             [*limbs, *self._cols.values()], num_keys=len(limbs)
         )
         data = out[len(limbs):]
-        return Table(dict(zip(self._cols, data)), self._count)
+        return Table(dict(zip(self._cols, data)), self._count,
+                     dictionaries=self._dicts)
 
     def distinct(self, subset=None) -> "Table":
         """Distinct rows over ``subset`` columns (default: all columns),
@@ -197,7 +280,8 @@ class Table:
             fcol, uks = uks[0], uks[1:]
             pos = jnp.arange(uks[0].shape[0], dtype=jnp.int32)
             num = jnp.sum(((pos < num) & (fcol == 0)).astype(jnp.int32))
-        return Table(dict(zip(names, uks)), num)
+        return Table(dict(zip(names, uks)), num,
+                     dictionaries=self._subdicts(names))
 
     def aggregate(self, by, aggs) -> "Table":
         """GROUP BY ``by`` (a column name/list, or None for one global
@@ -215,7 +299,7 @@ class Table:
             key_cols = [jnp.zeros((self._n,), jnp.uint32)]
         flag = self._flag()
         keys_arg = [flag, *key_cols] if flag is not None else key_cols
-        names, val_cols, agg_list = [], [], []
+        names, val_cols, agg_list, out_dicts = [], [], [], {}
         for out_name, spec in aggs.items():
             if isinstance(spec, str):
                 agg, col = spec, None
@@ -227,6 +311,13 @@ class Table:
                         f"{out_name!r}: {agg!r} needs a value column"
                     )
                 col = keys_arg[-1]  # count ignores values
+            if agg in _NUMERIC_ONLY_AGGS:
+                self._no_string(col, f"{out_name!r}: {agg}")
+            elif (isinstance(col, str) and col in self._dicts
+                  and agg in ("min", "max", "first", "last", "mode",
+                              "median")):
+                # value-typed output: inherits the source dictionary
+                out_dicts[out_name] = self._dicts[col]
             names.append(out_name)
             val_cols.append(self._resolve(col)[0])
             agg_list.append(agg)
@@ -238,7 +329,8 @@ class Table:
             cnt = jnp.sum(((pos < cnt) & (fcol == 0)).astype(jnp.int32))
         cols = dict(zip(by, uks[:len(by)]))  # drops the dummy global key
         cols.update(zip(names, outs))
-        return Table(cols, cnt)
+        return Table(cols, cnt,
+                     dictionaries={**self._subdicts(by), **out_dicts})
 
     def join(self, other: "Table", on, *, capacity: int, how: str = "inner",
              suffix: str = "_r"):
@@ -255,8 +347,27 @@ class Table:
         the true result was larger (rows [0, count) are exact
         regardless)."""
         on = _as_list(on)
-        lk = self._resolve(on)
-        rk = other._resolve(on)
+        lk, rk, key_dicts = [], [], {}
+        for name in on:
+            lc = self._resolve(name)[0]
+            rc = other._resolve(name)[0]
+            if isinstance(name, str) and (
+                    (name in self._dicts) != (name in other._dicts)):
+                raise TypeError(
+                    f"join key {name!r} is a string column on one side "
+                    f"only — encode both sides or neither"
+                )
+            if isinstance(name, str) and name in self._dicts:
+                # unify the two dictionaries (host) and remap codes into
+                # the shared order-preserving space (one small gather)
+                union, ra, rb = S.unify(
+                    self._dicts[name], other._dicts[name]
+                )
+                lc = jnp.asarray(ra)[lc]
+                rc = jnp.asarray(rb)[rc]
+                key_dicts[name] = union
+            lk.append(lc)
+            rk.append(rc)
         lflag, rflag = self._flag(), other._flag()
         if lflag is not None or rflag is not None:
             # per-side flag words: padding never equals anything (left 1,
@@ -288,12 +399,15 @@ class Table:
             valid = jnp.arange(capacity, dtype=jnp.int32) < cnt
 
         cols = dict(zip(on, jks))
+        dicts = dict(key_dicts)
         matched_l = valid & (jl > 0)
         lg = jnp.clip(jl - 1, 0, self._n - 1)
         for name, c in self._cols.items():
             if name in on:
                 continue
             cols[name] = jnp.where(matched_l, c[lg], 0)
+            if name in self._dicts:
+                dicts[name] = self._dicts[name]
         if how in ("inner", "left", "right", "full"):
             matched = valid & (jr > 0)
             rg = jnp.clip(jr - 1, 0, other._n - 1)
@@ -302,7 +416,9 @@ class Table:
                     continue
                 out_name = name + suffix if name in cols else name
                 cols[out_name] = jnp.where(matched, c[rg], 0)
-        return Table(cols, cnt), ovf
+                if name in other._dicts:
+                    dicts[out_name] = other._dicts[name]
+        return Table(cols, cnt, dictionaries=dicts), ovf
 
     def join_asof(self, other: "Table", on, *, direction: str = "backward",
                   tolerance=None, suffix: str = "_r",
@@ -318,6 +434,15 @@ class Table:
         ``other``'s padding is excluded from candidacy entirely."""
         (lk,) = self._resolve([on])
         (rk,) = other._resolve([on])
+        if isinstance(on, str) and (
+                (on in self._dicts) != (on in other._dicts)):
+            raise TypeError(
+                f"asof key {on!r} is a string column on one side only"
+            )
+        if isinstance(on, str) and on in self._dicts:
+            _, ra, rb = S.unify(self._dicts[on], other._dicts[on])
+            lk = jnp.asarray(ra)[lk]
+            rk = jnp.asarray(rb)[rk]
         rvalid = None if other._count is None else other.valid_mask()
         ridx = jnp.arange(other._n, dtype=jnp.int32)
         _, matched, rpos = rst.join_asof(
@@ -328,19 +453,38 @@ class Table:
             matched = matched & self.valid_mask()
         rg = jnp.clip(rpos, 0, other._n - 1)
         cols = dict(self._cols)
+        dicts = dict(self._dicts)
         for name, c in other._cols.items():
             if name == on:
                 continue
             out_name = name + suffix if name in cols else name
             cols[out_name] = jnp.where(matched, c[rg], 0)
+            if name in other._dicts:
+                dicts[out_name] = other._dicts[name]
         if matched_col is not None:
             cols[matched_col] = matched
-        return Table(cols, self._count)
+        return Table(cols, self._count, dictionaries=dicts)
 
     def _set_op(self, other: "Table", subset, want) -> "Table":
         names = _as_list(subset) or list(self._cols)
         a_cols = self._resolve(names)
         b_cols = other._resolve(names)
+        out_dicts = {}
+        for i, name in enumerate(names):
+            if not isinstance(name, str):
+                continue
+            if (name in self._dicts) != (name in other._dicts):
+                raise TypeError(
+                    f"set-op column {name!r} is a string column on one "
+                    f"side only"
+                )
+            if name in self._dicts:
+                union, ra, rb = S.unify(
+                    self._dicts[name], other._dicts[name]
+                )
+                a_cols[i] = jnp.asarray(ra)[a_cols[i]]
+                b_cols[i] = jnp.asarray(rb)[b_cols[i]]
+                out_dicts[name] = union
         from radix_sort_tpu.ops import relational
         keys_out, count = relational._set_op(
             a_cols if len(a_cols) > 1 else a_cols[0],
@@ -351,7 +495,7 @@ class Table:
         )
         kouts = (list(keys_out) if isinstance(keys_out, (list, tuple))
                  else [keys_out])
-        return Table(dict(zip(names, kouts)), count)
+        return Table(dict(zip(names, kouts)), count, dictionaries=out_dicts)
 
     def union(self, other: "Table", subset=None) -> "Table":
         """SQL ``UNION`` (distinct) over ``subset`` columns (default: all of
@@ -375,7 +519,8 @@ class Table:
         "prev": ("lag", "v", 1)}``). Padding rows are fenced into their own
         partitions and never affect valid results."""
         specs = []
-        for spec in ops.values():
+        out_dicts = {}
+        for out_name, spec in ops.items():
             if isinstance(spec, str):
                 specs.append(spec)
             else:
@@ -383,6 +528,13 @@ class Table:
                 # value-less parameterized ops (ntile, rolling_count) carry
                 # ints after the name, not a value column
                 if spec[0] not in ("ntile", "rolling_count"):
+                    if (isinstance(spec[1], str) and spec[1] in self._dicts):
+                        if spec[0] in _VALUE_PRESERVING_WINDOW:
+                            out_dicts[out_name] = self._dicts[spec[1]]
+                        else:
+                            self._no_string(
+                                spec[1], f"window op {spec[0]!r}"
+                            )
                     spec[1] = self._resolve(spec[1])[0]
                 specs.append(tuple(spec))
         p_cols = self._resolve(partition_by)
@@ -396,7 +548,11 @@ class Table:
         )
         if isinstance(outs, jnp.ndarray):
             outs = [outs]
-        return self.with_columns(**dict(zip(ops, outs)))
+        res = self.with_columns(**dict(zip(ops, outs)))
+        if out_dicts:
+            res = Table(res._cols, res._count,
+                        dictionaries={**res._dicts, **out_dicts})
+        return res
 
     def top_k(self, k: int, by, largest: bool = True) -> "Table":
         """The ``k`` rows with extreme ``by`` keys (ORDER BY ... LIMIT k):
@@ -423,7 +579,7 @@ class Table:
         cnt = None if self._count is None else jnp.minimum(
             self._count, jnp.int32(k)
         )
-        return Table(cols, cnt)
+        return Table(cols, cnt, dictionaries=self._dicts)
 
     def unnest(self, counts, total_size: int):
         """UNNEST / explode: valid row i emits ``counts[i]`` copies of
@@ -440,7 +596,8 @@ class Table:
         outs, cnt, ovf = Q._expand_rows(
             list(self._cols.values()), c, total_size
         )
-        return Table(dict(zip(self._cols, outs)), cnt), ovf
+        return Table(dict(zip(self._cols, outs)), cnt,
+                     dictionaries=self._dicts), ovf
 
     def limit(self, k: int) -> "Table":
         """First ``k`` valid rows (static head slice)."""
@@ -448,7 +605,7 @@ class Table:
         cols = {n: c[:k] for n, c in self._cols.items()}
         cnt = (jnp.int32(k) if self._count is None
                else jnp.minimum(self._count, jnp.int32(k)))
-        return Table(cols, cnt)
+        return Table(cols, cnt, dictionaries=self._dicts)
 
     def concat(self, other: "Table") -> "Table":
         """UNION ALL: this table's valid rows followed by ``other``'s (same
@@ -459,12 +616,23 @@ class Table:
         for n, c in self._cols.items():
             if np.dtype(c.dtype) != np.dtype(other._cols[n].dtype):
                 raise ValueError(f"column {n!r} dtypes differ")
+            if (n in self._dicts) != (n in other._dicts):
+                raise TypeError(
+                    f"column {n!r} is a string column on one side only"
+                )
+        out_dicts, remapped = {}, {}
+        for n in self._dicts:
+            union, ra, rb = S.unify(self._dicts[n], other._dicts[n])
+            remapped[n] = (jnp.asarray(ra)[self._cols[n]],
+                           jnp.asarray(rb)[other._cols[n]])
+            out_dicts[n] = union
         cols = {
-            n: jnp.concatenate([c, other._cols[n]])
+            n: (jnp.concatenate(remapped[n]) if n in remapped
+                else jnp.concatenate([c, other._cols[n]]))
             for n, c in self._cols.items()
         }
         if self._count is None and other._count is None:
-            return Table(cols)
+            return Table(cols, dictionaries=out_dicts)
         flag = jnp.concatenate([
             (~self.valid_mask()).astype(jnp.uint32),
             (~other.valid_mask()).astype(jnp.uint32),
@@ -475,12 +643,19 @@ class Table:
             + (other._count if other._count is not None
                else jnp.int32(other._n))
         )
-        return Table(dict(zip(cols, out[1:])), total)
+        return Table(dict(zip(cols, out[1:])), total,
+                     dictionaries=out_dicts)
 
     def quantiles(self, column, qs, *, method: str = "lower"):
         """Exact quantiles of a column's valid rows (see
         :func:`radix_sort_tpu.quantiles`). With padding present this sorts
         (validity, column) and picks ranks inside the valid prefix."""
+        if isinstance(column, str) and column in self._dicts:
+            raise TypeError(
+                f"quantiles on string column {column!r}: quantiles of "
+                f"dictionary codes would be surprising — take them on "
+                f"t[{column!r}] and decode(..) explicitly if intended"
+            )
         (col,) = self._resolve([column])
         if self._count is None:
             return rst.quantiles(col, qs, method=method)
@@ -527,6 +702,13 @@ class Table:
 
     def to_numpy(self):
         """dict of numpy arrays holding ONLY the valid rows (eager only:
-        fetches ``count`` to the host)."""
+        fetches ``count`` to the host). String columns decode through
+        their dictionaries back to numpy unicode arrays."""
         n = self._n if self._count is None else int(self._count)
-        return {name: np.asarray(col[:n]) for name, col in self._cols.items()}
+        out = {}
+        for name, col in self._cols.items():
+            a = np.asarray(col[:n])
+            if name in self._dicts:
+                a = S.decode(a, self._dicts[name])
+            out[name] = a
+        return out

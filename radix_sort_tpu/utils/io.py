@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-__all__ = ["write_raw", "read_raw", "gen_data"]
+__all__ = ["write_raw", "read_raw", "gen_data", "read_csv"]
 
 _MAGIC = "radix_sort_tpu.raw.v1"
 
@@ -69,3 +69,26 @@ def gen_data(path: str, n: int, dtype=np.uint32, dist: str = "uniform",
     arr = np.asarray(gens[dist](key, n, dtype=dtype, **dist_kwargs))
     write_raw(path, arr)
     return arr
+
+
+def read_csv(path: str, *, delimiter: str = ",", dtypes=None):
+    """Parse a headered CSV into a dict of 1-D numpy column arrays.
+
+    Types are inferred per column (numpy ``genfromtxt(dtype=None)``);
+    ``dtypes`` (name -> dtype) overrides inference per column. Text
+    columns come back as unicode arrays — ``Table(read_csv(p))``
+    dictionary-encodes them automatically (strings.py). This is the
+    tabular ingestion path beyond the reference's raw-key files
+    (src/main.rs:47-99)."""
+    raw = np.genfromtxt(path, delimiter=delimiter, names=True, dtype=None,
+                        encoding="utf-8", autostrip=True)
+    if raw.dtype.names is None:
+        raise ValueError(f"{path} has no header row / parsed as a scalar")
+    raw = np.atleast_1d(raw)
+    cols = {}
+    for name in raw.dtype.names:
+        c = raw[name]
+        if dtypes and name in dtypes:
+            c = c.astype(dtypes[name])
+        cols[name] = c
+    return cols
