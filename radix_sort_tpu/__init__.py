@@ -43,6 +43,7 @@ from radix_sort_tpu.ops.relational import (
 )
 from radix_sort_tpu.ops.window import window, WINDOW_OPS
 from radix_sort_tpu.expr import col, lit, udf
+from radix_sort_tpu.sql import sql, SqlError
 from radix_sort_tpu.table import Table
 
 __version__ = "0.1.0"
@@ -95,6 +96,8 @@ __all__ = [
     "col",
     "lit",
     "udf",
+    "sql",
+    "SqlError",
     "WINDOW_OPS",
     "AGGREGATIONS",
     "COMBINABLE_AGGREGATIONS",

@@ -119,7 +119,8 @@ class Expr:
             return self.args[0]
         if k == "bin":
             op, a, b = self.args
-            return _BINOPS[op][0](_ev(a, table), _ev(b, table))
+            op, av, bv = _resolve_string_compare(op, a, b, table)
+            return _BINOPS[op][0](av, bv)
         if k == "un":
             op, a = self.args
             return _UNOPS[op][0](_ev(a, table))
@@ -288,6 +289,72 @@ class Expr:
 
 def _ev(x, table):
     return x.evaluate(table) if isinstance(x, Expr) else x
+
+
+# mirrored comparison for swapping operand order: lit OP col == col OP' lit
+_MIRROR = {"eq": "eq", "ne": "ne", "lt": "gt", "le": "ge",
+           "gt": "lt", "ge": "le"}
+_COMPARES = frozenset(_MIRROR)
+
+
+def _str_col_name(x, table):
+    """Column name if ``x`` is col() of a string column of ``table``."""
+    if (isinstance(x, Expr) and x.kind == "col"
+            and getattr(table, "is_string", lambda n: False)(x.args[0])):
+        return x.args[0]
+    return None
+
+
+def _is_str_lit(x):
+    return (isinstance(x, Expr) and x.kind == "lit"
+            and isinstance(x.args[0], (str, bytes)))
+
+
+def _resolve_string_compare(op, a, b, table):
+    """Make comparisons over dictionary-encoded string columns correct.
+
+    col(s) OP "literal": the literal resolves against the column's sorted
+    vocabulary — equality via code lookup (absent values equal nothing);
+    ordering via the literal's boundary rank (code < left-rank <=> value <
+    literal; side/op adjust for <=/>). col(s1) OP col(s2): the two
+    vocabularies unify and both code columns remap so one code space
+    carries the total order. Everything else evaluates untouched."""
+    if op in _COMPARES and _is_str_lit(a) and not _is_str_lit(b):
+        # mirror so the column is on the left
+        op, a, b = _MIRROR[op], b, a
+    an = _str_col_name(a, table)
+    if op in _COMPARES and an is not None and _is_str_lit(b):
+        from radix_sort_tpu import strings as S
+        vocab = table.dictionary(an)
+        s = b.args[0]
+        s = s.decode() if isinstance(s, bytes) else s
+        codes = table[an]
+        if op in ("eq", "ne"):
+            return op, codes, jnp.uint32(S.lookup(vocab, s))
+        side = "left" if op in ("lt", "ge") else "right"
+        bound = jnp.uint32(np.searchsorted(vocab, s, side=side))
+        new_op = "lt" if op in ("lt", "le") else "ge"
+        return new_op, codes, bound
+    bn = _str_col_name(b, table)
+    if op in _COMPARES and (an is not None) != (bn is not None):
+        other = b if an is not None else a
+        # device code arrays/scalars (the t.code() escape hatch) pass
+        # through; Python number literals and numeric expressions are
+        # meaningless against dictionary codes
+        is_code = (isinstance(other, Expr) and other.kind == "lit"
+                   and not isinstance(other.args[0], (bool, int, float)))
+        if not is_code:
+            raise TypeError(
+                f"comparing string column {an or bn!r} against a "
+                f"non-string operand (dictionary codes vs numbers would "
+                f"be meaningless); compare against a str literal or a "
+                f"code from Table.code()"
+            )
+    if op in _COMPARES and an is not None and bn is not None:
+        from radix_sort_tpu import strings as S
+        _, ra, rb = S.unify(table.dictionary(an), table.dictionary(bn))
+        return op, jnp.asarray(ra)[table[an]], jnp.asarray(rb)[table[bn]]
+    return op, _ev(a, table), _ev(b, table)
 
 
 def col(name: str) -> Expr:

@@ -1,0 +1,196 @@
+"""SQL frontend: queries compile onto the lazy planner and must match
+plain numpy/Python relational algebra on the same data — selection,
+predicates (incl. string literals over dictionary columns), joins,
+GROUP BY / HAVING, ORDER BY / LIMIT, DISTINCT, CASE."""
+
+import numpy as np
+import pytest
+
+import radix_sort_tpu as rst
+from radix_sort_tpu import Table, SqlError
+from radix_sort_tpu.sql import sql
+
+N = 256
+
+
+@pytest.fixture
+def db(rng):
+    orders = {
+        "oid": np.arange(N, dtype=np.uint32),
+        "cust": rng.integers(0, 8, N).astype(np.uint32),
+        "item": rng.choice(["bolt", "nut", "gear", "cam"], size=N),
+        "qty": rng.integers(1, 20, N).astype(np.int32),
+        "price": (rng.random(N) * 9 + 1).astype(np.float32),
+    }
+    custs = {
+        "cust": np.arange(8, dtype=np.uint32),
+        "region": np.array(["north", "south"] * 4),
+    }
+    return orders, custs
+
+
+def _tables(db):
+    orders, custs = db
+    return {"orders": Table(orders), "custs": Table(custs)}
+
+
+class TestBasics:
+    def test_select_where_order_limit(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid, qty FROM orders WHERE qty >= 10 "
+            "ORDER BY qty DESC, oid ASC LIMIT 5",
+            _tables(db),
+        ).collect().to_numpy()
+        mask = orders["qty"] >= 10
+        ref = sorted(zip(-orders["qty"][mask], orders["oid"][mask]))[:5]
+        np.testing.assert_array_equal(out["oid"], [o for _, o in ref])
+        np.testing.assert_array_equal(out["qty"], [-q for q, _ in ref])
+
+    def test_computed_columns_and_case(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid, qty * 2 + 1 AS qq, "
+            "CASE WHEN qty >= 10 THEN 1 ELSE 0 END AS big "
+            "FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        np.testing.assert_array_equal(out["qq"], orders["qty"] * 2 + 1)
+        np.testing.assert_array_equal(out["big"],
+                                      (orders["qty"] >= 10).astype(int))
+
+    def test_string_predicates(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid FROM orders WHERE item = 'gear' OR item < 'cam'",
+            _tables(db),
+        ).collect().to_numpy()
+        ref = orders["oid"][(orders["item"] == "gear")
+                            | (orders["item"] < "cam")]
+        np.testing.assert_array_equal(np.sort(out["oid"]), np.sort(ref))
+
+    def test_in_between_not(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid FROM orders WHERE item IN ('nut', 'cam') "
+            "AND qty NOT BETWEEN 5 AND 15",
+            _tables(db),
+        ).collect().to_numpy()
+        ref = orders["oid"][np.isin(orders["item"], ["nut", "cam"])
+                            & ~((orders["qty"] >= 5)
+                                & (orders["qty"] <= 15))]
+        np.testing.assert_array_equal(np.sort(out["oid"]), np.sort(ref))
+
+    def test_distinct(self, db):
+        orders, _ = db
+        out = sql("SELECT DISTINCT item FROM orders",
+                  _tables(db)).collect().to_numpy()
+        np.testing.assert_array_equal(out["item"],
+                                      np.unique(orders["item"]))
+
+
+class TestAggregates:
+    def test_group_by_having(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT item, SUM(qty) AS total, COUNT(*) AS n, "
+            "AVG(price) AS avgp "
+            "FROM orders GROUP BY item HAVING total >= 0 ORDER BY item",
+            _tables(db),
+        ).collect().to_numpy()
+        items = np.unique(orders["item"])
+        np.testing.assert_array_equal(out["item"], items)
+        for i, it in enumerate(items):
+            m = orders["item"] == it
+            assert out["total"][i] == orders["qty"][m].sum()
+            assert out["n"][i] == m.sum()
+            np.testing.assert_allclose(out["avgp"][i],
+                                       orders["price"][m].mean(),
+                                       rtol=1e-5)
+
+    def test_global_aggregate(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT SUM(qty) AS s, COUNT(DISTINCT cust) AS nc FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        assert out["s"][0] == orders["qty"].sum()
+        assert out["nc"][0] == np.unique(orders["cust"]).size
+
+    def test_string_group_min_max(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT cust, MIN(item) AS lo, MAX(item) AS hi "
+            "FROM orders GROUP BY cust ORDER BY cust",
+            _tables(db),
+        ).collect().to_numpy()
+        for i, c in enumerate(np.unique(orders["cust"])):
+            m = orders["cust"] == c
+            assert out["lo"][i] == orders["item"][m].min()
+            assert out["hi"][i] == orders["item"][m].max()
+
+
+class TestJoins:
+    def test_inner_join_group(self, db):
+        orders, custs = db
+        out = sql(
+            "SELECT region, SUM(qty) AS total FROM orders "
+            "JOIN custs ON orders.cust = custs.cust "
+            "GROUP BY region ORDER BY region",
+            _tables(db), capacity=2 * N, max_groups=8,
+        ).collect().to_numpy()
+        region_of = dict(zip(custs["cust"], custs["region"]))
+        ref = {}
+        for c, q in zip(orders["cust"], orders["qty"]):
+            ref[region_of[c]] = ref.get(region_of[c], 0) + int(q)
+        np.testing.assert_array_equal(out["region"],
+                                      sorted(ref))
+        np.testing.assert_array_equal(out["total"],
+                                      [ref[r] for r in sorted(ref)])
+
+    def test_left_join_filter(self, db):
+        orders, custs = db
+        # restrict custs to region north and LEFT JOIN: south orders
+        # get "" region
+        t = _tables(db)
+        t["north"] = Table(custs).filter(
+            Table(custs)["region"] == Table(custs).code("region", "north")
+        )
+        out = sql(
+            "SELECT oid, region FROM orders "
+            "LEFT JOIN north ON orders.cust = north.cust",
+            t, capacity=2 * N,
+        ).collect().to_numpy()
+        region_of = dict(zip(custs["cust"], custs["region"]))
+        got = dict(zip(out["oid"].tolist(), out["region"].tolist()))
+        for o, c in zip(orders["oid"], orders["cust"]):
+            want = "north" if region_of[c] == "north" else ""
+            assert got[int(o)] == want
+
+
+class TestErrors:
+    def test_parse_errors(self, db):
+        t = _tables(db)
+        with pytest.raises(SqlError, match="expected FROM"):
+            sql("SELECT oid", t)
+        with pytest.raises(SqlError, match="unknown table"):
+            sql("SELECT x FROM nope", t)
+        with pytest.raises(SqlError, match="alias"):
+            sql("SELECT qty + 1 FROM orders", t)
+        with pytest.raises(SqlError, match="GROUP BY key"):
+            sql("SELECT qty, SUM(price) AS s FROM orders GROUP BY item", t)
+        with pytest.raises(SqlError, match="share a column name"):
+            sql("SELECT oid FROM orders JOIN custs ON cust = region", t)
+        with pytest.raises(SqlError, match="top-level"):
+            sql("SELECT SUM(qty) + 1 AS x FROM orders", t)
+
+    def test_explain_renders(self, db):
+        plan = sql(
+            "SELECT item, SUM(qty) AS s FROM orders "
+            "WHERE qty > 3 GROUP BY item ORDER BY s DESC LIMIT 2",
+            _tables(db),
+        )
+        text = plan.explain()
+        assert "aggregate" in text.lower() or "Aggregate" in text
+        out = plan.collect().to_numpy()
+        assert out["item"].size == 2

@@ -211,6 +211,110 @@ class TestTableStrings:
         np.testing.assert_array_equal(out["ev"], np.array(["boot", "run"]))
 
 
+class TestExprStrings:
+    """String-aware expression AST: col(s) compared with str literals
+    resolves through the dictionary (ordering via boundary ranks), string
+    col vs string col unifies dictionaries, and mixing with numbers
+    raises."""
+
+    def _t(self):
+        return Table({
+            "a": ["pear", "fig", "yam", "fig", "date"],
+            "b": ["fig", "pear", "oat", "fig", "yam"],
+            "v": np.array([1, 2, 3, 4, 5], np.int32),
+        })
+
+    def test_eq_ne_literal(self):
+        from radix_sort_tpu import col
+        t = self._t()
+        np.testing.assert_array_equal(
+            t.filter((col("a") == "fig").evaluate(t)).to_numpy()["v"],
+            [2, 4])
+        np.testing.assert_array_equal(
+            t.filter((col("a") != "fig").evaluate(t)).to_numpy()["v"],
+            [1, 3, 5])
+        # absent literal matches nothing / everything respectively
+        assert t.filter(
+            (col("a") == "kiwi").evaluate(t)).to_numpy()["v"].size == 0
+        assert t.filter(
+            (col("a") != "kiwi").evaluate(t)).to_numpy()["v"].size == 5
+
+    def test_ordering_literal(self):
+        from radix_sort_tpu import col
+        t = self._t()
+        a = np.array(["pear", "fig", "yam", "fig", "date"])
+        v = np.array([1, 2, 3, 4, 5])
+        for opname, oracle in [
+            ("__lt__", a < "olive"), ("__le__", a <= "fig"),
+            ("__gt__", a > "fig"), ("__ge__", a >= "pear"),
+        ]:
+            e = getattr(col("a"), opname)(
+                {"__lt__": "olive", "__le__": "fig",
+                 "__gt__": "fig", "__ge__": "pear"}[opname])
+            np.testing.assert_array_equal(
+                t.filter(e.evaluate(t)).to_numpy()["v"], v[oracle],
+                err_msg=opname)
+        # boundary literal absent from the vocabulary still orders right
+        e = col("a") < "goji"  # between fig and pear
+        np.testing.assert_array_equal(
+            t.filter(e.evaluate(t)).to_numpy()["v"], v[a < "goji"])
+
+    def test_swapped_literal(self):
+        from radix_sort_tpu import col
+        t = self._t()
+        a = np.array(["pear", "fig", "yam", "fig", "date"])
+        v = np.array([1, 2, 3, 4, 5])
+        e = "fig" < col("a")  # mirrors to col > "fig"
+        np.testing.assert_array_equal(
+            t.filter(e.evaluate(t)).to_numpy()["v"], v[a > "fig"])
+
+    def test_col_vs_col_unifies(self):
+        from radix_sort_tpu import col
+        t = self._t()
+        a = np.array(["pear", "fig", "yam", "fig", "date"])
+        b = np.array(["fig", "pear", "oat", "fig", "yam"])
+        v = np.array([1, 2, 3, 4, 5])
+        np.testing.assert_array_equal(
+            t.filter((col("a") == col("b")).evaluate(t)).to_numpy()["v"],
+            v[a == b])
+        np.testing.assert_array_equal(
+            t.filter((col("a") < col("b")).evaluate(t)).to_numpy()["v"],
+            v[a < b])
+
+    def test_number_vs_string_raises(self):
+        from radix_sort_tpu import col
+        t = self._t()
+        with pytest.raises(TypeError, match="meaningless"):
+            (col("a") == 5).evaluate(t)
+        with pytest.raises(TypeError, match="meaningless"):
+            (col("a") < col("v")).evaluate(t)
+
+    def test_code_escape_hatch(self):
+        from radix_sort_tpu import col
+        t = self._t()
+        e = col("a") == t.code("a", "yam")
+        np.testing.assert_array_equal(
+            t.filter(e.evaluate(t)).to_numpy()["v"], [3])
+
+    def test_isin_strings(self):
+        from radix_sort_tpu import col
+        t = self._t()
+        e = col("a").isin(["fig", "date"])
+        np.testing.assert_array_equal(
+            t.filter(e.evaluate(t)).to_numpy()["v"], [2, 4, 5])
+
+    def test_lazy_pipeline_with_strings(self):
+        from radix_sort_tpu import col
+        t = self._t()
+        out = (t.lazy()
+                .filter(col("a") != "fig")
+                .sort_by("a")
+                .collect().to_numpy())
+        np.testing.assert_array_equal(
+            out["a"], np.array(["date", "pear", "yam"]))
+        np.testing.assert_array_equal(out["v"], [5, 1, 3])
+
+
 class TestDistTableStrings:
     """String columns over the 8-virtual-device mesh: codes shard, the
     vocabulary replicates on host; verbs must agree with the single-chip
