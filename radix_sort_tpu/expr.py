@@ -119,10 +119,13 @@ class Expr:
             return self.args[0]
         if k == "bin":
             op, a, b = self.args
+            if op not in _COMPARES:
+                _reject_string_arith(op, (a, b), table)
             op, av, bv = _resolve_string_compare(op, a, b, table)
             return _BINOPS[op][0](av, bv)
         if k == "un":
             op, a = self.args
+            _reject_string_arith(op, (a,), table)
             return _UNOPS[op][0](_ev(a, table))
         if k == "cast":
             a, dt = self.args
@@ -308,6 +311,21 @@ def _str_col_name(x, table):
 def _is_str_lit(x):
     return (isinstance(x, Expr) and x.kind == "lit"
             and isinstance(x.args[0], (str, bytes)))
+
+
+def _reject_string_arith(op, operands, table):
+    """Arithmetic/bit ops over dictionary-encoded string columns would
+    silently compute on uint32 codes; refuse (mirrors the mixed-operand
+    check in :func:`_resolve_string_compare`)."""
+    for x in operands:
+        name = _str_col_name(x, table)
+        if name is not None:
+            raise TypeError(
+                f"operator {op!r} is not defined for string column "
+                f"{name!r} (it would compute on dictionary codes, not "
+                f"string values); only comparisons against str literals "
+                f"or other string columns are supported"
+            )
 
 
 def _resolve_string_compare(op, a, b, table):

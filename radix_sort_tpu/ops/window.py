@@ -130,6 +130,32 @@ def _cols_to_limbs(cols):
     return limbs
 
 
+def _norm_descending(descending, n_cols, what="order_by"):
+    """Normalize a descending spec to one bool per column."""
+    if descending is None:
+        return [False] * n_cols
+    if isinstance(descending, bool):
+        return [descending] * n_cols
+    desc = [bool(d) for d in descending]
+    if len(desc) != n_cols:
+        raise ValueError(
+            f"descending must match {what} ({n_cols} columns), "
+            f"got {len(desc)} flags"
+        )
+    return desc
+
+
+def _order_limbs(o_cols, descending):
+    """Order-key limbs honoring per-column direction: complementing every
+    limb word of an order-preserving big-endian encoding reverses its
+    lexicographic order while preserving equality (ties stay ties)."""
+    limbs = []
+    for c, d in zip(o_cols, descending):
+        enc = K.encode_limbs(c)
+        limbs.extend([jnp.bitwise_not(w) for w in enc] if d else enc)
+    return limbs
+
+
 def _limbs_differ(limbs_a, limbs_b):
     d = limbs_a[0] != limbs_b[0]
     for a, b in zip(limbs_a[1:], limbs_b[1:]):
@@ -216,7 +242,7 @@ def _mean_dt(dt):
     return jnp.float64 if dt == jnp.float64 else jnp.float32
 
 
-def window(ops, *, partition_by=None, order_by=None):
+def window(ops, *, partition_by=None, order_by=None, descending=None):
     """Evaluate window functions over partitions.
 
     ``ops`` is one spec or a list of specs, each:
@@ -254,6 +280,8 @@ def window(ops, *, partition_by=None, order_by=None):
     ``partition_by`` / ``order_by``: None, a column, or a list of columns
     (any supported dtype mix; multi-column keys order lexicographically).
     With ``partition_by=None`` the whole input is one partition.
+    ``descending``: None, one bool, or one bool per ``order_by`` column —
+    reverses that column's direction (ties still break by input order).
 
     Returns one array per spec (a single array if ``ops`` was a single
     spec), aligned with the INPUT row order. Integer sums are exact
@@ -302,7 +330,8 @@ def window(ops, *, partition_by=None, order_by=None):
         return outs[0] if single else outs
 
     p_limbs = _cols_to_limbs(p_cols)
-    o_limbs = _cols_to_limbs(o_cols)
+    o_limbs = _order_limbs(o_cols, _norm_descending(descending,
+                                                    len(o_cols)))
 
     # one stable sort by (partition, order); position + value columns ride
     pos = jnp.arange(n, dtype=jnp.int32)

@@ -454,6 +454,7 @@ class DistTable:
                          dictionaries=dicts)
 
     def window(self, ops, *, partition_by=None, order_by=None,
+               descending=None,
                capacity: int | None = None) -> "DistTable":
         """Add window-function columns over the MPP window plan (full
         single-chip spec surface; column NAMES in place of value arrays, as
@@ -484,6 +485,7 @@ class DistTable:
             specs,
             partition_by=p_cols or None,
             order_by=self._resolve(order_by) or None,
+            descending=descending,
             mesh=self._mesh, axis_name=self._axis, capacity=capacity,
         )
         if isinstance(outs, jnp.ndarray):
@@ -590,6 +592,10 @@ class DistTable:
         :class:`Table`; ``argmin``/``argmax`` report global row
         positions."""
         by = _as_list(by)
+        if not aggs:
+            if not by:
+                raise ValueError("aggregate needs group keys or aggs")
+            return self.distinct(by, max_unique=max_groups)
         key_cols = self._resolve(by)
         if not key_cols:
             key_cols = [jnp.zeros((self._n,), jnp.uint32)]

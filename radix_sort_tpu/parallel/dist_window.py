@@ -104,6 +104,7 @@ def distributed_window(
     *,
     partition_by=None,
     order_by=None,
+    descending=None,
     mesh: Mesh,
     axis_name: str = "x",
     capacity: int | None = None,
@@ -114,7 +115,8 @@ def distributed_window(
     single-chip surface (rank ops incl. percent_rank/cume_dist/ntile,
     partition-wide aggregates, running aggregates, first/last/nth value,
     lag/lead, rolling frames), with ``partition_by`` / ``order_by`` as
-    columns or column lists sharded over ``mesh``'s ``axis_name``. Returns
+    columns or column lists sharded over ``mesh``'s ``axis_name`` and
+    ``descending`` as per-order-column direction flags. Returns
     the result columns sharded exactly like the inputs, row-aligned:
     element i of every output corresponds to input row i. Ties in
     ``order_by`` break by global input position (deterministic, matching
@@ -157,7 +159,8 @@ def distributed_window(
 
     num_devices = mesh.shape[axis_name]
     if num_devices == 1:
-        out = W.window(ops, partition_by=partition_by, order_by=order_by)
+        out = W.window(ops, partition_by=partition_by, order_by=order_by,
+                       descending=descending)
         return out
     if n % num_devices != 0:
         raise ValueError(
@@ -174,7 +177,9 @@ def distributed_window(
         p_limbs = W._cols_to_limbs(p_cols)
     else:
         p_limbs = [jnp.zeros((n,), jnp.uint32)]
-    o_limbs = W._cols_to_limbs(o_cols)
+    o_limbs = W._order_limbs(
+        o_cols, W._norm_descending(descending, len(o_cols))
+    )
     npl, nol = len(p_limbs), len(o_limbs)
 
     # distinct value columns ride the exchange once
@@ -229,6 +234,7 @@ def distributed_window(
         fres = W.window(
             [(_respec(s)) for s in specs],
             partition_by=partition_by, order_by=order_by,
+            descending=descending,
         )
         return tuple(fres)
 

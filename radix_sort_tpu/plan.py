@@ -43,6 +43,7 @@ planner belongs to the north-star query-engine surface (BASELINE.json).
 from __future__ import annotations
 
 import dataclasses
+import inspect
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -680,6 +681,27 @@ def _sort_key(b, table):
     return b if isinstance(b, str) else _value(b, table)
 
 
+def _fit_kwargs(method, kwargs):
+    """Keep only the kwargs ``method`` accepts.
+
+    Capacity knobs ride plan nodes backend-agnostically (``max_groups``,
+    ``capacity_per_shard``, ...), but the executing facade differs —
+    single-chip ``Table.aggregate`` has no ``max_groups`` while
+    ``DistTable.aggregate`` requires it. Filtering against the bound
+    method's signature lets one plan (e.g. from ``sql()``) run on either
+    backend without a TypeError at collect()."""
+    if not kwargs:
+        return kwargs
+    try:
+        params = inspect.signature(method).parameters
+    except (TypeError, ValueError):  # builtins / C callables: pass through
+        return kwargs
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD
+           for p in params.values()):
+        return kwargs
+    return {k: v for k, v in kwargs.items() if k in params}
+
+
 def _exec(node, flags):
     if isinstance(node, Source):
         return node.table
@@ -709,7 +731,7 @@ def _exec(node, flags):
     if isinstance(node, Distinct):
         t = _exec(node.child, flags)
         return t.distinct(list(node.subset) if node.subset else None,
-                          **dict(node.kwargs))
+                          **_fit_kwargs(t.distinct, dict(node.kwargs)))
     if isinstance(node, Aggregate):
         t = _exec(node.child, flags)
         aggs = {}
@@ -720,7 +742,8 @@ def _exec(node, flags):
                 aggs[name] = agg
             else:
                 aggs[name] = (agg, _materialize_col(val, t), *rest)
-        return t.aggregate(list(node.by), aggs, **dict(node.kwargs))
+        return t.aggregate(list(node.by), aggs,
+                           **_fit_kwargs(t.aggregate, dict(node.kwargs)))
     if isinstance(node, Window):
         t = _exec(node.child, flags)
         ops = {}
@@ -736,13 +759,14 @@ def _exec(node, flags):
             ops,
             partition_by=list(node.partition_by) or None,
             order_by=list(node.order_by) or None,
-            **dict(node.kwargs),
+            **_fit_kwargs(t.window, dict(node.kwargs)),
         )
     if isinstance(node, Join):
         lt = _exec(node.left, flags)
         rt = _exec(node.right, flags)
         out, ovf = lt.join(rt, list(node.on), how=node.how,
-                           suffix=node.suffix, **dict(node.kwargs))
+                           suffix=node.suffix,
+                           **_fit_kwargs(lt.join, dict(node.kwargs)))
         flags.append(ovf)
         return out
     if isinstance(node, JoinAsof):
@@ -751,14 +775,15 @@ def _exec(node, flags):
         return lt.join_asof(
             rt, node.on, direction=node.direction,
             tolerance=node.tolerance, suffix=node.suffix,
-            matched_col=node.matched_col, **dict(node.kwargs),
+            matched_col=node.matched_col,
+            **_fit_kwargs(lt.join_asof, dict(node.kwargs)),
         )
     if isinstance(node, SetOp):
         lt = _exec(node.left, flags)
         rt = _exec(node.right, flags)
         fn = getattr(lt, node.which)
         return fn(rt, list(node.subset) if node.subset else None,
-                  **dict(node.kwargs))
+                  **_fit_kwargs(fn, dict(node.kwargs)))
     if isinstance(node, TopK):
         t = _exec(node.child, flags)
         return t.top_k(node.k, [_sort_key(b, t) for b in node.by],
@@ -771,7 +796,7 @@ def _exec(node, flags):
     if isinstance(node, Unnest):
         t = _exec(node.child, flags)
         out, ovf = t.unnest(_materialize_col(node.counts, t),
-                            **dict(node.kwargs))
+                            **_fit_kwargs(t.unnest, dict(node.kwargs)))
         flags.append(ovf)
         return out
     raise AssertionError(f"unknown node {type(node).__name__}")

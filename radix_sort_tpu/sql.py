@@ -18,9 +18,22 @@ Supported grammar::
     [ORDER BY col [ASC|DESC], ...] [LIMIT n]
 
     item  := * | expr [[AS] alias] | agg(expr) [[AS] alias]
+           | winfn(args) OVER ([PARTITION BY cols] [ORDER BY col
+             [ASC|DESC], ...] [ROWS frame]) [[AS] alias]
     agg   := SUM COUNT AVG MEAN MIN MAX MEDIAN MODE VAR VARIANCE STD
              STDDEV FIRST LAST ARGMIN ARGMAX BOOL_AND BOOL_OR
              COUNT(*) COUNT(DISTINCT x)
+    winfn := ROW_NUMBER RANK DENSE_RANK PERCENT_RANK CUME_DIST NTILE(n)
+             FIRST_VALUE(x) LAST_VALUE(x) NTH_VALUE(x, k)
+             LAG(x[, off[, default]]) LEAD(x[, off[, default]])
+             SUM MIN MAX AVG COUNT over partition/running/ROWS frames
+    frame := BETWEEN bound AND bound | bound   (ROWS semantics: ties
+             break by input order; bound := UNBOUNDED PRECEDING |
+             n PRECEDING | CURRENT ROW | n FOLLOWING | UNBOUNDED
+             FOLLOWING). Agg OVER with ORDER BY and no frame = running;
+             without ORDER BY = whole partition. LAST_VALUE is always
+             partition-wide (the useless SQL default running frame is
+             deliberately not reproduced).
     expr  := literals ('s', 1, 2.5), columns, + - * / %,
              = != <> < <= > >=, AND OR NOT, [NOT] IN (...),
              [NOT] BETWEEN a AND b, ABS(x),
@@ -62,6 +75,8 @@ _KEYWORDS = {
     "ORDER", "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "ASC",
     "DESC", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "SEMI",
     "ANTI", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NULL",
+    "OVER", "PARTITION", "ROWS", "PRECEDING", "FOLLOWING", "CURRENT",
+    "ROW", "UNBOUNDED",
 }
 
 _AGG_FNS = {
@@ -76,6 +91,27 @@ _AGG_FNS = {
 _JOIN_KNOBS = ("capacity", "capacity_per_shard", "exchange_capacity_factor")
 _AGG_KNOBS = ("max_groups", "exchange_capacity_factor")
 _DISTINCT_KNOBS = ("max_unique",)
+
+# window functions: argument-less rank fns and single-value fns map 1:1
+# onto the engine's op names (ops/window.py WINDOW_OPS)
+_WIN_RANK_FNS = {
+    "ROW_NUMBER": "row_number", "RANK": "rank",
+    "DENSE_RANK": "dense_rank", "PERCENT_RANK": "percent_rank",
+    "CUME_DIST": "cume_dist",
+}
+_WIN_VALUE_FNS = {"FIRST_VALUE": "first_value", "LAST_VALUE": "last_value"}
+# aggregate OVER: (partition-wide op, running op, rolling op) — SQL
+# semantics pick by ORDER BY / frame presence
+_WIN_AGG_FNS = {
+    "SUM": ("sum", "cumsum", "rolling_sum"),
+    "MIN": ("min", "cummin", "rolling_min"),
+    "MAX": ("max", "cummax", "rolling_max"),
+    "AVG": ("mean", None, "rolling_mean"),
+    "MEAN": ("mean", None, "rolling_mean"),
+    "COUNT": ("count", "row_number", "rolling_count"),
+}
+_WIN_FNS = (set(_WIN_RANK_FNS) | set(_WIN_VALUE_FNS) | set(_WIN_AGG_FNS)
+            | {"NTILE", "NTH_VALUE", "LAG", "LEAD"})
 
 
 def _tokenize(q: str):
@@ -272,6 +308,12 @@ class _Parser:
                 f"aggregate {fn} is only allowed as a top-level SELECT "
                 f"item (optionally aliased), not inside an expression"
             )
+        if fn in _WIN_FNS:
+            raise SqlError(
+                f"window function {fn} is only allowed as a top-level "
+                f"SELECT item (optionally aliased), not inside an "
+                f"expression"
+            )
         raise SqlError(f"unknown function {name!r}")
 
     def _case(self) -> Expr:
@@ -295,32 +337,15 @@ class _Parser:
 
     def parse_item(self):
         """One SELECT item -> ("star",) | ("agg", agg, arg_col, alias)
+        | ("win", spec, partition, order, desc, alias)
         | ("expr", Expr, alias)."""
         if self.eat_op("*"):
             return ("star",)
         t = self.peek()
-        if (t[0] == "id" and t[1].upper() in _AGG_FNS
+        if (t[0] == "id"
+                and (t[1].upper() in _AGG_FNS or t[1].upper() in _WIN_FNS)
                 and self.peek(1) == ("op", "(")):
-            fname = self.next()[1].upper()
-            agg = _AGG_FNS[fname]
-            self.expect_op("(")
-            argname = None
-            if fname == "COUNT" and self.eat_op("*"):
-                pass
-            else:
-                if self.eat_kw("DISTINCT"):
-                    if fname != "COUNT":
-                        raise SqlError("DISTINCT only inside COUNT(...)")
-                    agg = "count_distinct"
-                argname = self.ident("column name")
-                if self.at_op("."):
-                    self.next()
-                    argname = self.ident("column after '.'")
-            self.expect_op(")")
-            alias = self._alias()
-            if alias is None:
-                alias = agg if argname is None else f"{agg}_{argname}"
-            return ("agg", agg, argname, alias)
+            return self._call_item()
         e = self.parse_expr()
         alias = self._alias()
         if alias is None:
@@ -331,6 +356,266 @@ class _Parser:
                     f"computed SELECT item needs an alias (AS name): {e!r}"
                 )
         return ("expr", e, alias)
+
+    def _call_item(self):
+        """A top-level call item: ``fn(args...)`` — an aggregate, or a
+        window function when followed by ``OVER (...)``."""
+        fname = self.next()[1].upper()
+        self.expect_op("(")
+        star = False
+        distinct_arg = False
+        args = []  # ("col", name) | ("num", v) | ("str", v)
+        if self.eat_op("*"):
+            star = True
+        elif not self.at_op(")"):
+            if self.eat_kw("DISTINCT"):
+                distinct_arg = True
+            while True:
+                t = self.peek()
+                if t[0] == "id":
+                    args.append(("col", self._qualified_ident("column")))
+                elif t[0] in ("num", "str"):
+                    self.next()
+                    args.append((t[0], t[1]))
+                elif t == ("op", "-"):
+                    self.next()
+                    v = self.next()
+                    if v[0] != "num":
+                        raise SqlError(
+                            f"expected a number after '-' in {fname}(...), "
+                            f"got {v[1]!r}"
+                        )
+                    args.append(("num", -v[1]))
+                else:
+                    raise SqlError(
+                        f"bad argument in {fname}(...) near {t[1]!r} "
+                        f"(columns and literals only)"
+                    )
+                if not self.eat_op(","):
+                    break
+        self.expect_op(")")
+
+        if self.at_kw("OVER"):
+            if distinct_arg:
+                raise SqlError(
+                    "DISTINCT is not supported inside window functions"
+                )
+            return self._window_item(fname, star, args)
+
+        if fname not in _AGG_FNS:
+            raise SqlError(
+                f"window function {fname} needs an OVER (...) clause"
+            )
+        agg = _AGG_FNS[fname]
+        argname = None
+        if star:
+            if fname != "COUNT":
+                raise SqlError(f"{fname}(*) is not supported; name a column")
+        else:
+            if distinct_arg:
+                if fname != "COUNT":
+                    raise SqlError("DISTINCT only inside COUNT(...)")
+                agg = "count_distinct"
+            if len(args) != 1 or args[0][0] != "col":
+                raise SqlError(
+                    f"aggregate {fname} takes exactly one column argument"
+                )
+            argname = args[0][1]
+        if self.at_op("+", "-", "*", "/", "%",
+                      "=", "!=", "<>", "<", "<=", ">", ">="):
+            raise SqlError(
+                f"aggregate {fname} is only allowed as a top-level "
+                f"SELECT item (optionally aliased), not inside an "
+                f"expression"
+            )
+        alias = self._alias()
+        if alias is None:
+            alias = agg if argname is None else f"{agg}_{argname}"
+        return ("agg", agg, argname, alias)
+
+    def _qualified_ident(self, what):
+        name = self.ident(what)
+        if self.at_op("."):
+            self.next()
+            name = self.ident("column after '.'")
+        return name
+
+    def _window_item(self, fname, star, args):
+        """``fn(args) OVER ([PARTITION BY ...] [ORDER BY ...] [ROWS ...])``
+        -> ("win", engine_spec, partition, order, desc, alias)."""
+        self.expect_kw("OVER")
+        self.expect_op("(")
+        partition, order, desc = [], [], []
+        if self.eat_kw("PARTITION"):
+            self.expect_kw("BY")
+            while True:
+                partition.append(self._qualified_ident("partition column"))
+                if not self.eat_op(","):
+                    break
+        if self.eat_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                order.append(self._qualified_ident("order column"))
+                d = self.eat_kw("ASC", "DESC")
+                desc.append(d == "DESC")
+                if not self.eat_op(","):
+                    break
+        frame = self._parse_frame() if self.eat_kw("ROWS") else None
+        self.expect_op(")")
+        spec = self._window_spec(fname, star, args, bool(order), frame)
+        if self.at_op("+", "-", "*", "/", "%",
+                      "=", "!=", "<>", "<", "<=", ">", ">="):
+            raise SqlError(
+                f"window function {fname} is only allowed as a top-level "
+                f"SELECT item (optionally aliased), not inside an "
+                f"expression"
+            )
+        alias = self._alias()
+        if alias is None:
+            name = spec if isinstance(spec, str) else spec[0]
+            arg = (spec[1] if not isinstance(spec, str) and len(spec) > 1
+                   and isinstance(spec[1], str) else None)
+            alias = name if arg is None else f"{name}_{arg}"
+        return ("win", spec, tuple(partition), tuple(order), tuple(desc),
+                alias)
+
+    def _frame_bound(self):
+        if self.eat_kw("UNBOUNDED"):
+            which = self.eat_kw("PRECEDING", "FOLLOWING")
+            if which is None:
+                raise SqlError(
+                    "expected PRECEDING or FOLLOWING after UNBOUNDED"
+                )
+            return ("unbounded", which)
+        if self.eat_kw("CURRENT"):
+            self.expect_kw("ROW")
+            return (0, "CURRENT")
+        t = self.next()
+        if t[0] != "num" or not isinstance(t[1], int):
+            raise SqlError(
+                f"a ROWS frame bound needs an integer, got {t[1]!r}"
+            )
+        which = self.eat_kw("PRECEDING", "FOLLOWING")
+        if which is None:
+            raise SqlError(
+                f"expected PRECEDING or FOLLOWING after {t[1]} in ROWS frame"
+            )
+        return (t[1], which)
+
+    def _parse_frame(self):
+        """After ROWS: ``BETWEEN <bound> AND <bound>`` or a lone start
+        bound (implicit end = CURRENT ROW). Returns (preceding, following),
+        each an int or "unbounded"."""
+        if self.eat_kw("BETWEEN"):
+            start = self._frame_bound()
+            self.expect_kw("AND")
+            end = self._frame_bound()
+        else:
+            start = self._frame_bound()
+            end = (0, "CURRENT")
+        sv, sw = start
+        if sw == "FOLLOWING":
+            raise SqlError("a ROWS frame cannot start at FOLLOWING")
+        preceding = sv  # n PRECEDING -> n; CURRENT ROW -> 0; unbounded
+        ev, ew = end
+        if ew == "PRECEDING" and ev != "unbounded" and ev != 0:
+            raise SqlError("a ROWS frame cannot end at n PRECEDING")
+        if ew == "PRECEDING" and ev == "unbounded":
+            raise SqlError("a ROWS frame cannot end at UNBOUNDED PRECEDING")
+        following = ev  # n FOLLOWING -> n; CURRENT ROW -> 0; unbounded
+        return (preceding, following)
+
+    def _window_spec(self, fname, star, args, has_order, frame):
+        """Map a SQL window call + frame onto an engine op spec
+        (ops/window.py WINDOW_OPS)."""
+
+        def one_col(nargs_max=1):
+            if star or not args or args[0][0] != "col":
+                raise SqlError(f"{fname} takes a column argument")
+            if len(args) > nargs_max:
+                raise SqlError(f"too many arguments to {fname}(...)")
+            return args[0][1]
+
+        def int_arg(i, what):
+            if len(args) <= i:
+                return None
+            if args[i][0] != "num" or not isinstance(args[i][1], int):
+                raise SqlError(f"{fname}'s {what} must be an integer")
+            return args[i][1]
+
+        if fname in _WIN_RANK_FNS:
+            if star or args:
+                raise SqlError(f"{fname}() takes no arguments")
+            if frame is not None:
+                raise SqlError(f"{fname} does not take a ROWS frame")
+            return _WIN_RANK_FNS[fname]
+        if fname == "NTILE":
+            if star or len(args) != 1:
+                raise SqlError("NTILE takes one bucket count: NTILE(n)")
+            n = int_arg(0, "bucket count")
+            return ("ntile", n)
+        if fname in _WIN_VALUE_FNS:
+            # partition-wide first/last under ORDER BY: the engine
+            # evaluates over the whole partition (SQL's default running
+            # frame for LAST_VALUE is a well-known footgun; an explicit
+            # full frame is accepted and means the same thing)
+            if frame is not None and frame != ("unbounded", "unbounded"):
+                raise SqlError(
+                    f"{fname} supports only the full-partition frame "
+                    f"(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+                    f"FOLLOWING) or no frame"
+                )
+            return (_WIN_VALUE_FNS[fname], one_col())
+        if fname == "NTH_VALUE":
+            c = one_col(nargs_max=2)
+            k = int_arg(1, "k")
+            if k is None:
+                raise SqlError("NTH_VALUE takes (column, k)")
+            return ("nth_value", c, k)
+        if fname in ("LAG", "LEAD"):
+            c = one_col(nargs_max=3)
+            spec = [fname.lower(), c]
+            if len(args) > 1:
+                spec.append(int_arg(1, "offset"))
+            if len(args) > 2:
+                spec.append(args[2][1])  # default/fill literal
+            return tuple(spec)
+
+        # aggregate OVER: pick partition-wide / running / rolling by the
+        # ORDER BY + frame, per SQL ROWS semantics (ties break by input
+        # order — ROWS, not RANGE)
+        part_op, run_op, roll_op = _WIN_AGG_FNS[fname]
+        if fname == "COUNT":
+            c = None if star or not args else one_col()
+            # no NULLs in this engine: COUNT(x) == COUNT(*)
+        else:
+            c = one_col()
+
+        def mk(name):
+            if name is None:
+                raise SqlError(
+                    f"{fname} OVER (... ORDER BY ...) needs an explicit "
+                    f"ROWS frame (no running form); e.g. ROWS BETWEEN "
+                    f"k PRECEDING AND CURRENT ROW"
+                )
+            # COUNT maps onto the value-less rank ops (no NULLs here)
+            return name if fname == "COUNT" else (name, c)
+
+        if frame is None:
+            return mk(run_op) if has_order else mk(part_op)
+        p, f = frame
+        if p == "unbounded" and f == "unbounded":
+            return mk(part_op)
+        if p == "unbounded" and f == 0:
+            return mk(run_op)
+        if p == "unbounded" or f == "unbounded":
+            raise SqlError(
+                "unsupported ROWS frame: UNBOUNDED may pair only with "
+                "CURRENT ROW or UNBOUNDED on the other side"
+            )
+        if fname == "COUNT":
+            return ("rolling_count", p, f)
+        return (roll_op, c, p, f)
 
     def _alias(self):
         if self.eat_kw("AS"):
@@ -452,6 +737,12 @@ def sql(query: str, tables, **kwargs):
             if it[0] == "star":
                 raise SqlError("SELECT * cannot mix with GROUP BY — name "
                                "the group keys and aggregates")
+            if it[0] == "win":
+                raise SqlError(
+                    "window functions cannot mix with GROUP BY/aggregates "
+                    "in one SELECT; aggregate first, then window over the "
+                    "result in a second query"
+                )
             if it[0] == "agg":
                 _, agg, argname, alias = it
                 aggs[alias] = (agg,) if argname is None else (agg, argname)
@@ -473,15 +764,26 @@ def sql(query: str, tables, **kwargs):
         if having is not None:
             lt = lt.filter(having)
         lt = lt.select(*out_names)
+        if distinct:
+            # GROUP BY on a superset of the selected keys can still yield
+            # duplicate output rows; DISTINCT applies after aggregation
+            lt = lt.distinct(subset=out_names,
+                             **_route(kwargs, _DISTINCT_KNOBS))
     else:
         if having is not None:
             raise SqlError("HAVING needs GROUP BY or aggregates")
         derived = {}
         names = []
         star = False
+        win_groups = {}  # (partition, order, desc) -> {alias: spec}
         for it in items:
             if it[0] == "star":
                 star = True
+                continue
+            if it[0] == "win":
+                _, spec, part, order, desc, alias = it
+                win_groups.setdefault((part, order, desc), {})[alias] = spec
+                names.append(alias)
                 continue
             _, e, alias = it
             if e.kind == "col" and e.args[0] == alias:
@@ -491,6 +793,13 @@ def sql(query: str, tables, **kwargs):
                 names.append(alias)
         if derived:
             lt = lt.with_columns(**derived)
+        for (part, order, desc), ops in win_groups.items():
+            lt = lt.window(
+                ops,
+                partition_by=list(part) or None,
+                order_by=list(order) or None,
+                descending=list(desc) or None,
+            )
         if not star:
             lt = lt.select(*names)
         if distinct:

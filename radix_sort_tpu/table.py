@@ -294,6 +294,10 @@ class Table:
         (key, value) sort). ``argmin``/``argmax`` report positions in
         this table's row numbering."""
         by = _as_list(by)
+        if not aggs:
+            if not by:
+                raise ValueError("aggregate needs group keys or aggs")
+            return self.distinct(by)  # GROUP BY with no aggregates
         key_cols = self._resolve(by)
         if not key_cols:
             key_cols = [jnp.zeros((self._n,), jnp.uint32)]
@@ -512,12 +516,14 @@ class Table:
         ``other``."""
         return self._set_op(other, subset, lambda ha, hb: ha & ~hb)
 
-    def window(self, ops, *, partition_by=None, order_by=None) -> "Table":
+    def window(self, ops, *, partition_by=None, order_by=None,
+               descending=None) -> "Table":
         """Add window-function columns: ``ops`` is a dict of output name ->
         spec per :func:`radix_sort_tpu.window`, with column NAMES in place
         of value arrays (e.g. ``{"rn": "row_number", "s": ("sum", "v"),
-        "prev": ("lag", "v", 1)}``). Padding rows are fenced into their own
-        partitions and never affect valid results."""
+        "prev": ("lag", "v", 1)}``). ``descending`` flips ``order_by``
+        direction (one bool, or one per order column). Padding rows are
+        fenced into their own partitions and never affect valid results."""
         specs = []
         out_dicts = {}
         for out_name, spec in ops.items():
@@ -545,6 +551,7 @@ class Table:
             specs,
             partition_by=p_cols or None,
             order_by=self._resolve(order_by) or None,
+            descending=descending,
         )
         if isinstance(outs, jnp.ndarray):
             outs = [outs]

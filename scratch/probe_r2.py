@@ -9,7 +9,7 @@ import sys, time
 import jax, jax.numpy as jnp, numpy as np
 
 sys.path.insert(0, "/root/repo")
-from radix_sort_tpu.ops import extract, permute
+from radix_sort_tpu.ops import extract
 
 LANES = 128
 N = 1 << 24
@@ -76,10 +76,8 @@ for (W, nk, m) in ((2, 1, 1024), (4, 2, 1024), (4, 2, 2048), (4, 2, 4608)):
                 is_stable=True)],
             [o[:Nn] for o in OPS4[:W]], k)))
 
-# --- 3. apply_perm_chunks
-probes.append(("apply_perm W=4 m=1024",
-               lambda k: loop_ops(lambda o, i: permute.apply_perm_chunks(o, SRC, 1024),
-                                  OPS4, k)))
+# --- 3. apply_perm_chunks probe removed with ops/permute.py (orphan
+# kernel of the abandoned surrogate-rowsort design, deleted round 3)
 
 # --- 4. bid compute: composite (2-word key) lexge-sums, K-1 splitters
 def bid_body(Ksp):

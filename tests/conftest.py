@@ -22,6 +22,31 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pytest
 
+# test tiers (this 1-core VM: full suite ~60 min, dist files compile-bind
+# 15-40 min EACH): `-m "not dist and not slow"` is the fast core loop,
+# `-m slow` the heavy single-chip files, `-m dist` the virtual-mesh files.
+_DIST_FILES = ("test_dist_",)
+_SLOW_FILES = (
+    "test_sample_sort.py",   # interpret-mode Pallas pipeline
+    "test_extract.py",       # interpret-mode extraction kernel
+    "test_expand.py",        # interpret-mode run-append kernel
+    "test_properties.py",    # hypothesis property sweeps
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "dist: virtual-mesh distributed")
+    config.addinivalue_line("markers", "slow: heavy single-chip files")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.fspath.basename
+        if fname.startswith(_DIST_FILES):
+            item.add_marker(pytest.mark.dist)
+        elif fname in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

@@ -126,8 +126,9 @@ class TestAggregates:
         ).collect().to_numpy()
         for i, c in enumerate(np.unique(orders["cust"])):
             m = orders["cust"] == c
-            assert out["lo"][i] == orders["item"][m].min()
-            assert out["hi"][i] == orders["item"][m].max()
+            # np.min/max lack a str ufunc loop; use Python builtins
+            assert out["lo"][i] == min(orders["item"][m].tolist())
+            assert out["hi"][i] == max(orders["item"][m].tolist())
 
 
 class TestJoins:
@@ -168,6 +169,110 @@ class TestJoins:
             assert got[int(o)] == want
 
 
+class TestWindows:
+    """fn(...) OVER (...) vs numpy oracles (ROWS semantics; ties in
+    ORDER BY break by input order)."""
+
+    def test_row_number_and_running_sum(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid, cust, "
+            "ROW_NUMBER() OVER (PARTITION BY cust ORDER BY oid) AS rn, "
+            "SUM(qty) OVER (PARTITION BY cust ORDER BY oid) AS rs "
+            "FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        # output stays in input row order
+        np.testing.assert_array_equal(out["oid"], orders["oid"])
+        for c in np.unique(orders["cust"]):
+            m = orders["cust"] == c
+            np.testing.assert_array_equal(
+                out["rn"][m], np.arange(1, m.sum() + 1))
+            np.testing.assert_array_equal(
+                out["rs"][m], np.cumsum(orders["qty"][m]))
+
+    def test_partition_wide_agg(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT cust, SUM(qty) OVER (PARTITION BY cust) AS tot "
+            "FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        for c in np.unique(orders["cust"]):
+            m = orders["cust"] == c
+            np.testing.assert_array_equal(out["tot"][m],
+                                          orders["qty"][m].sum())
+
+    def test_rolling_frame(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid, AVG(price) OVER (PARTITION BY cust ORDER BY oid "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma "
+            "FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        for c in np.unique(orders["cust"]):
+            m = np.flatnonzero(orders["cust"] == c)
+            for j, i in enumerate(m):
+                lo = max(0, j - 3)
+                ref = orders["price"][m[lo:j + 1]].mean()
+                np.testing.assert_allclose(out["ma"][i], ref, rtol=1e-5)
+
+    def test_lag_with_default(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid, LAG(qty, 1, -1) OVER "
+            "(PARTITION BY cust ORDER BY oid) AS prev FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        for c in np.unique(orders["cust"]):
+            m = np.flatnonzero(orders["cust"] == c)
+            ref = np.concatenate([[-1], orders["qty"][m[:-1]]])
+            np.testing.assert_array_equal(out["prev"][m], ref)
+
+    def test_rank_desc(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid, RANK() OVER (ORDER BY qty DESC) AS r "
+            "FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        ref = 1 + np.array([(orders["qty"] > q).sum()
+                            for q in orders["qty"]])
+        np.testing.assert_array_equal(out["r"], ref)
+
+    def test_count_and_first_value(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT COUNT(*) OVER (PARTITION BY cust) AS n, "
+            "FIRST_VALUE(qty) OVER (PARTITION BY cust ORDER BY oid) AS fv "
+            "FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        for c in np.unique(orders["cust"]):
+            m = np.flatnonzero(orders["cust"] == c)
+            np.testing.assert_array_equal(out["n"][m], len(m))
+            np.testing.assert_array_equal(out["fv"][m],
+                                          orders["qty"][m[0]])
+
+    def test_window_errors(self, db):
+        t = _tables(db)
+        with pytest.raises(SqlError, match="OVER"):
+            sql("SELECT ROW_NUMBER() AS rn FROM orders", t)
+        with pytest.raises(SqlError, match="cannot mix"):
+            sql("SELECT cust, SUM(qty) AS s, ROW_NUMBER() OVER "
+                "(ORDER BY cust) AS rn FROM orders GROUP BY cust", t)
+        with pytest.raises(SqlError, match="top-level"):
+            sql("SELECT ROW_NUMBER() OVER (ORDER BY oid) + 1 AS x "
+                "FROM orders", t)
+        with pytest.raises(SqlError, match="explicit"):
+            # running AVG has no engine form without a frame
+            sql("SELECT AVG(qty) OVER (ORDER BY oid) AS a FROM orders", t)
+        with pytest.raises(SqlError, match="cannot end"):
+            sql("SELECT SUM(qty) OVER (ORDER BY oid ROWS BETWEEN "
+                "CURRENT ROW AND 2 PRECEDING) AS s FROM orders", t)
+
+
 class TestErrors:
     def test_parse_errors(self, db):
         t = _tables(db)
@@ -183,6 +288,26 @@ class TestErrors:
             sql("SELECT oid FROM orders JOIN custs ON cust = region", t)
         with pytest.raises(SqlError, match="top-level"):
             sql("SELECT SUM(qty) + 1 AS x FROM orders", t)
+
+    def test_string_arithmetic_rejected(self, db):
+        # arithmetic over a dictionary-encoded string column would
+        # silently compute on uint32 codes — must raise instead
+        with pytest.raises(TypeError, match="string column"):
+            sql("SELECT item + 1 AS x FROM orders",
+                _tables(db)).collect()
+        with pytest.raises(TypeError, match="string column"):
+            sql("SELECT -item AS x FROM orders", _tables(db)).collect()
+
+    def test_distinct_with_group_by(self, db):
+        orders, _ = db
+        # GROUP BY on a superset of the selected keys: DISTINCT must
+        # dedup the post-aggregate rows
+        out = sql(
+            "SELECT DISTINCT cust FROM orders GROUP BY cust, item",
+            _tables(db),
+        ).collect().to_numpy()
+        np.testing.assert_array_equal(np.sort(out["cust"]),
+                                      np.unique(orders["cust"]))
 
     def test_explain_renders(self, db):
         plan = sql(

@@ -342,3 +342,54 @@ def test_new_spec_validation():
         rst.window(("nth_value", z, 0), partition_by=z)
     with pytest.raises(ValueError, match="takes no value"):
         rst.window(("percent_rank", z), partition_by=z)
+
+
+class TestDescending:
+    """descending= flips order_by direction per column; ties still break
+    by input order (the complemented-limb encoding preserves equality)."""
+
+    def test_row_number_desc(self, data):
+        part, order, _, _ = data
+        got = rst.window("row_number",
+                         partition_by=jnp.asarray(part),
+                         order_by=jnp.asarray(order), descending=True)
+        # oracle: stable sort by negated order key
+        want = _oracle("row_number", part,
+                       (order.max() - order).astype(np.uint32))
+        np.testing.assert_array_equal(np.asarray(got),
+                                      want.astype(np.int32))
+
+    def test_cumsum_desc_float_order(self, data):
+        part, _, vals_i, vals_f = data
+        got = rst.window(("cumsum", jnp.asarray(vals_i)),
+                         partition_by=jnp.asarray(part),
+                         order_by=jnp.asarray(vals_f), descending=[True])
+        surr = np.argsort(np.argsort(-vals_f, kind="stable"),
+                          kind="stable").astype(np.uint32)
+        want = _oracle("cumsum", part, surr, vals_i)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      want.astype(np.int32))
+
+    def test_mixed_directions_two_columns(self, data):
+        part, order, vals_i, _ = data
+        second = (np.arange(N) % 7).astype(np.int32)
+        got = rst.window("row_number",
+                         partition_by=jnp.asarray(part),
+                         order_by=[jnp.asarray(order),
+                                   jnp.asarray(second)],
+                         descending=[True, False])
+        # composite surrogate: rank of (-order, second) lexicographic
+        comp = list(zip(-order.astype(np.int64), second))
+        surr = np.zeros(N, np.uint32)
+        ranks = {k: r for r, k in enumerate(sorted(set(comp)))}
+        for i, k in enumerate(comp):
+            surr[i] = ranks[k]
+        want = _oracle("row_number", part, surr)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      want.astype(np.int32))
+
+    def test_descending_length_mismatch(self):
+        z = jnp.zeros(8, jnp.int32)
+        with pytest.raises(ValueError, match="descending"):
+            rst.window("row_number", partition_by=z, order_by=z,
+                       descending=[True, False])
