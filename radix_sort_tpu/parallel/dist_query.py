@@ -41,6 +41,14 @@ def _mix_limbs(limbs):
     return h
 
 
+def _pad_to(a, g):
+    """Pad (zeros) or trim ``a`` to exactly ``g`` rows (static shapes)."""
+    p = g - a.shape[0]
+    if p > 0:
+        a = jnp.concatenate([a, jnp.zeros((p,), a.dtype)])
+    return a[:g]
+
+
 def _identity(dtype, combine):
     dt = np.dtype(dtype)
     if combine in ("sum", "count"):
@@ -78,11 +86,14 @@ def distributed_hash_aggregate(
     exact single-chip aggregate runs locally, and the disjoint per-shard
     group results gather and merge (``exchange_capacity_factor`` provisions
     the per-shard receive buffers against key skew — duplicate-heavy keys
-    can overflow, which is flagged). Returns replicated ``(unique_keys,
-    aggregates, count, overflow)``; rows [0, count) are the groups in
-    ascending key order. ``overflow`` is True if any shard exceeded
-    ``max_groups`` local groups or an exchange buffer (result then
-    invalid).
+    can overflow). Returns replicated ``(unique_keys, aggregates, count,
+    overflow)``; rows [0, count) are the groups in ascending key order.
+    When any shard breaches ``max_groups`` or an exchange buffer, the
+    exact replicated single-chip aggregate runs instead (inside
+    ``lax.cond``, never eagerly) — the result is ALWAYS exact unless even
+    the global capacity (``nshards * max_groups``) truncates the group
+    count, which the returned ``overflow`` then reports (mirroring
+    ``distributed_sort``'s fallback contract).
 
     ``keys`` may be a list/tuple of equal-length columns (composite
     GROUP BY), as in :func:`radix_sort_tpu.ops.query.hash_aggregate`;
@@ -178,7 +189,46 @@ def distributed_hash_aggregate(
     out = fn(*cols, values)
     fk_cols = list(out[:ncols])
     fv, fc, ovf = out[ncols], out[ncols + 1], out[ncols + 2]
-    return (fk_cols if multi else fk_cols[0]), fv, fc[0], ovf[0]
+    fk_cols, fv, fc, ovf = _agg_overflow_fallback(
+        ovf[0], (tuple(fk_cols), (fv,), fc[0]),
+        lambda: query.hash_aggregate(cols if multi else cols[0], values,
+                                     agg),
+        mesh.shape[axis_name] * max_groups,
+    )
+    return (fk_cols if multi else fk_cols[0]), fv[0], fc, ovf
+
+
+def _agg_overflow_fallback(povf, primary, global_agg, total_cap):
+    """Exact insurance for the two-phase/repartition GROUP BY plans: when
+    any shard breaches ``max_groups`` (or an exchange buffer), the exact
+    replicated single-chip aggregate runs instead (INSIDE the cond — it
+    computes on the gathered global rows, so it must never execute
+    eagerly), padded/trimmed into the same replicated ``total_cap``-row
+    layout. The result is then ALWAYS exact unless even ``total_cap``
+    (nshards * max_groups) truncates the global group count, which the
+    returned overflow reports (mirroring ``distributed_sort``'s fallback
+    contract).
+
+    ``primary`` is ``(key_cols_tuple, out_cols_tuple, count)``;
+    ``global_agg()`` returns the single-chip ``(uk, outs, count)``.
+    Returns ``(key_cols_list, out_cols_list, count, overflow)``.
+    """
+
+    def fb(_):
+        fk, fouts, fcnt = global_agg()
+        fk_l = list(fk) if isinstance(fk, (list, tuple)) else [fk]
+        fo_l = (list(fouts) if isinstance(fouts, (list, tuple))
+                else [fouts])
+        fk_l = [_pad_to(a, total_cap) for a in fk_l]
+        fo_l = [_pad_to(a, total_cap) for a in fo_l]
+        fovf = fcnt > total_cap
+        fcnt = jnp.minimum(fcnt, total_cap)
+        return tuple(fk_l), tuple(fo_l), fcnt, fovf
+
+    ks, outs, cnt, ovf = jax.lax.cond(
+        povf, fb, lambda t: (*t, povf), primary
+    )
+    return list(ks), list(outs), cnt, ovf
 
 
 def _distributed_hash_aggregate_multi(keys, val_cols, aggs, mesh, axis_name,
@@ -257,6 +307,17 @@ def _distributed_hash_aggregate_multi(keys, val_cols, aggs, mesh, axis_name,
     fk_cols = list(out[:ncols])
     fparts = list(out[ncols:ncols + np_])
     fc, ovf = out[ncols + np_][0], out[ncols + np_ + 1][0]
+    # overflow insurance: the same partial plan evaluated globally (sum/
+    # count/min/max/any/all are all exact as one global aggregate)
+    fk_cols, fparts, fc, ovf = _agg_overflow_fallback(
+        ovf, (tuple(fk_cols), tuple(fparts), fc),
+        lambda: query.hash_aggregate(
+            cols if multi_k else cols[0],
+            [val_cols[i] for i, _, _ in parts],
+            [pa for _, pa, _ in parts],
+        ),
+        mesh.shape[axis_name] * max_groups,
+    )
 
     # reassemble per-agg outputs (divide means)
     results = []
@@ -293,9 +354,11 @@ def _distributed_holistic_aggregate(keys, val_cols, aggs, mesh, axis_name,
     Shard padding is fenced with a leading invalid word (padding groups
     sort last and are excluded from counts). Key-only routing cannot bound
     skew: duplicate-heavy keys can overflow the ``exchange_capacity_factor``
-    -provisioned receive buffers, which is flagged (the combinable plan in
-    :func:`distributed_hash_aggregate` has no such failure mode — use it
-    when the aggregate allows).
+    -provisioned receive buffers — the exact replicated single-chip
+    aggregate then runs instead (inside ``lax.cond``; see
+    :func:`_agg_overflow_fallback`). The combinable plan in
+    :func:`distributed_hash_aggregate` has no exchange failure mode — use
+    it when the aggregate allows.
     """
     from radix_sort_tpu.parallel import dist_sort
 
@@ -413,8 +476,29 @@ def _distributed_holistic_aggregate(keys, val_cols, aggs, mesh, axis_name,
     fk_limbs = list(out[:nk])
     fouts = list(out[nk:nk + nv])
     fc, ovf = out[nk + nv][0], out[nk + nv + 1][0]
+    # skew insurance: repartition receive buffers (or max_groups) breached
+    # -> the exact replicated single-chip aggregate (holistic aggs are
+    # exact there by construction; global input order gives first/last/
+    # argmin/argmax their positions)
+    fk_limbs, fouts, fc, ovf = _agg_overflow_fallback(
+        ovf, (tuple(fk_limbs), tuple(fouts), fc),
+        lambda: _holistic_global(limbs, val_cols, aggs, single),
+        nshards * max_groups,
+    )
     fk_cols = query._limbs_to_cols(fk_limbs, specs)
     return (fk_cols if multi_k else fk_cols[0]), fouts, fc, ovf
+
+
+def _holistic_global(limbs, val_cols, aggs, single):
+    """The exact single-chip aggregate over the global rows, in the limb
+    keyspace (keys stay limbs so the caller's _limbs_to_cols applies)."""
+    uk, outs, cnt = query.hash_aggregate(
+        list(limbs) if len(limbs) > 1 else limbs[0],
+        val_cols[0] if single else list(val_cols),
+        aggs[0] if single else list(aggs),
+    )
+    uks = list(uk) if len(limbs) > 1 else [uk]
+    return uks, [outs] if single else list(outs), cnt
 
 
 def distributed_unique(
@@ -431,8 +515,10 @@ def distributed_unique(
     two-phase DISTINCT plan — wire traffic is ``max_unique`` rows per shard,
     not N). Returns replicated ``(unique_keys, counts, num, overflow)``;
     rows [0, num) are the distinct keys ascending under the dtype's total
-    order. ``overflow`` is True if any shard had more than ``max_unique``
-    local distincts (result then invalid).
+    order. When any shard has more than ``max_unique`` local distincts the
+    exact replicated single-chip unique runs instead (inside ``lax.cond``)
+    — exact unless even ``nshards * max_unique`` truncates the distinct
+    count, which the returned ``overflow`` then reports.
 
     ``keys`` may be a list/tuple of equal-length columns (composite
     DISTINCT); ``unique_keys`` is then a column list.
@@ -482,7 +568,13 @@ def distributed_unique(
     out = fn(*cols)
     fk_cols = list(out[:ncols])
     fc, num, ovf = out[ncols], out[ncols + 1], out[ncols + 2]
-    return (fk_cols if multi else fk_cols[0]), fc, num[0], ovf[0]
+    # overflow insurance: the exact replicated single-chip unique
+    fk_cols, fcs, num_f, ovf_f = _agg_overflow_fallback(
+        ovf[0], (tuple(fk_cols), (fc,), num[0]),
+        lambda: _unique(list(cols) if multi else cols[0]),
+        mesh.shape[axis_name] * max_unique,
+    )
+    return (fk_cols if multi else fk_cols[0]), fcs[0], num_f, ovf_f
 
 
 def distributed_top_k(
@@ -625,8 +717,15 @@ def distributed_hash_join(
     append each shard's unmatched right rows after its left-join block, and
     right joins evaluate with the sides swapped). Returns per-shard
     padded results ``(keys, left_vals, right_vals, counts, overflow)``:
-    shard s's valid rows are its first ``counts[s]``; ``overflow`` covers
-    both exchange-capacity and join-capacity overflows.
+    shard s's valid rows are its first ``counts[s]``.
+
+    Skew insurance: key-only routing cannot bound a hot join key, so when
+    any shard overflows its exchange or join capacity the exact replicated
+    join runs instead (inside ``lax.cond``, so it never executes eagerly)
+    and is re-laid into the same padded layout — the result is ALWAYS
+    exact unless even the global capacity (``nshards *
+    capacity_per_shard``) truncates it, which the returned ``overflow``
+    then reports (mirroring ``distributed_sort``'s fallback contract).
 
     Composite keys: pass column lists for both sides (matching dtypes), as
     in :func:`radix_sort_tpu.ops.query.hash_join`. Rows are then routed on a
@@ -767,12 +866,48 @@ def distributed_hash_join(
     rvs = list(out[nk + nlv:nk + nlv + nrv])
     cnts, ovf = out[nk + nlv + nrv], out[nk + nlv + nrv + 1]
     out_cols = query._limbs_to_cols(k_limbs, specs)
+    cnts = cnts[:nshards]
+    povf = ovf[0]
+
+    # Skew insurance: key-only routing cannot bound a hot key, so on any
+    # exchange/join-capacity overflow the exact replicated join runs
+    # instead (INSIDE the cond — it gathers both sides, so it must never
+    # execute eagerly), re-laid into the same padded per-shard layout.
+    # Mirrors distributed_sort's _global_sort_fallback contract: the result
+    # is exact unless even the GLOBAL capacity (nshards * capacity_per_
+    # shard) truncates it, which the returned overflow then reports.
+    total_cap = nshards * capacity_per_shard
+
+    def fb(_):
+        fk, flv, frv, ftot, fovf = query.hash_join(
+            l_cols if multi else l_cols[0],
+            lv_cols if multi_lv else lv_cols[0],
+            r_cols if multi else r_cols[0],
+            rv_cols if multi_rv else rv_cols[0],
+            capacity=total_cap, how=how,
+        )
+        fk_l = list(fk) if multi else [fk]
+        flv_l = list(flv) if multi_lv else [flv]
+        frv_l = list(frv) if multi_rv else [frv]
+        # global valid prefix [0, ftot) -> contiguous per-shard prefixes
+        fcnts = jnp.clip(
+            ftot - jnp.arange(nshards, dtype=jnp.int32) * capacity_per_shard,
+            0, capacity_per_shard,
+        ).astype(cnts.dtype)
+        return tuple(fk_l), tuple(flv_l), tuple(frv_l), fcnts, fovf
+
+    (out_cols, lvs, rvs, cnts, fin_ovf) = jax.lax.cond(
+        povf, fb,
+        lambda t: t,
+        (tuple(out_cols), tuple(lvs), tuple(rvs), cnts, povf),
+    )
+    out_cols, lvs, rvs = list(out_cols), list(lvs), list(rvs)
     return (
         out_cols if multi else out_cols[0],
         lvs if multi_lv else lvs[0],
         rvs if multi_rv else rvs[0],
-        cnts[:nshards],
-        ovf[0],
+        cnts,
+        fin_ovf,
     )
 
 
@@ -890,8 +1025,10 @@ def _distributed_set_op(a_keys, b_keys, want, mesh, axis_name, max_unique):
     ``all_gather`` the padded distincts with validity masks, then ONE
     replicated tagged-union set op (ops/relational.py:_set_op) whose
     validity-aware presence bits make padding rows inert. Returns replicated
-    ``(keys, count, overflow)``; ``overflow`` is True when any shard had
-    more than ``max_unique`` local distincts (result then invalid)."""
+    ``(keys, count, overflow)``. When any shard has more than ``max_unique``
+    local distincts the exact replicated set op over the global rows runs
+    instead (inside ``lax.cond``) — exact unless the output buffer
+    truncates it, which the returned ``overflow`` then reports."""
     from radix_sort_tpu.ops import relational
 
     multi = isinstance(a_keys, (list, tuple))
@@ -948,11 +1085,25 @@ def _distributed_set_op(a_keys, b_keys, want, mesh, axis_name, max_unique):
     )
     out = fn(*a_cols, *b_cols)
     k_cols = list(out[:na])
-    return (
-        k_cols if multi else k_cols[0],
-        out[na][0],
-        out[na + 1][0],
+    cnt, povf = out[na][0], out[na + 1][0]
+    # overflow insurance: the exact replicated set op over the global rows
+    total_cap = k_cols[0].shape[0]
+
+    def fb(_):
+        fk, fcnt = relational._set_op(
+            a_cols if multi else a_cols[0],
+            b_cols if multi else b_cols[0],
+            want,
+        )
+        fk_l = list(fk) if multi else [fk]
+        fk_l = [_pad_to(a, total_cap) for a in fk_l]
+        fovf = fcnt > total_cap
+        return tuple(fk_l), jnp.minimum(fcnt, total_cap), fovf
+
+    k_cols, cnt, ovf = jax.lax.cond(
+        povf, fb, lambda t: (*t, povf), (tuple(k_cols), cnt)
     )
+    return (list(k_cols) if multi else k_cols[0], cnt, ovf)
 
 
 def distributed_set_union(a_keys, b_keys, mesh: Mesh, axis_name: str = "x",
