@@ -23,10 +23,17 @@ API boundary; the on-chip kernels never touch 64-bit lanes -- use
 :func:`split64` / :func:`merge64` to move between one 64-bit word and two
 32-bit limbs (TPU vector units are 32-bit). Integer 64-bit transforms avoid
 bitcasts entirely (xor + two's-complement astype), so u64/i64 keys work
-even under the axon relay's x64 rewriter, which rejects 64-bit bitcasts;
-f64 keys inherently need a float<->int bitcast and therefore sort on the
-CPU backend or pre-encoded (e.g. host-side via native.host) when running
-through axon. Standard TPU runtimes support the f64 path directly.
+even under the axon relay's x64 rewriter, which rejects 64-bit bitcasts.
+f64 keys inherently need a float<->int bitcast; when the device rejects it
+(probed once, :func:`_f64_bitcast_ok`), eager ``encode``/``decode`` run
+the bit transform transparently on HOST (numpy mirror) and the words sort
+on-device through the bitcast-free integer path — so ``sort``/
+``sort_pairs``/``Table`` over f64 keys work unchanged on the axon relay
+(inside jit the round-trip is impossible and a clear TypeError explains
+the options). Standard TPU runtimes take the on-device f64 path directly.
+(One relay caveat outside this module's control: the relay stores f64 as a
+two-float split, so values LOSE ~3 ULP at first host->device transfer —
+idempotently; the sort is exact over the device-held values.)
 """
 
 from __future__ import annotations
@@ -71,6 +78,59 @@ def _signed_of(bits: int):
     return {8: np.int8, 16: np.int16, 32: np.int32, 64: np.int64}[bits]
 
 
+# Does the default backend compile a 64-bit float<->int bitcast? The axon
+# relay's x64 rewriter rejects it (standard TPU runtimes and the CPU
+# backend are fine). Probed once, on first f64 use, with a tiny jit.
+_F64_BITCAST_OK: bool | None = None
+
+
+def _f64_bitcast_ok() -> bool:
+    global _F64_BITCAST_OK
+    if _F64_BITCAST_OK is None:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            _F64_BITCAST_OK = True
+        else:
+            try:
+                out = jax.jit(lambda x: x.view(jnp.int64))(
+                    jnp.zeros((8,), jnp.float64)
+                )
+                np.asarray(out)  # host fetch: the only reliable sync here
+                _F64_BITCAST_OK = True
+            except Exception:
+                _F64_BITCAST_OK = False
+    return _F64_BITCAST_OK
+
+
+def _is_concrete(x) -> bool:
+    import jax
+
+    return not isinstance(x, jax.core.Tracer)
+
+
+def _f64_host_roundtrip(x, transform):
+    """Run the f64 bit transform on HOST (numpy mirror) and place the
+    result back on ``x``'s devices — the transparent fallback when the
+    device rejects the 64-bit bitcast. Eager-only: inside jit there is no
+    host to round-trip through."""
+    import jax
+
+    if not _is_concrete(x):
+        raise TypeError(
+            "float64 keys need a 64-bit bitcast, which this device's "
+            "runtime rejects (axon relay x64 rewriter); the transparent "
+            "host-encode fallback works only in eager calls — move the "
+            "f64 encode/decode outside jit or pre-encode via "
+            "radix_sort_tpu.native.host"
+        )
+    out = transform(np.asarray(x))
+    try:
+        return jax.device_put(out, x.sharding)
+    except (AttributeError, ValueError):
+        return jnp.asarray(out)
+
+
 def encoded_dtype(dtype) -> np.dtype:
     """Unsigned container dtype that ``encode`` produces for ``dtype``."""
     dtype = np.dtype(dtype)
@@ -109,12 +169,27 @@ def encode(keys: jnp.ndarray) -> jnp.ndarray:
     if dtype in _FLOAT:
         udt, bits = _FLOAT[dtype]
         sdt = _signed_of(bits)
+        if bits == 64 and not _f64_bitcast_ok():
+            return _f64_host_roundtrip(keys, _encode_f64_np)
         i = keys.view(sdt)
         # b ^= (b >> (bits-1)) | MIN  (radix_digits.rs:110-113, 118-121):
         # negative -> flip all bits; positive -> flip only the sign bit.
         mask = (i >> (bits - 1)) | sdt(np.iinfo(sdt).min)
         return (i ^ mask).view(udt)
     raise TypeError(f"unsupported key dtype: {dtype}")
+
+
+def _encode_f64_np(x: np.ndarray) -> np.ndarray:
+    """numpy mirror of the f64 stereopsis transform (host fallback)."""
+    i = np.ascontiguousarray(x).view(np.int64)
+    mask = (i >> 63) | np.int64(np.iinfo(np.int64).min)
+    return (i ^ mask).view(np.uint64)
+
+
+def _decode_f64_np(w: np.ndarray) -> np.ndarray:
+    e = np.ascontiguousarray(w).view(np.int64)
+    mask = (~e >> 63) | np.int64(np.iinfo(np.int64).min)
+    return (e ^ mask).view(np.float64)
 
 
 def decode(words: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -128,6 +203,8 @@ def decode(words: jnp.ndarray, dtype) -> jnp.ndarray:
     if dtype in _FLOAT:
         _, bits = _FLOAT[dtype]
         sdt = _signed_of(bits)
+        if bits == 64 and not _f64_bitcast_ok():
+            return _f64_host_roundtrip(words, _decode_f64_np)
         e = words.view(sdt)
         # If the encoded sign bit is set the original was >= +0.0: undo the
         # sign-bit flip. Otherwise the original was negative: undo the

@@ -90,3 +90,39 @@ def test_split_merge64(rng):
     # lexicographic (hi, lo) order == u64 order
     lex = np.lexsort((np.asarray(lo), np.asarray(hi)))
     assert np.array_equal(lex, np.argsort(x, kind="stable"))
+
+
+class TestF64HostMirror:
+    """numpy mirror of the f64 transform (the transparent fallback when a
+    device runtime rejects 64-bit bitcasts, e.g. the axon relay)."""
+
+    def test_roundtrip_and_order(self, rng):
+        from radix_sort_tpu.keys import _encode_f64_np, _decode_f64_np
+
+        x = np.concatenate([
+            rng.standard_normal(999) * 10.0**rng.integers(-30, 30, 999),
+            np.array([0.0, -0.0, np.inf, -np.inf, np.nan, -np.nan,
+                      np.finfo(np.float64).tiny, -np.finfo(np.float64).tiny]),
+        ]).astype(np.float64)
+        w = _encode_f64_np(x)
+        assert w.dtype == np.uint64
+        back = _decode_f64_np(w)
+        np.testing.assert_array_equal(back.view(np.uint64),
+                                      x.view(np.uint64))
+        # unsigned order of words == total_cmp order of floats
+        order = np.argsort(w, kind="stable")
+        s = x[order]
+        # total_cmp oracle: sort the encoded form
+        np.testing.assert_array_equal(s.view(np.uint64),
+                                      x[np.argsort(w, kind="stable")]
+                                      .view(np.uint64))
+        mask = ~np.isnan(s)
+        assert (np.diff(s[mask][np.isfinite(s[mask])]) >= 0).all()
+
+    def test_matches_device_encode(self, rng):
+        from radix_sort_tpu import keys as K
+        from radix_sort_tpu.keys import _encode_f64_np
+
+        x = rng.standard_normal(257).astype(np.float64)
+        dev = np.asarray(K.encode(jnp.asarray(x)))
+        np.testing.assert_array_equal(dev, _encode_f64_np(x))
