@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -51,12 +52,12 @@ def _make_sort_fn(engine):
 
 
 def _auto_ns():
-    """Default sizes: the reference demo's 0.5GB and 2GB sweep points of
-    (u64,u64) rows (main.rs:104 sweeps 0.5-4GB; headline = peak keys/s over
-    the sweep) on a real TPU; a modest size on the CPU backend / small
-    devices, where 125M rows would OOM or thrash."""
+    """Default sizes: the FULL reference sweep — 0.5 to 4.0 GB of
+    (u64,u64) rows in 0.5 GB steps (main.rs:104; 16 bytes/row ->
+    31.25M..250M rows); headline = peak keys/s over the sweep. A modest
+    size on the CPU backend / small devices, where 250M rows would OOM."""
     if jax.default_backend() == "tpu":
-        return [31_250_000, 125_000_000]
+        return [i * 31_250_000 for i in range(1, 9)]
     return [1 << 22]
 
 
@@ -66,8 +67,8 @@ def main():
         "--n",
         type=int,
         default=0,
-        help="number of u64 rows; 0 = auto (the reference 0.5GB + 2GB sweep "
-        "points on TPU, peak reported; 4M elsewhere)",
+        help="number of u64 rows; 0 = auto (the full reference 0.5-4.0GB "
+        "sweep on TPU, peak reported; 4M elsewhere)",
     )
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--engine", default="auto",
@@ -94,7 +95,14 @@ def main():
             t0 = time.perf_counter()
             sync(sort_fn(data))
             times.append(time.perf_counter() - t0)
-        best = max(best, n / float(np.mean(times)))
+        mean = float(np.mean(times))
+        print(  # per-point sweep row (stderr: stdout is the one JSON line)
+            f"  sweep n={n:>11,} ({n * 16 / 1e9:.1f} GB): {mean:.3f} s = "
+            f"{n / mean / 1e6:7.1f} M keys/s",
+            file=sys.stderr,
+            flush=True,
+        )
+        best = max(best, n / mean)
 
     print(
         json.dumps(

@@ -46,39 +46,40 @@ from radix_sort_tpu.ops.extract import (
 
 __all__ = ["expand_join_runs", "DESC_COLS", "RUNS_PER_BLOCK"]
 
-DESC_COLS = 8  # key, left value, lo, m_copy, m_emit, 3 pad columns
+DESC_COLS = 8  # key, left value, lo, m_copy, m_emit, cum, 2 pad columns
 RUNS_PER_BLOCK = 128  # descriptor rows per grid step (SMEM block)
 _WP = 4  # interleaved physical operands: key, lv, rv, dup
 _NUM_OUT = 3
+_FLUSH_ELEMS = FLUSH_EROWS * LANES  # 1024
 
 
 def _make_kernel(cap_rows, n_blocks):
-    cr_for_tiers = PIECE // LANES + 1  # full ladder up to the PIECE window
-    tiers = _tiers(cr_for_tiers, _WP)
-    n_flush = 2
+    """Descriptor-driven, single-tier (round 3, mirrors ops/extract.py):
+    the output cursor of every run is the exclusive prefix sum of emit
+    lengths, precomputed XLA-side into desc column 5 — the kernel keeps no
+    scalar state and derives the flush schedule from two shifts of the
+    descriptor. The dyadic window ladder stays (right-sized windows are
+    measurably cheaper than one maximal window)."""
+    tiers = _tiers(PIECE // LANES + 1, _WP)
 
     def kernel(desc_ref, rvs_ref, *refs):
         # refs: 3 prefills (aliased), 3 out_refs, count_ref,
-        #       stage, flushbuf, rvbuf, cur, obase, sems
+        #       stage, flushbuf, rvbuf, sems
         out_refs = refs[_NUM_OUT : 2 * _NUM_OUT]
         count_ref = refs[2 * _NUM_OUT]
         stage = refs[2 * _NUM_OUT + 1]
         flushbuf = refs[2 * _NUM_OUT + 2]
         rvbuf = refs[2 * _NUM_OUT + 3]
-        cur = refs[2 * _NUM_OUT + 4]
-        obase = refs[2 * _NUM_OUT + 5]
-        sems = refs[2 * _NUM_OUT + 6]
+        sems = refs[2 * _NUM_OUT + 4]
 
         c = pl.program_id(0)
 
         @pl.when(c == 0)
         def _init():
             stage[...] = jnp.full_like(stage, MAX_WORD)
-            cur[0] = 0
-            obase[0] = 0
 
-        def flush():
-            ob = jnp.minimum(obase[0], cap_rows - FLUSH_EROWS)
+        def flush(ob):
+            ob = jnp.minimum(ob, cap_rows - FLUSH_EROWS)
             quantum = stage[pl.ds(0, FLUSH_EROWS * _WP), :].reshape(
                 FLUSH_EROWS, _WP, LANES
             )
@@ -102,24 +103,23 @@ def _make_kernel(cap_rows, n_blocks):
             stage[pl.ds((SRE - FLUSH_EROWS) * _WP, FLUSH_EROWS * _WP), :] = (
                 jnp.full((FLUSH_EROWS * _WP, LANES), MAX_WORD, stage.dtype)
             )
-            obase[0] = obase[0] + FLUSH_EROWS
 
-        def append(E, kw, lw, src_elem, ln, is_copy):
-            """Append ``ln`` elements (ln <= (E-1)*128): key/lv broadcast,
-            rv copied from rvs[src_elem:] when is_copy else zero."""
+        def _rd_copy(r, slot):
+            """The (reconstructible) prefetch DMA for descriptor row r:
+            MAXE source rows from rvs[lo//128 * 128 :] into rvbuf slot."""
+            row0 = desc_ref[r, 2] // LANES
+            return pltpu.make_async_copy(
+                rvs_ref.at[pl.ds(row0, MAXE), :],
+                rvbuf.at[pl.ds(slot * MAXE, MAXE), :],
+                sems.at[_NUM_OUT + slot],
+            )
+
+        def append_w(E, kw, lw, buf_row, b0, ln, sloc, is_copy):
+            """One E-row-window masked append at staging offset sloc; the
+            source window (if copying) is already in rvbuf at buf_row."""
             if is_copy:
-                row0 = src_elem // LANES
-                b0 = src_elem % LANES
-                rd = pltpu.make_async_copy(
-                    rvs_ref.at[pl.ds(row0, E), :],
-                    rvbuf.at[pl.ds(0, E), :],
-                    sems.at[_NUM_OUT],
-                )
-                rd.start()
-                rd.wait()
-                rb = rvbuf[pl.ds(0, E), :]
+                rb = rvbuf[pl.ds(buf_row, E), :]
             else:
-                b0 = src_elem - src_elem  # traced zero
                 rb = jnp.zeros((E, LANES), jnp.uint32)
             kb = jax.lax.bitcast_convert_type(
                 jnp.full((E, LANES), kw, jnp.int32), jnp.uint32
@@ -130,7 +130,6 @@ def _make_kernel(cap_rows, n_blocks):
             block = jnp.stack([kb, lb, rb, rb], axis=1).reshape(
                 E * _WP, LANES
             )
-            sloc = cur[0] - obase[0] * LANES
             r0 = sloc // LANES
             s = (sloc % LANES - b0 % LANES) % (E * LANES)
             rolled = _eflat_roll(block, s, _WP)
@@ -141,7 +140,12 @@ def _make_kernel(cap_rows, n_blocks):
             dst = stage[pl.ds(r0 * _WP, E * _WP), :]
             stage[pl.ds(r0 * _WP, E * _WP), :] = jnp.where(mask, rolled, dst)
 
-        def append_piece(kw, lw, src_elem, ln, is_copy):
+        def append(kw, lw, buf_row, b0, ln, cum, is_copy):
+            """Append ``ln`` elements (0 < ln <= PIECE) at output cursor
+            ``cum``: key/lv broadcast, rv from the staged rvbuf window when
+            is_copy else zero; flush completed quanta (schedule derived
+            from (cum, ln) alone)."""
+            sloc = cum & (_FLUSH_ELEMS - 1)
             lo_b = 0
             for E in tiers:
                 hi_b = (E - 1) * LANES
@@ -152,32 +156,44 @@ def _make_kernel(cap_rows, n_blocks):
 
                 @pl.when(cond)
                 def _(E=E):
-                    append(E, kw, lw, src_elem, ln, is_copy)
+                    append_w(E, kw, lw, buf_row, b0, ln, sloc, is_copy)
 
                 lo_b = hi_b
-            cur[0] = cur[0] + ln
+            q0 = cum // _FLUSH_ELEMS
+            nf = (cum + ln) // _FLUSH_ELEMS - q0
 
-            @pl.when(cur[0] - obase[0] * LANES >= FLUSH_EROWS * LANES)
+            @pl.when(nf > 0)
             def _():
-                flush()
-                for _i in range(n_flush - 1):
-                    @pl.when(
-                        cur[0] - obase[0] * LANES >= FLUSH_EROWS * LANES
-                    )
-                    def _():
-                        flush()
+                flush(q0 * FLUSH_EROWS)
 
-        def per_run(r, _):
+            @pl.when(nf > 1)
+            def _():
+                flush((q0 + 1) * FLUSH_EROWS)
+
+        def per_run(r, slot):
+            """slot = the rvbuf half whose prefetch covers this run; the
+            other half's prefetch for run r+1 is issued BEFORE the append,
+            so the next read rides under this run's vector work (software
+            pipeline — the serial DMA wait was ~half the measured ~460
+            ns/run cost)."""
             kw = desc_ref[r, 0]
             lw = desc_ref[r, 1]
             lo = desc_ref[r, 2]
             mc = desc_ref[r, 3]
             me = desc_ref[r, 4]
+            cum = desc_ref[r, 5]
 
-            # copy portion (pieces of <= PIECE elements)
+            _rd_copy(r, slot).wait()
+
+            @pl.when(r + 1 < RUNS_PER_BLOCK)
+            def _prefetch_next():
+                _rd_copy(r + 1, 1 - slot).start()
+
+            # copy portion: the fast path's window [lo//128, +E<=MAXE) is
+            # exactly the prefetched slot
             @pl.when((mc > 0) & (mc <= PIECE))
             def _copy_fast():
-                append_piece(kw, lw, lo, mc, True)
+                append(kw, lw, slot * MAXE, lo % LANES, mc, cum, True)
 
             @pl.when(mc > PIECE)
             def _copy_long():
@@ -186,7 +202,27 @@ def _make_kernel(cap_rows, n_blocks):
                 def piece(i, _):
                     off = i * PIECE
                     plen = jnp.minimum(mc - off, PIECE)
-                    append_piece(kw, lw, lo + off, plen, True)
+                    src = lo + off
+
+                    # piece 0 rides the prefetch; later pieces read
+                    # synchronously into the third rvbuf region
+                    @pl.when(i == 0)
+                    def _():
+                        append(kw, lw, slot * MAXE, src % LANES, plen,
+                               cum + off, True)
+
+                    @pl.when(i > 0)
+                    def _():
+                        rd = pltpu.make_async_copy(
+                            rvs_ref.at[pl.ds(src // LANES, MAXE), :],
+                            rvbuf.at[pl.ds(2 * MAXE, MAXE), :],
+                            sems.at[_NUM_OUT + 2],
+                        )
+                        rd.start()
+                        rd.wait()
+                        append(kw, lw, 2 * MAXE, src % LANES, plen,
+                               cum + off, True)
+
                     return 0
 
                 jax.lax.fori_loop(0, n_pieces, piece, 0)
@@ -195,21 +231,32 @@ def _make_kernel(cap_rows, n_blocks):
             # only when mc == 0 and me == 1, but stay general.
             @pl.when(me > mc)
             def _fill():
-                append_piece(kw, lw, lo, me - mc, False)
+                append(kw, lw, 0, lo - lo, me - mc, cum + mc, False)
 
+        # block prologue: stage run 0's source window (every other run's
+        # read is prefetched by its predecessor). The run loop unrolls x2
+        # so the double-buffer slots and semaphores stay static (and the
+        # ~80 ns/iteration fori overhead halves).
+        _rd_copy(0, 0).start()
+
+        def pair(r2, _):
+            per_run(2 * r2, 0)
+            per_run(2 * r2 + 1, 1)
             return 0
 
-        jax.lax.fori_loop(0, RUNS_PER_BLOCK, per_run, 0)
+        jax.lax.fori_loop(0, RUNS_PER_BLOCK // 2, pair, 0)
 
-        def flush_tail():
-            sloc = cur[0] - obase[0] * LANES
+        def flush_tail(total):
+            sloc = total & (_FLUSH_ELEMS - 1)
             rr = (sloc + LANES - 1) // LANES
             quantum = stage[pl.ds(0, FLUSH_EROWS * _WP), :].reshape(
                 FLUSH_EROWS, _WP, LANES
             )
             for w in range(_NUM_OUT):
                 flushbuf[pl.ds(w * FLUSH_EROWS, FLUSH_EROWS), :] = quantum[:, w]
-            ob = jnp.minimum(obase[0], cap_rows - rr)
+            ob = jnp.minimum(
+                (total // _FLUSH_ELEMS) * FLUSH_EROWS, cap_rows - rr
+            )
             off = 0 * rr
             for sz in (8, 4, 2, 1):
                 bit = (rr & sz) != 0 if sz != 8 else rr == 8
@@ -233,11 +280,16 @@ def _make_kernel(cap_rows, n_blocks):
 
         @pl.when(c == n_blocks - 1)
         def _drain():
-            @pl.when(cur[0] - obase[0] * LANES > 0)
-            def _():
-                flush_tail()
+            # pad descriptors carry (emit 0, cum = total), so the last row
+            # of the last block always reads the final cursor
+            total = (desc_ref[RUNS_PER_BLOCK - 1, 5]
+                     + desc_ref[RUNS_PER_BLOCK - 1, 4])
 
-            count_ref[0] = cur[0]
+            @pl.when((total & (_FLUSH_ELEMS - 1)) > 0)
+            def _():
+                flush_tail(total)
+
+            count_ref[0] = total
 
     return kernel
 
@@ -250,6 +302,9 @@ def expand_join_runs(rvs, desc, *, capacity, interpret=None):
         [key_word, left_value_word, lo, m_copy, m_emit, 0, 0, 0].
         ``m_emit`` must be pre-clamped so that ``sum(m_emit) <= capacity``;
         ``0 <= m_copy <= m_emit``; ``m_emit - m_copy`` rows emit rv = 0.
+        (Column 5 is overwritten with each run's output cursor — the
+        exclusive prefix sum of ``m_emit`` — the kernel's precomputed
+        scalar state.)
     Returns ``(out_key_words, out_lv, out_rv, count)``: flat uint32 arrays
     of length ``capacity`` (tail beyond ``count`` is MAX-sentinel) and the
     total emitted count.
@@ -263,6 +318,11 @@ def expand_join_runs(rvs, desc, *, capacity, interpret=None):
         desc = jnp.concatenate(
             [desc, jnp.zeros((pad_runs, DESC_COLS), jnp.int32)]
         )
+    # descriptor column 5 = each run's output cursor (exclusive prefix sum
+    # of emits) — the kernel's whole scalar state, precomputed here so pad
+    # rows naturally carry the final total (emit 0 keeps the prefix flat)
+    emits = desc[:, 4]
+    desc = desc.at[:, 5].set(jnp.cumsum(emits) - emits)
     n_blocks = desc.shape[0] // RUNS_PER_BLOCK
 
     # source rows: any tier read [lo//128, +MAXE) must stay in bounds
@@ -305,10 +365,10 @@ def expand_join_runs(rvs, desc, *, capacity, interpret=None):
         scratch_shapes=[
             pltpu.VMEM((SRE * _WP, LANES), jnp.uint32),
             pltpu.VMEM((_NUM_OUT * FLUSH_EROWS, LANES), jnp.uint32),
-            pltpu.VMEM((MAXE, LANES), jnp.uint32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((_NUM_OUT + 1,)),
+            # rvbuf: two prefetch slots (software pipeline) + one
+            # synchronous slot for long-run pieces past the first
+            pltpu.VMEM((3 * MAXE, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((_NUM_OUT + 3,)),
         ],
         input_output_aliases={2 + w: w for w in range(_NUM_OUT)},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

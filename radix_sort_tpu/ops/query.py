@@ -709,7 +709,10 @@ def repeat(values: jnp.ndarray, counts: jnp.ndarray, *, total_size: int):
 
     High mean fanout (``total_size >= 64 * len(values)``, 4-byte values)
     takes the Pallas run-append kernel's broadcast-fill path; otherwise
-    scatter + cummax addressing and one gather.
+    scatter + cummax addressing and one gather. (The threshold is higher
+    than join_expand's fanout-16 crossover: repeat emits ONE operand, so
+    the gather path costs ~9 ns/elem, not ~28 — the kernel's ~300 ns/run
+    only wins from fanout ~48; 64 keeps margin.)
     """
     if counts.shape[0] != values.shape[0]:
         raise ValueError("values and counts must have the same length")
@@ -851,19 +854,21 @@ def join_expand(
     starts = jnp.cumsum(emit) - emit  # output offset per left row
     total = starts[-1] + emit[-1] if emit.shape[0] else jnp.int32(0)
 
-    # High-fanout joins (mean fanout >= 64 by the static capacity/n_left
-    # ratio) take the Pallas run-append kernel: one DMA'd run per left row
-    # instead of three ~9 ns/element gathers — measured 3.9 ns/output
-    # element at fanout 256 vs ~28 ns for the gather path. Below the
-    # crossover (~fanout 32) the per-run overhead (~0.5-1 us) loses to the
-    # gathers, so low-fanout joins keep the XLA path. The interpret-mode
-    # kernel is only engaged at test sizes off-TPU.
+    # Mid-to-high-fanout joins (mean fanout >= 16 by the static
+    # capacity/n_left ratio) take the Pallas run-append kernel: one
+    # software-pipelined DMA'd run per left row (the next run's source read
+    # rides under the current run's append) instead of three ~9 ns/element
+    # gathers — measured (round 3) 2.29 ns/output element at fanout 256,
+    # 6.0 at 64, 18.7 at 16 vs ~28 ns for the gather path. Below the
+    # crossover (~fanout 10: 43 ns/elem at fanout 8) the ~300-590 ns/run
+    # overhead loses to the gathers, so low-fanout joins keep the XLA path.
+    # The interpret-mode kernel is only engaged at test sizes off-TPU.
     use_kernel = (
         n_l > 0
         and not multi
         and not multi_lv
         and not multi_rv
-        and capacity >= 64 * n_l
+        and capacity >= 16 * n_l
         and lkws[0].dtype == jnp.uint32
         and lvs[0].dtype.itemsize == 4
         and rvs_l[0].dtype.itemsize == 4
@@ -937,7 +942,7 @@ def _join_expand_kernel(
             lo,
             m_copy,
             emit_c,
-            jnp.zeros((n_l,), jnp.int32),
+            jnp.zeros((n_l,), jnp.int32),  # cum: filled by expand_join_runs
             jnp.zeros((n_l,), jnp.int32),
             jnp.zeros((n_l,), jnp.int32),
         ],

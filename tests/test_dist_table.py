@@ -120,6 +120,30 @@ class TestRowShaped:
         for n in want:
             np.testing.assert_array_equal(got[n], want[n], err_msg=n)
 
+    def test_window_descending(self, tbl):
+        t, d = _pair(tbl)
+        ops = {"rn": "row_number", "cs": ("cumsum", "v")}
+        got = d.window(ops, partition_by="k", order_by="w",
+                       descending=True).to_numpy()
+        want = t.window(ops, partition_by="k", order_by="w",
+                        descending=True).to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n], err_msg=n)
+
+    def test_sql_window_over_disttable(self, tbl):
+        # the SQL frontend's OVER clause must compile onto the MPP window
+        # plan when the registered relation is a DistTable
+        from radix_sort_tpu.sql import sql
+
+        t, d = _pair(tbl)
+        q = ("SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY w) "
+             "AS rn, SUM(v) OVER (PARTITION BY k ORDER BY w) AS rs "
+             "FROM r")
+        got = sql(q, {"r": d}).collect().to_numpy()
+        want = sql(q, {"r": t}).collect().to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n], err_msg=n)
+
     def test_unnest(self, tbl):
         t, d = _pair(tbl, 0.5)
         t = t.with_columns(c=jnp.asarray(np.tile([2, 0, 1, 3], N // 4)))
