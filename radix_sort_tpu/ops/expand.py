@@ -44,7 +44,40 @@ from radix_sort_tpu.ops.extract import (
     _tiers,
 )
 
-__all__ = ["expand_join_runs", "DESC_COLS", "RUNS_PER_BLOCK"]
+__all__ = [
+    "expand_join_runs", "mosaic_compile_ok", "DESC_COLS", "RUNS_PER_BLOCK",
+]
+
+
+_MOSAIC_X64_OK = None
+
+
+def mosaic_compile_ok():
+    """False when Mosaic kernels cannot compile on this runtime: the axon
+    relay's x64 rewriter recurses during kernel *lowering* whenever 64-bit
+    mode is on — callers must take their XLA fallback path instead of
+    crashing. The failure is host-side (RecursionError before any remote
+    compile), so it is probed once with a trivial kernel and cached;
+    standard TPU runtimes, where Mosaic + x64 is fine, keep the kernel
+    paths. Interpret mode is unaffected."""
+    if not (jax.config.jax_enable_x64 and jax.default_backend() == "tpu"):
+        return True
+    global _MOSAIC_X64_OK
+    if _MOSAIC_X64_OK is None:
+        def probe(x):
+            def k(x_ref, o_ref):
+                o_ref[...] = x_ref[...] // 2
+            return pl.pallas_call(
+                k, out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.int32)
+            )(x)
+        try:
+            jax.jit(probe).lower(
+                jax.ShapeDtypeStruct((8, LANES), jnp.int32)
+            )
+            _MOSAIC_X64_OK = True
+        except RecursionError:
+            _MOSAIC_X64_OK = False
+    return _MOSAIC_X64_OK
 
 DESC_COLS = 8  # key, left value, lo, m_copy, m_emit, cum, 2 pad columns
 RUNS_PER_BLOCK = 128  # descriptor rows per grid step (SMEM block)

@@ -735,13 +735,15 @@ def repeat(values: jnp.ndarray, counts: jnp.ndarray, *, total_size: int):
     count = jnp.minimum(total, total_size)
     overflow = (total > total_size) | wrapped
 
+    from radix_sort_tpu.ops import expand
+
     use_kernel = (
         total_size >= 64 * n
         and values.dtype.itemsize == 4
+        and expand.mosaic_compile_ok()
         and (jax.default_backend() == "tpu" or total_size <= (1 << 16))
     )
     if use_kernel:
-        from radix_sort_tpu.ops import expand
 
         emit_c = jnp.clip(total_size - starts, 0, counts)
         z = jnp.zeros((n,), jnp.int32)
@@ -854,31 +856,38 @@ def join_expand(
     starts = jnp.cumsum(emit) - emit  # output offset per left row
     total = starts[-1] + emit[-1] if emit.shape[0] else jnp.int32(0)
 
-    # Mid-to-high-fanout joins (mean fanout >= 16 by the static
-    # capacity/n_left ratio) take the Pallas run-append kernel: one
+    # Mid-to-high-fanout joins take the Pallas run-append kernel: one
     # software-pipelined DMA'd run per left row (the next run's source read
-    # rides under the current run's append) instead of three ~9 ns/element
-    # gathers — measured (round 3) 2.29 ns/output element at fanout 256,
-    # 6.0 at 64, 18.7 at 16 vs ~28 ns for the gather path. Below the
-    # crossover (~fanout 10: 43 ns/elem at fanout 8) the ~300-590 ns/run
-    # overhead loses to the gathers, so low-fanout joins keep the XLA path.
-    # The interpret-mode kernel is only engaged at test sizes off-TPU.
-    use_kernel = (
-        n_l > 0
-        and not multi
-        and not multi_lv
-        and not multi_rv
-        and capacity >= 16 * n_l
-        and lkws[0].dtype == jnp.uint32
-        and lvs[0].dtype.itemsize == 4
-        and rvs_l[0].dtype.itemsize == 4
-        and (jax.default_backend() == "tpu" or capacity <= (1 << 16))
-    )
-    if use_kernel:
-        return _join_expand_kernel(
-            lkws[0], lvs[0], rvs_l[0], lo, matches, emit, starts, total,
-            capacity,
-        )
+    # rides under the current run's append) instead of ~9 ns/element
+    # gathers per word — measured (round 3) 2.29 ns/output element at
+    # fanout 256, 6.0 at 64, 18.7 at 16 vs ~28 ns for the 3-word gather
+    # path. Each kernel call moves 2 broadcast words (key limbs / left
+    # values) + 1 copied word (right values); wider rows (64-bit values,
+    # composite keys, column lists) schedule ceil-many calls over the u32
+    # word lists, so the engage condition scales by calls-per-word: engage
+    # when mean_fanout * words >= 16 * 3 * n_calls (for the classic
+    # (u32 key, u32 lv, u32 rv) row this is the measured fanout-16
+    # crossover; below ~fanout 10 the ~300-590 ns/run overhead loses to
+    # the gathers). The interpret-mode kernel only engages at test sizes
+    # off-TPU.
+    from radix_sort_tpu.ops import expand
+
+    if n_l > 0 and expand.mosaic_compile_ok() and all(
+        _kernel_word_width(a) for a in (*lkws, *lvs, *rvs_l)
+    ):
+        b_words = (len(lkws)
+                   + sum(_kernel_word_width(lv) for lv in lvs))
+        c_words = sum(_kernel_word_width(rv) for rv in rvs_l)
+        n_calls = max((b_words + 1) // 2, c_words)
+        if (capacity * (b_words + c_words) >= 48 * n_l * n_calls
+                and (jax.default_backend() == "tpu"
+                     or capacity <= (1 << 16))):
+            out_ks, out_lvs, out_rvs, count, overflow = _join_expand_kernel(
+                lkws, lvs, rvs_l, lo, matches, emit, starts, total,
+                capacity,
+            )
+            return ((out_ks if multi else out_ks[0]), _pack_lv(out_lvs),
+                    _pack_rv(out_rvs), count, overflow)
 
     # >2^31 total pairs wrap the int32 running sum (duplicate-heavy keys on
     # large inputs). A true prefix sum is non-decreasing, so wrapped entries
@@ -915,13 +924,49 @@ def join_expand(
             _pack_rv(out_rvs), count, overflow)
 
 
+def _kernel_word_width(a):
+    """u32 words the run-append kernel needs for one operand column, or 0
+    if the column can't ride the kernel: 4-byte dtypes are one bitcast
+    word; 8-byte INTEGERS are two shift-split limbs (the axon relay
+    rejects 64-bit bitcasts, so f64 stays on the gather path; sub-4-byte
+    payloads are rare and also stay)."""
+    if a.dtype.itemsize == 4:
+        return 1
+    if a.dtype.itemsize == 8 and jnp.issubdtype(a.dtype, jnp.integer):
+        return 2
+    return 0
+
+
+def _op_to_words(a):
+    """Operand column -> list of uint32 word arrays (hi-first for 64-bit)."""
+    if a.dtype.itemsize == 4:
+        return [jax.lax.bitcast_convert_type(a, jnp.uint32)]
+    u = a.astype(jnp.uint64)  # same-width int converts are bit-exact
+    return list(K.split64(u))
+
+
+def _words_to_op(words, dtype):
+    """Inverse of :func:`_op_to_words`."""
+    if dtype.itemsize == 4:
+        return jax.lax.bitcast_convert_type(words[0], dtype)
+    return K.merge64(words[0], words[1]).astype(dtype)
+
+
 def _join_expand_kernel(
-    lkw, left_values, rvs, lo, matches, emit, starts, total, capacity
+    lkws, lvs, rvs_l, lo, matches, emit, starts, total, capacity
 ):
     """Run-append expansion via the Pallas kernel (ops/expand.py). Emission
     lengths are clamped XLA-side so the cumulative output never exceeds
     ``capacity`` — the first ``capacity`` rows are exact even on overflow,
-    matching the gather path's contract."""
+    matching the gather path's contract.
+
+    Wide rows are scheduled over multiple kernel calls: each call carries
+    two run-broadcast u32 words (key limbs and left-value words) and one
+    run-copied word (right-value words, DMA'd from the sorted right side),
+    so ``max(ceil(broadcast/2), copied)`` calls move the whole row. Calls
+    past the end of a word list run with zero-filled dummy slots.
+    Returns ``(key_word_list, lv_list, rv_list, count, overflow)``.
+    """
     from radix_sort_tpu.ops import expand
 
     # int32 wraparound guard (identical semantics to the gather path)
@@ -934,34 +979,65 @@ def _join_expand_kernel(
     emit_c = jnp.clip(capacity - starts_p, 0, emit)
     m_copy = jnp.minimum(matches, emit_c)
     as_i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-    n_l = lkw.shape[0]
-    desc = jnp.stack(
-        [
-            as_i32(lkw),
-            as_i32(left_values),
-            lo,
-            m_copy,
-            emit_c,
-            jnp.zeros((n_l,), jnp.int32),  # cum: filled by expand_join_runs
-            jnp.zeros((n_l,), jnp.int32),
-            jnp.zeros((n_l,), jnp.int32),
-        ],
-        axis=1,
-    )
-    okw, olv, orv, _ = expand.expand_join_runs(
-        jax.lax.bitcast_convert_type(rvs, jnp.uint32), desc, capacity=capacity
-    )
+    n_l = lkws[0].shape[0]
+    z = jnp.zeros((n_l,), jnp.int32)
+
+    b_srcs = list(lkws) + [w for lv in lvs for w in _op_to_words(lv)]
+    c_srcs = [w for rv in rvs_l for w in _op_to_words(rv)]
+    n_calls = max((len(b_srcs) + 1) // 2, len(c_srcs))
+
+    out_b, out_c = [], []
+    for call in range(n_calls):
+        b0 = b_srcs[2 * call] if 2 * call < len(b_srcs) else None
+        b1 = b_srcs[2 * call + 1] if 2 * call + 1 < len(b_srcs) else None
+        c = c_srcs[call] if call < len(c_srcs) else None
+        desc = jnp.stack(
+            [
+                as_i32(b0) if b0 is not None else z,
+                as_i32(b1) if b1 is not None else z,
+                lo,
+                m_copy if c is not None else z,
+                emit_c,
+                z,  # cum: filled by expand_join_runs
+                z,
+                z,
+            ],
+            axis=1,
+        )
+        src = c if c is not None else jnp.zeros((1,), jnp.uint32)
+        ob0, ob1, oc, _ = expand.expand_join_runs(
+            src, desc, capacity=capacity
+        )
+        if b0 is not None:
+            out_b.append(ob0)
+        if b1 is not None:
+            out_b.append(ob1)
+        if c is not None:
+            out_c.append(oc)
+
     count = jnp.minimum(total, capacity)
     valid = jnp.arange(capacity, dtype=jnp.int32) < count
-    out_kw = jnp.where(valid, okw, 0)
-    out_lv = jnp.where(
-        valid, jax.lax.bitcast_convert_type(olv, left_values.dtype), 0
-    )
-    out_rv = jnp.where(
-        valid, jax.lax.bitcast_convert_type(orv, rvs.dtype), 0
-    )
+    mask = lambda w: jnp.where(valid, w, 0)
+
+    out_ks = [mask(out_b[i]) for i in range(len(lkws))]
+    pos = len(lkws)
+    out_lvs = []
+    for lv in lvs:
+        w = _kernel_word_width(lv)
+        out_lvs.append(
+            _words_to_op([mask(x) for x in out_b[pos : pos + w]], lv.dtype)
+        )
+        pos += w
+    pos = 0
+    out_rvs = []
+    for rv in rvs_l:
+        w = _kernel_word_width(rv)
+        out_rvs.append(
+            _words_to_op([mask(x) for x in out_c[pos : pos + w]], rv.dtype)
+        )
+        pos += w
     overflow = (total > capacity) | wrapped
-    return out_kw, out_lv, out_rv, count, overflow
+    return out_ks, out_lvs, out_rvs, count, overflow
 
 
 def append_unmatched_right(

@@ -729,6 +729,79 @@ class TestHighFanoutKernelPath:
         assert cnt == n_l * 70
         np.testing.assert_array_equal(np.asarray(jrv)[:70], rv[rk == 0])
 
+    def test_u64_values_two_calls(self, rng):
+        # 8-byte integer values ride the kernel as hi/lo u32 limb words
+        # over two scheduled calls (round 3: the 4-byte-operand limit is
+        # lifted); oracle = the gather path's semantics
+        n_l, fan = 8, 70
+        lk = np.arange(n_l, dtype=np.uint32)
+        lv = rng.integers(0, 2**63, n_l).astype(np.uint64)
+        rk = np.repeat(lk, fan)
+        rv = rng.integers(0, 2**63, n_l * fan).astype(np.uint64)
+        cap = n_l * fan + 16
+        jk, jlv, jrv, cnt, ovf = self._join(lk, lv, rk, rv, cap)
+        cnt = int(cnt)
+        assert jlv.dtype == jnp.uint64 and jrv.dtype == jnp.uint64
+        assert cnt == n_l * fan and not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(jrv)[:fan], rv[rk == 0])
+        np.testing.assert_array_equal(
+            np.asarray(jlv)[:cnt], np.repeat(lv, fan)
+        )
+
+    def test_i64_negative_values_roundtrip(self, rng):
+        n_l, fan = 4, 80
+        lk = np.arange(n_l, dtype=np.uint32)
+        lv = (rng.integers(-(2**62), 2**62, n_l)).astype(np.int64)
+        rk = np.repeat(lk, fan)
+        rv = (rng.integers(-(2**62), 2**62, n_l * fan)).astype(np.int64)
+        cap = n_l * fan + 16
+        _, jlv, jrv, cnt, ovf = self._join(lk, lv, rk, rv, cap)
+        cnt = int(cnt)
+        assert cnt == n_l * fan and not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(jrv)[:fan], rv[rk == 0])
+        np.testing.assert_array_equal(
+            np.asarray(jlv)[:cnt], np.repeat(lv, fan)
+        )
+
+    def test_value_lists_multi_call(self, rng):
+        # column-list payloads on both sides schedule one call per right
+        # word; left words pack two per call
+        n_l, fan = 8, 70
+        lk = np.arange(n_l, dtype=np.uint32)
+        lv1 = rng.integers(0, 2**31, n_l).astype(np.uint32)
+        lv2 = rng.random(n_l).astype(np.float32)
+        rk = np.repeat(lk, fan)
+        rv1 = rng.integers(0, 2**31, n_l * fan).astype(np.uint32)
+        rv2 = rng.random(n_l * fan).astype(np.float32)
+        cap = n_l * fan + 16
+        jk, jlvs, jrvs, cnt, ovf = query.hash_join(
+            jnp.asarray(lk), [jnp.asarray(lv1), jnp.asarray(lv2)],
+            jnp.asarray(rk), [jnp.asarray(rv1), jnp.asarray(rv2)],
+            capacity=cap,
+        )
+        cnt = int(cnt)
+        assert cnt == n_l * fan and not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(jrvs[0])[:fan], rv1[rk == 0])
+        np.testing.assert_array_equal(np.asarray(jrvs[1])[:fan], rv2[rk == 0])
+        np.testing.assert_array_equal(
+            np.asarray(jlvs[0])[:cnt], np.repeat(lv1, fan)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jlvs[1])[:cnt], np.repeat(lv2, fan)
+        )
+
+    def test_left_join_u64_unmatched_fill(self, rng):
+        lk = np.array([7, 3, 99], np.uint32)  # 99 unmatched
+        lv = np.array([70, 30, 990], np.uint64)
+        rk = np.repeat(np.array([3, 7], np.uint32), 100)
+        rv = rng.integers(1, 2**63, 200).astype(np.uint64)
+        jk, jlv, jrv, cnt, ovf = self._join(lk, lv, rk, rv, 256, how="left")
+        cnt = int(cnt)
+        assert not bool(ovf) and cnt == 201
+        assert np.asarray(jk)[200] == 99 and np.asarray(jrv)[200] == 0
+        assert np.asarray(jlv)[200] == 990
+        np.testing.assert_array_equal(np.asarray(jrv)[:100], rv[100:])
+
 
 class TestEdgeCases:
     def test_aggregate_empty(self):
