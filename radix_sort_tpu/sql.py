@@ -34,6 +34,13 @@ Supported grammar::
              without ORDER BY = whole partition. LAST_VALUE is always
              partition-wide (the useless SQL default running frame is
              deliberately not reproduced).
+
+    HAVING may call aggregates inline (``HAVING COUNT(*) > 1``), and
+    window functions compose with GROUP BY — evaluated over the
+    aggregated rows after HAVING, with aggregate calls allowed in the
+    OVER clause and as window arguments
+    (``RANK() OVER (ORDER BY SUM(v) DESC)``). Such calls hoist into
+    synthetic aggregate columns dropped by the final projection.
     expr  := literals ('s', 1, 2.5), columns, + - * / %,
              = != <> < <= > >=, AND OR NOT, [NOT] IN (...),
              [NOT] BETWEEN a AND b, ABS(x),
@@ -145,6 +152,12 @@ class _Parser:
         self.q = q
         self.toks = _tokenize(q)
         self.i = 0
+        # aggregate calls inside HAVING / OVER clauses are hoisted into
+        # synthetic aggregate columns: spec tuple -> "__agg_<n>" (deduped),
+        # computed alongside the SELECT aggregates and dropped by the final
+        # projection. allow_aggs gates where such calls may appear.
+        self.agg_sink = {}
+        self.allow_aggs = False
 
     # -- token plumbing -----------------------------------------------------
 
@@ -304,9 +317,13 @@ class _Parser:
             self.expect_op(")")
             return e.abs()
         if fn in _AGG_FNS:
+            if self.allow_aggs:
+                agg, argname = self._agg_args(fn)
+                return col(self._sink(agg, argname))
             raise SqlError(
                 f"aggregate {fn} is only allowed as a top-level SELECT "
-                f"item (optionally aliased), not inside an expression"
+                f"item or inside HAVING / OVER clauses, not in this "
+                f"expression"
             )
         if fn in _WIN_FNS:
             raise SqlError(
@@ -315,6 +332,34 @@ class _Parser:
                 f"expression"
             )
         raise SqlError(f"unknown function {name!r}")
+
+    def _agg_args(self, fname):
+        """Parse an aggregate call's argument list (the ``(`` is already
+        consumed) through the ``)``; returns ``(engine_agg, argname)`` with
+        ``argname None`` for COUNT(*)."""
+        agg = _AGG_FNS[fname]
+        if self.eat_op("*"):
+            if fname != "COUNT":
+                raise SqlError(f"{fname}(*) is not supported; name a column")
+            self.expect_op(")")
+            return agg, None
+        if self.eat_kw("DISTINCT"):
+            if fname != "COUNT":
+                raise SqlError("DISTINCT only inside COUNT(...)")
+            name = self._qualified_ident("column")
+            self.expect_op(")")
+            return "count_distinct", name
+        name = self._qualified_ident("column")
+        self.expect_op(")")
+        return agg, name
+
+    def _sink(self, agg, argname):
+        """Register a hoisted aggregate (HAVING / OVER) and return its
+        synthetic post-aggregation column name (deduped by spec)."""
+        spec = (agg,) if argname is None else (agg, argname)
+        if spec not in self.agg_sink:
+            self.agg_sink[spec] = f"__agg_{len(self.agg_sink)}"
+        return self.agg_sink[spec]
 
     def _case(self) -> Expr:
         self.expect_kw("CASE")
@@ -364,6 +409,7 @@ class _Parser:
         self.expect_op("(")
         star = False
         distinct_arg = False
+        hoisted_arg = False
         args = []  # ("col", name) | ("num", v) | ("str", v)
         if self.eat_op("*"):
             star = True
@@ -372,7 +418,16 @@ class _Parser:
                 distinct_arg = True
             while True:
                 t = self.peek()
-                if t[0] == "id":
+                if (t[0] == "id" and t[1].upper() in _AGG_FNS
+                        and self.peek(1) == ("op", "(")):
+                    # an aggregate as a window-fn argument, e.g.
+                    # LAG(SUM(v)) OVER (...): hoist it (rejected below if
+                    # this item turns out to be a plain aggregate)
+                    inner = self.next()[1].upper()
+                    self.expect_op("(")
+                    args.append(("col", self._sink(*self._agg_args(inner))))
+                    hoisted_arg = True
+                elif t[0] == "id":
                     args.append(("col", self._qualified_ident("column")))
                 elif t[0] in ("num", "str"):
                     self.next()
@@ -406,6 +461,9 @@ class _Parser:
             raise SqlError(
                 f"window function {fname} needs an OVER (...) clause"
             )
+        if hoisted_arg:
+            raise SqlError(f"nested aggregates are not supported: "
+                           f"{fname}(agg(...))")
         agg = _AGG_FNS[fname]
         argname = None
         if star:
@@ -440,6 +498,18 @@ class _Parser:
             name = self.ident("column after '.'")
         return name
 
+    def _win_col(self, what):
+        """A column reference inside an OVER clause: a plain (qualified)
+        identifier, or an aggregate call — ``OVER (ORDER BY SUM(v))`` —
+        hoisted into a synthetic aggregate column."""
+        t = self.peek()
+        if (t[0] == "id" and t[1].upper() in _AGG_FNS
+                and self.peek(1) == ("op", "(")):
+            fname = self.next()[1].upper()
+            self.expect_op("(")
+            return self._sink(*self._agg_args(fname))
+        return self._qualified_ident(what)
+
     def _window_item(self, fname, star, args):
         """``fn(args) OVER ([PARTITION BY ...] [ORDER BY ...] [ROWS ...])``
         -> ("win", engine_spec, partition, order, desc, alias)."""
@@ -449,13 +519,13 @@ class _Parser:
         if self.eat_kw("PARTITION"):
             self.expect_kw("BY")
             while True:
-                partition.append(self._qualified_ident("partition column"))
+                partition.append(self._win_col("partition column"))
                 if not self.eat_op(","):
                     break
         if self.eat_kw("ORDER"):
             self.expect_kw("BY")
             while True:
-                order.append(self._qualified_ident("order column"))
+                order.append(self._win_col("order column"))
                 d = self.eat_kw("ASC", "DESC")
                 desc.append(d == "DESC")
                 if not self.eat_op(","):
@@ -705,7 +775,13 @@ def sql(query: str, tables, **kwargs):
             if not p.eat_op(","):
                 break
 
-    having = p.parse_expr() if p.eat_kw("HAVING") else None
+    having = None
+    if p.eat_kw("HAVING"):
+        # HAVING may call aggregates inline (COUNT(*) > 1); they hoist
+        # into synthetic aggregate columns alongside the SELECT aggregates
+        p.allow_aggs = True
+        having = p.parse_expr()
+        p.allow_aggs = False
 
     order_by, order_desc = [], []
     if p.eat_kw("ORDER"):
@@ -730,20 +806,23 @@ def sql(query: str, tables, **kwargs):
     if p.peek()[0] != "end":
         raise SqlError(f"unexpected trailing input near {p.peek()[1]!r}")
 
-    has_aggs = any(it[0] == "agg" for it in items)
+    has_aggs = any(it[0] == "agg" for it in items) or p.agg_sink
     if has_aggs or group_by:
         aggs, out_names = {}, []
+        win_groups = {}  # (partition, order, desc) -> {alias: spec}
         for it in items:
             if it[0] == "star":
                 raise SqlError("SELECT * cannot mix with GROUP BY — name "
                                "the group keys and aggregates")
             if it[0] == "win":
-                raise SqlError(
-                    "window functions cannot mix with GROUP BY/aggregates "
-                    "in one SELECT; aggregate first, then window over the "
-                    "result in a second query"
-                )
-            if it[0] == "agg":
+                # a window over the aggregated relation: its partition /
+                # order / argument columns are group keys, select aliases,
+                # or hoisted aggregates; computed after HAVING (SQL
+                # evaluation order), before the final projection
+                _, spec, part, order, desc, alias = it
+                win_groups.setdefault((part, order, desc), {})[alias] = spec
+                out_names.append(alias)
+            elif it[0] == "agg":
                 _, agg, argname, alias = it
                 aggs[alias] = (agg,) if argname is None else (agg, argname)
                 out_names.append(alias)
@@ -760,9 +839,18 @@ def sql(query: str, tables, **kwargs):
                         "rename after the query"
                     )
                 out_names.append(e.args[0])
+        for spec, sname in p.agg_sink.items():
+            aggs[sname] = spec  # hoisted HAVING / OVER aggregates
         lt = lt.aggregate(group_by, aggs, **_route(kwargs, _AGG_KNOBS))
         if having is not None:
             lt = lt.filter(having)
+        for (part, order, desc), ops in win_groups.items():
+            lt = lt.window(
+                ops,
+                partition_by=list(part) or None,
+                order_by=list(order) or None,
+                descending=list(desc) or None,
+            )
         lt = lt.select(*out_names)
         if distinct:
             # GROUP BY on a superset of the selected keys can still yield

@@ -117,6 +117,66 @@ class TestAggregates:
         assert out["s"][0] == orders["qty"].sum()
         assert out["nc"][0] == np.unique(orders["cust"]).size
 
+    def test_having_inline_aggregates(self, db):
+        # aggregates called inline in HAVING (not selected) hoist into
+        # synthetic columns and are dropped from the output
+        orders, _ = db
+        out = sql(
+            "SELECT cust, COUNT(*) AS n FROM orders GROUP BY cust "
+            "HAVING SUM(qty) > 300 AND MIN(price) < 5",
+            _tables(db),
+        ).collect().to_numpy()
+        assert set(out.keys()) == {"cust", "n"}
+        uk = np.unique(orders["cust"])
+        sums = np.array([orders["qty"][orders["cust"] == c].sum()
+                         for c in uk])
+        mins = np.array([orders["price"][orders["cust"] == c].min()
+                         for c in uk])
+        keep = (sums > 300) & (mins < 5)
+        np.testing.assert_array_equal(np.sort(out["cust"]), uk[keep])
+
+    def test_having_count_star(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT item FROM orders GROUP BY item HAVING COUNT(*) > 60",
+            _tables(db),
+        ).collect().to_numpy()
+        items, counts = np.unique(orders["item"], return_counts=True)
+        np.testing.assert_array_equal(np.sort(out["item"]),
+                                      items[counts > 60])
+
+    def test_window_over_group_by(self, db):
+        # RANK() over the aggregated rows, ordering by an inline aggregate
+        orders, _ = db
+        out = sql(
+            "SELECT item, SUM(qty) AS total, "
+            "RANK() OVER (ORDER BY SUM(qty) DESC) AS rnk "
+            "FROM orders GROUP BY item ORDER BY item",
+            _tables(db),
+        ).collect().to_numpy()
+        assert set(out.keys()) == {"item", "total", "rnk"}
+        items = np.unique(orders["item"])
+        totals = np.array([orders["qty"][orders["item"] == it].sum()
+                           for it in items])
+        exp_rank = np.array([1 + (totals > t).sum() for t in totals])
+        np.testing.assert_array_equal(out["total"], totals)
+        np.testing.assert_array_equal(out["rnk"], exp_rank)
+
+    def test_window_arg_aggregate_lag(self, db):
+        # LAG(SUM(qty)) OVER (ORDER BY cust): window argument is itself a
+        # hoisted aggregate over the grouped rows
+        orders, _ = db
+        out = sql(
+            "SELECT cust, LAG(SUM(qty), 1, 0) OVER (ORDER BY cust) AS prev "
+            "FROM orders GROUP BY cust ORDER BY cust",
+            _tables(db),
+        ).collect().to_numpy()
+        uk = np.sort(np.unique(orders["cust"]))
+        sums = np.array([orders["qty"][orders["cust"] == c].sum()
+                         for c in uk])
+        np.testing.assert_array_equal(out["prev"],
+                                      np.concatenate([[0], sums[:-1]]))
+
     def test_string_group_min_max(self, db):
         orders, _ = db
         out = sql(
@@ -259,9 +319,13 @@ class TestWindows:
         t = _tables(db)
         with pytest.raises(SqlError, match="OVER"):
             sql("SELECT ROW_NUMBER() AS rn FROM orders", t)
-        with pytest.raises(SqlError, match="cannot mix"):
-            sql("SELECT cust, SUM(qty) AS s, ROW_NUMBER() OVER "
-                "(ORDER BY cust) AS rn FROM orders GROUP BY cust", t)
+        # window + GROUP BY in one SELECT is supported (post-aggregation
+        # windows): the row numbers cover the grouped rows exactly
+        out = sql("SELECT cust, SUM(qty) AS s, ROW_NUMBER() OVER "
+                  "(ORDER BY cust) AS rn FROM orders GROUP BY cust",
+                  t).collect().to_numpy()
+        np.testing.assert_array_equal(
+            np.sort(out["rn"]), np.arange(1, out["cust"].size + 1))
         with pytest.raises(SqlError, match="top-level"):
             sql("SELECT ROW_NUMBER() OVER (ORDER BY oid) + 1 AS x "
                 "FROM orders", t)
@@ -288,6 +352,10 @@ class TestErrors:
             sql("SELECT oid FROM orders JOIN custs ON cust = region", t)
         with pytest.raises(SqlError, match="top-level"):
             sql("SELECT SUM(qty) + 1 AS x FROM orders", t)
+        with pytest.raises(SqlError, match="top-level"):
+            sql("SELECT oid FROM orders WHERE SUM(qty) > 3", t)
+        with pytest.raises(SqlError, match="nested"):
+            sql("SELECT COUNT(SUM(qty)) AS x FROM orders GROUP BY cust", t)
 
     def test_string_arithmetic_rejected(self, db):
         # arithmetic over a dictionary-encoded string column would
