@@ -13,9 +13,10 @@ computing anything. The tree knows two things a raw lambda cannot tell us:
     (``DistTable``: elementwise ops map over shards untouched).
 
 The surface is deliberately closed (literals, columns, arithmetic,
-comparisons, boolean algebra, ``where``, ``cast``/``abs``, and an explicit
-``udf`` escape hatch that still declares its column reads) so every node
-stays analyzable and printable by ``LazyTable.explain()``.
+comparisons, boolean algebra, ``where``, ``cast``/``abs``, ``like`` over
+string columns, and an explicit ``udf`` escape hatch that still declares
+its column reads) so every node stays analyzable and printable by
+``LazyTable.explain()``.
 
 The reference crate has no expression layer (it is sort-only,
 src/radix_sort/mod.rs); this belongs to the north-star query-engine
@@ -136,6 +137,20 @@ class Expr:
         if k == "udf":
             fn, _, cols = self.args
             return fn(*(table[c] for c in cols))
+        if k == "like":
+            a, pattern = self.args
+            name = _str_col_name(a, table)
+            if name is None:
+                raise TypeError(
+                    f"LIKE requires a string column, got {a!r} (numeric "
+                    f"columns and computed expressions have no character "
+                    f"patterns)"
+                )
+            from radix_sort_tpu import strings as S
+            # the pattern evaluates on the host vocabulary; on device the
+            # predicate is one gather of the per-code mask
+            mask = S.like_mask(table.dictionary(name), pattern)
+            return jnp.asarray(mask)[table[name]]
         raise AssertionError(f"unknown Expr kind {k!r}")
 
     # -- operators --------------------------------------------------------
@@ -250,6 +265,12 @@ class Expr:
     def maximum(self, o) -> "Expr":
         return self._bin("max", o)
 
+    def like(self, pattern: str) -> "Expr":
+        """SQL LIKE over a dictionary-encoded string column: ``%`` = any
+        run, ``_`` = one char, backslash escapes. Evaluates against the
+        host-side vocabulary; one mask gather on device."""
+        return Expr("like", (self, str(pattern)))
+
     def isin(self, values) -> "Expr":
         """Membership in a small static value list (ORed equalities)."""
         vals = list(values)
@@ -287,6 +308,9 @@ class Expr:
         if k == "udf":
             _, label, cols = self.args
             return f"udf({label}, columns={sorted(cols)})"
+        if k == "like":
+            a, pattern = self.args
+            return f"{a!r}.like({pattern!r})"
         return f"Expr({k})"
 
 

@@ -43,7 +43,8 @@ Supported grammar::
     synthetic aggregate columns dropped by the final projection.
     expr  := literals ('s', 1, 2.5), columns, + - * / %,
              = != <> < <= > >=, AND OR NOT, [NOT] IN (...),
-             [NOT] BETWEEN a AND b, ABS(x),
+             [NOT] BETWEEN a AND b, [NOT] LIKE 'pat' (% _ and \\ escapes,
+             over dictionary string columns), ABS(x),
              CASE WHEN c THEN a [WHEN ...] [ELSE b] END
 
 Engine capacity knobs (static shapes) ride keyword arguments:
@@ -82,6 +83,7 @@ _KEYWORDS = {
     "ORDER", "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "ASC",
     "DESC", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "SEMI",
     "ANTI", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NULL",
+    "LIKE",
     "OVER", "PARTITION", "ROWS", "PRECEDING", "FOLLOWING", "CURRENT",
     "ROW", "UNBOUNDED",
 }
@@ -240,8 +242,16 @@ class _Parser:
             hi = self._add()
             out = (e >= lo) & (e <= hi)
             return ~out if neg else out
+        if self.eat_kw("LIKE"):
+            t = self.next()
+            if t[0] != "str":
+                raise SqlError(
+                    f"LIKE needs a string literal pattern, got {t[1]!r}"
+                )
+            out = e.like(t[1])
+            return ~out if neg else out
         if neg:
-            raise SqlError("NOT must precede IN or BETWEEN here")
+            raise SqlError("NOT must precede IN, BETWEEN or LIKE here")
         op = self.eat_op("=", "!=", "<>", "<=", ">=", "<", ">")
         if op is None:
             return e

@@ -31,6 +31,7 @@ __all__ = [
     "decode",
     "unify",
     "lookup",
+    "like_mask",
 ]
 
 NOT_FOUND = np.uint32(0xFFFFFFFF)
@@ -88,6 +89,36 @@ def unify(vocab_a: np.ndarray, vocab_b: np.ndarray):
     remap_a = np.searchsorted(union, vocab_a).astype(np.uint32)
     remap_b = np.searchsorted(union, vocab_b).astype(np.uint32)
     return union, remap_a, remap_b
+
+
+def like_mask(vocab: np.ndarray, pattern: str) -> np.ndarray:
+    """Boolean mask over ``vocab`` matching a SQL LIKE pattern.
+
+    ``%`` matches any run (including empty), ``_`` any single character;
+    ``\\%`` / ``\\_`` / ``\\\\`` escape literals. The pattern evaluates
+    once against the (small, host-side) vocabulary — the device-side test
+    is then a single gather of this mask by code, so LIKE costs the same
+    as any other predicate regardless of row count."""
+    import re
+
+    parts, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            parts.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            parts.append(".*")
+        elif ch == "_":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+        i += 1
+    rx = re.compile("".join(parts), re.DOTALL)
+    return np.array(
+        [rx.fullmatch(str(v)) is not None for v in vocab], bool
+    )
 
 
 def lookup(vocab: np.ndarray, values):

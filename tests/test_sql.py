@@ -81,6 +81,19 @@ class TestBasics:
                                 & (orders["qty"] <= 15))]
         np.testing.assert_array_equal(np.sort(out["oid"]), np.sort(ref))
 
+    def test_like(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid FROM orders WHERE item LIKE '%a%' "
+            "AND item NOT LIKE 'c__'",
+            _tables(db),
+        ).collect().to_numpy()
+        it = orders["item"].astype(str)
+        keep = (np.char.find(it, "a") >= 0) & ~(
+            np.char.startswith(it, "c") & (np.char.str_len(it) == 3))
+        np.testing.assert_array_equal(np.sort(out["oid"]),
+                                      np.sort(orders["oid"][keep]))
+
     def test_distinct(self, db):
         orders, _ = db
         out = sql("SELECT DISTINCT item FROM orders",

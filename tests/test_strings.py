@@ -296,6 +296,39 @@ class TestExprStrings:
         np.testing.assert_array_equal(
             t.filter(e.evaluate(t)).to_numpy()["v"], [3])
 
+    def test_like(self):
+        from radix_sort_tpu import col
+        t = self._t()
+        v = np.array([1, 2, 3, 4, 5])
+        # a: pear fig yam fig date
+        cases = [
+            ("f%", [2, 4]),       # prefix
+            ("%a%", [1, 3, 5]),   # contains (pear, yam, date)
+            ("_ig", [2, 4]),      # single-char wildcard
+            ("yam", [3]),         # exact
+            ("%", [1, 2, 3, 4, 5]),
+            ("z%", []),
+        ]
+        for pat, exp in cases:
+            got = t.filter(col("a").like(pat).evaluate(t)).to_numpy()["v"]
+            np.testing.assert_array_equal(got, exp, err_msg=pat)
+
+    def test_like_escapes_and_errors(self):
+        from radix_sort_tpu import col, strings as S
+        t = self._t()
+        # escaped wildcards are literal; regex metachars in vocab are inert
+        vocab = np.array(["", "100%", "a.b", "a_b", "axb"])
+        np.testing.assert_array_equal(
+            S.like_mask(vocab, "100\\%"), [False, True, False, False, False])
+        np.testing.assert_array_equal(
+            S.like_mask(vocab, "a\\_b"), [False, False, False, True, False])
+        np.testing.assert_array_equal(
+            S.like_mask(vocab, "a.b"), [False, False, True, False, False])
+        np.testing.assert_array_equal(
+            S.like_mask(vocab, "a_b"), [False, False, True, True, True])
+        with pytest.raises(TypeError, match="string column"):
+            col("v").like("f%").evaluate(t)
+
     def test_isin_strings(self):
         from radix_sort_tpu import col
         t = self._t()
