@@ -10,12 +10,21 @@ through the string-aware expression layer (expr.py / strings.py).
 
 Supported grammar::
 
-    SELECT [DISTINCT] item [, item ...]
-    FROM name
-    [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN name
-          ON a.k = b.k [AND ...] ]*
-    [WHERE expr] [GROUP BY cols] [HAVING expr]
-    [ORDER BY col [ASC|DESC], ...] [LIMIT n]
+    query := select [ (UNION [ALL] | INTERSECT | EXCEPT) select ]*
+             [ORDER BY col [ASC|DESC], ...] [LIMIT n]
+             (INTERSECT binds tighter; engine set-op semantics: distinct
+             rows matched by column NAME — both sides must expose the
+             same column names; UNION ALL = concat)
+
+    select := SELECT [DISTINCT] item [, item ...]
+              FROM source
+              [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN source
+                    ON a.k = b.k [AND ...] ]*
+              [WHERE expr] [GROUP BY cols] [HAVING expr]
+            | ( query )
+
+    source := name | ( query ) [[AS] alias]   -- derived-table subqueries;
+             the planner namespace is flat, so the alias is decorative
 
     item  := * | expr [[AS] alias] | agg(expr) [[AS] alias]
            | winfn(args) OVER ([PARTITION BY cols] [ORDER BY col
@@ -83,7 +92,7 @@ _KEYWORDS = {
     "ORDER", "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "ASC",
     "DESC", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "SEMI",
     "ANTI", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NULL",
-    "LIKE",
+    "LIKE", "UNION", "ALL", "INTERSECT", "EXCEPT",
     "OVER", "PARTITION", "ROWS", "PRECEDING", "FOLLOWING", "CURRENT",
     "ROW", "UNBOUNDED",
 }
@@ -715,24 +724,111 @@ def sql(query: str, tables, **kwargs):
     ``.explain()`` to inspect the optimized plan). Capacity knobs for the
     static-shape verbs pass through ``kwargs`` (``capacity``/
     ``capacity_per_shard`` for joins, ``max_groups`` for GROUP BY,
-    ``max_unique`` for DISTINCT)."""
+    ``max_unique`` for DISTINCT / set operations)."""
     p = _Parser(query)
+    lt = _query(p, tables, kwargs)
+    if p.peek()[0] != "end":
+        raise SqlError(f"unexpected trailing input near {p.peek()[1]!r}")
+    return lt
+
+
+def _query(p, tables, kwargs):
+    """compound select + its trailing ORDER BY / LIMIT (which apply to
+    the whole compound, per standard SQL)."""
+    lt = _compound(p, tables, kwargs)
+    if p.eat_kw("ORDER"):
+        p.expect_kw("BY")
+        order_by, order_desc = [], []
+        while True:
+            o = p._qualified_ident("order column")
+            order_by.append(o)
+            d = p.eat_kw("ASC", "DESC")
+            order_desc.append(d == "DESC")
+            if not p.eat_op(","):
+                break
+        lt = lt.sort_by(order_by, descending=order_desc)
+    if p.eat_kw("LIMIT"):
+        t = p.next()
+        if t[0] != "num" or not isinstance(t[1], int):
+            raise SqlError(f"LIMIT needs an integer, got {t[1]!r}")
+        lt = lt.limit(t[1])
+    return lt
+
+
+def _check_setop_schemas(a, b, op):
+    an, bn = list(a.column_names), list(b.column_names)
+    if set(an) != set(bn):
+        raise SqlError(
+            f"{op} sides must expose the same column names (the engine "
+            f"matches by name); got {an} vs {bn} — alias the SELECT items "
+            f"to line them up"
+        )
+
+
+def _compound(p, tables, kwargs):
+    """``term ((UNION [ALL] | EXCEPT) term)*`` where ``term`` binds
+    INTERSECT tighter (standard SQL precedence)."""
+
+    def term():
+        lt = _select_core(p, tables, kwargs)
+        while p.eat_kw("INTERSECT"):
+            rhs = _select_core(p, tables, kwargs)
+            _check_setop_schemas(lt, rhs, "INTERSECT")
+            lt = lt.intersect(rhs, **_route(kwargs, _DISTINCT_KNOBS))
+        return lt
+
+    lt = term()
+    while True:
+        if p.eat_kw("UNION"):
+            all_ = bool(p.eat_kw("ALL"))
+            rhs = term()
+            _check_setop_schemas(lt, rhs, "UNION")
+            lt = (lt.concat(rhs) if all_
+                  else lt.union(rhs, **_route(kwargs, _DISTINCT_KNOBS)))
+        elif p.eat_kw("EXCEPT"):
+            rhs = term()
+            _check_setop_schemas(lt, rhs, "EXCEPT")
+            lt = lt.difference(rhs, **_route(kwargs, _DISTINCT_KNOBS))
+        else:
+            return lt
+
+
+def _from_target(p, tables, kwargs):
+    """A FROM / JOIN target: a registered table name, or a parenthesized
+    derived table ``( select ) [AS] alias`` (the planner namespace is
+    flat, so the alias is accepted and ignored)."""
+    if p.at_op("(") :
+        p.next()
+        lt = _query(p, tables, kwargs)
+        p.expect_op(")")
+        p._alias()  # optional [AS] name
+        return lt
+    name = p.ident("table name")
+    if name not in tables:
+        raise SqlError(f"unknown table {name!r} (registered: "
+                       f"{sorted(tables)})")
+    t = tables[name]
+    return t if hasattr(t, "collect") else t.lazy()
+
+
+def _select_core(p, tables, kwargs):
+    """One ``SELECT ... [GROUP BY ... HAVING ...]`` core (no ORDER BY /
+    LIMIT — those belong to the enclosing compound), compiled onto the
+    planner. A parenthesized compound is also accepted:
+    ``( select )`` as a term of UNION/INTERSECT/EXCEPT."""
+    if p.at_op("(") and p.peek(1) in (("kw", "SELECT"), ("op", "(")):
+        p.next()
+        lt = _query(p, tables, kwargs)
+        p.expect_op(")")
+        return lt
+    p.agg_sink = {}  # per-core hoisted aggregates
     p.expect_kw("SELECT")
     distinct = bool(p.eat_kw("DISTINCT"))
     items = [p.parse_item()]
     while p.eat_op(","):
         items.append(p.parse_item())
     p.expect_kw("FROM")
-    from_name = p.ident("table name")
-
-    def _lazy(name):
-        if name not in tables:
-            raise SqlError(f"unknown table {name!r} (registered: "
-                           f"{sorted(tables)})")
-        t = tables[name]
-        return t if hasattr(t, "collect") else t.lazy()
-
-    lt = _lazy(from_name)
+    lt = _from_target(p, tables, kwargs)
 
     # JOIN clauses
     while True:
@@ -749,7 +845,7 @@ def sql(query: str, tables, **kwargs):
         if how is None:
             break
         p.expect_kw("JOIN")
-        rname = p.ident("table name")
+        rhs = _from_target(p, tables, kwargs)
         p.expect_kw("ON")
         on = []
         while True:
@@ -768,8 +864,7 @@ def sql(query: str, tables, **kwargs):
             on.append(a)
             if not p.eat_kw("AND"):
                 break
-        lt = lt.join(_lazy(rname), on, how=how,
-                     **_route(kwargs, _JOIN_KNOBS))
+        lt = lt.join(rhs, on, how=how, **_route(kwargs, _JOIN_KNOBS))
 
     if p.eat_kw("WHERE"):
         lt = lt.filter(p.parse_expr())
@@ -792,29 +887,6 @@ def sql(query: str, tables, **kwargs):
         p.allow_aggs = True
         having = p.parse_expr()
         p.allow_aggs = False
-
-    order_by, order_desc = [], []
-    if p.eat_kw("ORDER"):
-        p.expect_kw("BY")
-        while True:
-            o = p.ident("order column")
-            if p.eat_op("."):
-                o = p.ident("column after '.'")
-            order_by.append(o)
-            d = p.eat_kw("ASC", "DESC")
-            order_desc.append(d == "DESC")
-            if not p.eat_op(","):
-                break
-
-    limit = None
-    if p.eat_kw("LIMIT"):
-        t = p.next()
-        if t[0] != "num" or not isinstance(t[1], int):
-            raise SqlError(f"LIMIT needs an integer, got {t[1]!r}")
-        limit = t[1]
-
-    if p.peek()[0] != "end":
-        raise SqlError(f"unexpected trailing input near {p.peek()[1]!r}")
 
     has_aggs = any(it[0] == "agg" for it in items) or p.agg_sink
     if has_aggs or group_by:
@@ -904,8 +976,4 @@ def sql(query: str, tables, **kwargs):
             lt = lt.distinct(subset=None if star else names,
                              **_route(kwargs, _DISTINCT_KNOBS))
 
-    if order_by:
-        lt = lt.sort_by(order_by, descending=order_desc)
-    if limit is not None:
-        lt = lt.limit(limit)
     return lt

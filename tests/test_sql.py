@@ -204,6 +204,66 @@ class TestAggregates:
             assert out["hi"][i] == max(orders["item"][m].tolist())
 
 
+class TestCompounds:
+    """Set operations between SELECTs and derived-table subqueries."""
+
+    @pytest.fixture
+    def two(self):
+        t1 = Table({"k": np.array([1, 2, 3, 4, 5], np.uint32),
+                    "s": ["a", "b", "c", "b", "a"]})
+        t2 = Table({"k": np.array([3, 4, 5, 6, 7], np.uint32),
+                    "s": ["c", "x", "a", "y", "z"]})
+        return {"t1": t1, "t2": t2}
+
+    def test_union_distinct_and_all(self, two):
+        o = sql("SELECT k FROM t1 UNION SELECT k FROM t2",
+                two).collect().to_numpy()
+        np.testing.assert_array_equal(np.sort(o["k"]), np.arange(1, 8))
+        o = sql("SELECT k FROM t1 UNION ALL SELECT k FROM t2",
+                two).collect().to_numpy()
+        assert o["k"].size == 10
+
+    def test_intersect_except_strings(self, two):
+        o = sql("SELECT s FROM t1 INTERSECT SELECT s FROM t2",
+                two).collect().to_numpy()
+        np.testing.assert_array_equal(np.sort(o["s"]), ["a", "c"])
+        o = sql("SELECT s FROM t1 EXCEPT SELECT s FROM t2",
+                two).collect().to_numpy()
+        np.testing.assert_array_equal(o["s"], ["b"])
+
+    def test_intersect_binds_tighter(self, two):
+        tables = dict(two, t3=Table({"k": np.array([5, 6, 99], np.uint32)}))
+        o = sql("SELECT k FROM t1 UNION SELECT k FROM t2 "
+                "INTERSECT SELECT k FROM t3", tables).collect().to_numpy()
+        # == t1 UNION (t2 INTERSECT t3), not (t1 UNION t2) INTERSECT t3
+        np.testing.assert_array_equal(np.sort(o["k"]), [1, 2, 3, 4, 5, 6])
+
+    def test_compound_order_limit_and_parens(self, two):
+        o = sql("SELECT k FROM t1 UNION SELECT k FROM t2 "
+                "ORDER BY k DESC LIMIT 3", two).collect().to_numpy()
+        np.testing.assert_array_equal(o["k"], [7, 6, 5])
+        o = sql("(SELECT k FROM t1 UNION SELECT k FROM t2) "
+                "EXCEPT SELECT k FROM t1", two).collect().to_numpy()
+        np.testing.assert_array_equal(np.sort(o["k"]), [6, 7])
+
+    def test_derived_table_subqueries(self, two):
+        # FROM subquery keeps its inner ORDER/LIMIT scoped to the parens
+        o = sql("SELECT k FROM (SELECT k FROM t2 ORDER BY k DESC LIMIT 2) "
+                "AS top ORDER BY k", two).collect().to_numpy()
+        np.testing.assert_array_equal(o["k"], [6, 7])
+        # JOIN against a subquery, aggregate on top
+        o = sql("SELECT s, COUNT(*) AS n FROM t1 "
+                "JOIN (SELECT k FROM t2 WHERE k <= 5) sub ON k = k "
+                "GROUP BY s ORDER BY s", two,
+                capacity=16).collect().to_numpy()
+        np.testing.assert_array_equal(o["s"], ["a", "b", "c"])
+        np.testing.assert_array_equal(o["n"], [1, 1, 1])
+
+    def test_setop_schema_mismatch(self, two):
+        with pytest.raises(SqlError, match="same column names"):
+            sql("SELECT k FROM t1 UNION SELECT k, s FROM t2", two)
+
+
 class TestJoins:
     def test_inner_join_group(self, db):
         orders, custs = db
