@@ -169,6 +169,11 @@ class _Parser:
         # projection. allow_aggs gates where such calls may appear.
         self.agg_sink = {}
         self.allow_aggs = False
+        # expression arguments to aggregates / window value fns
+        # (SUM(price * qty)) hoist into synthetic pre-aggregation columns:
+        # repr(expr) -> ("__pre_<n>", expr), computed via with_columns
+        # before the aggregate / window and dropped by the projection
+        self.pre_sink = {}
 
     # -- token plumbing -----------------------------------------------------
 
@@ -368,8 +373,13 @@ class _Parser:
             name = self._qualified_ident("column")
             self.expect_op(")")
             return "count_distinct", name
-        name = self._qualified_ident("column")
+        saved, self.allow_aggs = self.allow_aggs, False  # no nested aggs
+        try:
+            e = self.parse_expr()
+        finally:
+            self.allow_aggs = saved
         self.expect_op(")")
+        name = e.args[0] if e.kind == "col" else self._pre(e)
         return agg, name
 
     def _sink(self, agg, argname):
@@ -379,6 +389,14 @@ class _Parser:
         if spec not in self.agg_sink:
             self.agg_sink[spec] = f"__agg_{len(self.agg_sink)}"
         return self.agg_sink[spec]
+
+    def _pre(self, e):
+        """Register a hoisted pre-aggregation expression argument and
+        return its synthetic column name (deduped by printed form)."""
+        key = repr(e)
+        if key not in self.pre_sink:
+            self.pre_sink[key] = (f"__pre_{len(self.pre_sink)}", e)
+        return self.pre_sink[key][0]
 
     def _case(self) -> Expr:
         self.expect_kw("CASE")
@@ -446,25 +464,25 @@ class _Parser:
                     self.expect_op("(")
                     args.append(("col", self._sink(*self._agg_args(inner))))
                     hoisted_arg = True
-                elif t[0] == "id":
-                    args.append(("col", self._qualified_ident("column")))
-                elif t[0] in ("num", "str"):
-                    self.next()
-                    args.append((t[0], t[1]))
-                elif t == ("op", "-"):
-                    self.next()
-                    v = self.next()
-                    if v[0] != "num":
-                        raise SqlError(
-                            f"expected a number after '-' in {fname}(...), "
-                            f"got {v[1]!r}"
-                        )
-                    args.append(("num", -v[1]))
                 else:
-                    raise SqlError(
-                        f"bad argument in {fname}(...) near {t[1]!r} "
-                        f"(columns and literals only)"
-                    )
+                    # a full expression argument: plain columns and
+                    # literals classify back to their simple forms;
+                    # anything else (SUM(price * qty)) becomes an
+                    # ("expr", Expr) hoisted by the consumer
+                    e = self.parse_expr()
+                    if e.kind == "col":
+                        args.append(("col", e.args[0]))
+                    elif e.kind == "lit":
+                        v = e.args[0]
+                        args.append(
+                            ("str" if isinstance(v, (str, bytes)) else
+                             "num", v)
+                        )
+                    elif (e.kind == "un" and e.args[0] == "neg"
+                          and e.args[1].kind == "lit"):
+                        args.append(("num", -e.args[1].args[0]))
+                    else:
+                        args.append(("expr", e))
                 if not self.eat_op(","):
                     break
         self.expect_op(")")
@@ -485,6 +503,7 @@ class _Parser:
                            f"{fname}(agg(...))")
         agg = _AGG_FNS[fname]
         argname = None
+        expr_arg = False
         if star:
             if fname != "COUNT":
                 raise SqlError(f"{fname}(*) is not supported; name a column")
@@ -493,11 +512,20 @@ class _Parser:
                 if fname != "COUNT":
                     raise SqlError("DISTINCT only inside COUNT(...)")
                 agg = "count_distinct"
-            if len(args) != 1 or args[0][0] != "col":
+            if len(args) != 1 or args[0][0] not in ("col", "expr"):
                 raise SqlError(
-                    f"aggregate {fname} takes exactly one column argument"
+                    f"aggregate {fname} takes exactly one column or "
+                    f"expression argument"
                 )
-            argname = args[0][1]
+            if args[0][0] == "expr":
+                if distinct_arg:
+                    raise SqlError(
+                        "COUNT(DISTINCT ...) takes a plain column"
+                    )
+                argname = self._pre(args[0][1])
+                expr_arg = True
+            else:
+                argname = args[0][1]
         if self.at_op("+", "-", "*", "/", "%",
                       "=", "!=", "<>", "<", "<=", ">", ">="):
             raise SqlError(
@@ -507,6 +535,10 @@ class _Parser:
             )
         alias = self._alias()
         if alias is None:
+            if expr_arg:
+                raise SqlError(
+                    f"{fname}(<expression>) needs an alias (AS name)"
+                )
             alias = agg if argname is None else f"{agg}_{argname}"
         return ("agg", agg, argname, alias)
 
@@ -619,10 +651,14 @@ class _Parser:
         (ops/window.py WINDOW_OPS)."""
 
         def one_col(nargs_max=1):
-            if star or not args or args[0][0] != "col":
+            if star or not args or args[0][0] not in ("col", "expr"):
                 raise SqlError(f"{fname} takes a column argument")
             if len(args) > nargs_max:
                 raise SqlError(f"too many arguments to {fname}(...)")
+            if args[0][0] == "expr":
+                # hoisted pre-window computed column (base columns only;
+                # rejected at compile time under GROUP BY)
+                return self._pre(args[0][1])
             return args[0][1]
 
         def int_arg(i, what):
@@ -822,6 +858,7 @@ def _select_core(p, tables, kwargs):
         p.expect_op(")")
         return lt
     p.agg_sink = {}  # per-core hoisted aggregates
+    p.pre_sink = {}  # per-core hoisted expression arguments
     p.expect_kw("SELECT")
     distinct = bool(p.eat_kw("DISTINCT"))
     items = [p.parse_item()]
@@ -923,6 +960,29 @@ def _select_core(p, tables, kwargs):
                 out_names.append(e.args[0])
         for spec, sname in p.agg_sink.items():
             aggs[sname] = spec  # hoisted HAVING / OVER aggregates
+        if p.pre_sink:
+            # expression aggregate arguments (SUM(price * qty)) compute
+            # before the aggregate; window-arg expressions can't — under
+            # GROUP BY a window runs over post-aggregate rows where base
+            # columns are gone
+            pre_names = {n for n, _ in p.pre_sink.values()}
+            used_by_aggs = {a for spec in aggs.values()
+                            for a in spec[1:]}
+            for wspecs in win_groups.values():
+                for spec in wspecs.values():
+                    refs = [spec] if isinstance(spec, str) else list(spec)
+                    bad = [r for r in refs if isinstance(r, str)
+                           and r in pre_names and r not in used_by_aggs]
+                    if bad:
+                        raise SqlError(
+                            "window-function expression arguments cannot "
+                            "mix with GROUP BY (the expression would read "
+                            "pre-aggregation columns); alias the "
+                            "expression as an aggregate first"
+                        )
+            lt = lt.with_columns(
+                **{n: e for n, e in p.pre_sink.values()}
+            )
         lt = lt.aggregate(group_by, aggs, **_route(kwargs, _AGG_KNOBS))
         if having is not None:
             lt = lt.filter(having)
@@ -961,8 +1021,10 @@ def _select_core(p, tables, kwargs):
             else:
                 derived[alias] = e
                 names.append(alias)
-        if derived:
-            lt = lt.with_columns(**derived)
+        base_names = list(lt.column_names) if star else None
+        pre = {n: e for n, e in p.pre_sink.values()}
+        if pre or derived:
+            lt = lt.with_columns(**pre, **derived)
         for (part, order, desc), ops in win_groups.items():
             lt = lt.window(
                 ops,
@@ -972,6 +1034,9 @@ def _select_core(p, tables, kwargs):
             )
         if not star:
             lt = lt.select(*names)
+        elif pre:
+            # SELECT * must not leak hoisted __pre_ columns
+            lt = lt.select(*base_names, *names)
         if distinct:
             lt = lt.distinct(subset=None if star else names,
                              **_route(kwargs, _DISTINCT_KNOBS))

@@ -190,6 +190,42 @@ class TestAggregates:
         np.testing.assert_array_equal(out["prev"],
                                       np.concatenate([[0], sums[:-1]]))
 
+    def test_expression_aggregate_args(self, db):
+        # SUM(price * qty): the expression hoists into a pre-aggregation
+        # computed column and never leaks into the output
+        orders, _ = db
+        out = sql(
+            "SELECT item, SUM(price * qty) AS rev, "
+            "SUM(CASE WHEN qty >= 10 THEN 1 ELSE 0 END) AS big "
+            "FROM orders GROUP BY item ORDER BY item",
+            _tables(db),
+        ).collect().to_numpy()
+        assert set(out.keys()) == {"item", "rev", "big"}
+        for i, it in enumerate(np.unique(orders["item"])):
+            m = orders["item"] == it
+            np.testing.assert_allclose(
+                out["rev"][i],
+                (orders["price"][m] * orders["qty"][m]).sum(), rtol=2e-5)
+            assert out["big"][i] == (orders["qty"][m] >= 10).sum()
+
+    def test_expression_agg_in_having(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT cust FROM orders GROUP BY cust "
+            "HAVING SUM(price * qty) > 700",
+            _tables(db),
+        ).collect().to_numpy()
+        uk = np.unique(orders["cust"])
+        rev = np.array([(orders["price"][orders["cust"] == c]
+                         * orders["qty"][orders["cust"] == c]).sum()
+                        for c in uk])
+        np.testing.assert_array_equal(np.sort(out["cust"]), uk[rev > 700])
+
+    def test_expression_agg_needs_alias(self, db):
+        with pytest.raises(SqlError, match="alias"):
+            sql("SELECT SUM(price * qty) FROM orders GROUP BY cust",
+                _tables(db))
+
     def test_string_group_min_max(self, db):
         orders, _ = db
         out = sql(
@@ -202,6 +238,35 @@ class TestAggregates:
             # np.min/max lack a str ufunc loop; use Python builtins
             assert out["lo"][i] == min(orders["item"][m].tolist())
             assert out["hi"][i] == max(orders["item"][m].tolist())
+
+
+class TestWindowExprArgs:
+    def test_window_value_fn_expression(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid, SUM(price * qty) OVER (PARTITION BY cust) AS s "
+            "FROM orders ORDER BY oid",
+            _tables(db),
+        ).collect().to_numpy()
+        pq = orders["price"] * orders["qty"]
+        for c in np.unique(orders["cust"]):
+            m = orders["cust"] == c
+            np.testing.assert_allclose(out["s"][m], pq[m].sum(), rtol=2e-5)
+
+    def test_select_star_does_not_leak_pre(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT *, MAX(price * qty) OVER (PARTITION BY cust) AS mx "
+            "FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        assert set(out.keys()) == set(orders) | {"mx"}
+
+    def test_window_expr_arg_rejected_under_group_by(self, db):
+        with pytest.raises(SqlError, match="pre-aggregation"):
+            sql("SELECT cust, SUM(qty) AS s, "
+                "LAG(price * qty, 1, 0) OVER (ORDER BY cust) AS x "
+                "FROM orders GROUP BY cust", _tables(db))
 
 
 class TestCompounds:
