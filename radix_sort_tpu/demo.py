@@ -91,12 +91,14 @@ def _gen_limbs(key, n, args):
     return D.step_uniform_limbs(key, n, args.steps)
 
 
-def _engine_fns(dt_name, engines):
+def _engine_fns(dt_name, engines, donate=False):
     """One jitted packed-rows -> packed-sorted closure per engine name.
 
     Rows travel as ONE stacked array each way: the axon relay charges ~29 ms
     per input/output buffer per dispatch (scratch/NOTES.md), which would
-    otherwise dominate the measurement."""
+    otherwise dominate the measurement. ``donate`` frees the packed input
+    for the output (the 4.0 GB sweep point needs it to fit HBM) — only
+    safe when each buffer is sorted exactly once, i.e. a single engine."""
     from radix_sort_tpu.ops import pallas_sort
     import radix_sort_tpu as rst
 
@@ -113,13 +115,15 @@ def _engine_fns(dt_name, engines):
             fns[eng] = jax.jit(
                 lambda p, e=limb_eng: jnp.stack(
                     pallas_sort.sort_pairs_limbs(p[0], p[1], p[2], p[3], engine=e)
-                )
+                ),
+                donate_argnums=(0,) if donate else (),
             )
         else:
             fns[eng] = jax.jit(
                 lambda p, e=eng: jnp.stack(
                     rst.sort_pairs(p[0], p[1], implementation=e)
-                )
+                ),
+                donate_argnums=(0,) if donate else (),
             )
     return fns
 
@@ -252,21 +256,27 @@ def main(argv=None):
         host = io.read_raw(args.data)
         dt_name = {4: "u32", 8: "u64"}[host.dtype.itemsize]
         n = host.size
-        fns = _engine_fns(dt_name, engines)
-        if dt_name == "u64":
-            hi = jnp.asarray((host >> np.uint64(32)).astype(np.uint32))
-            lo = jnp.asarray(host.astype(np.uint32))
-            z = jnp.zeros((n,), jnp.uint32)
-            data = jnp.stack([hi, lo, z, z])
-        else:
-            data = jnp.stack(
+        donate = len(engines) == 1
+        fns = _engine_fns(dt_name, engines, donate)
+
+        def upload():
+            if dt_name == "u64":
+                hi = jnp.asarray((host >> np.uint64(32)).astype(np.uint32))
+                lo = jnp.asarray(host.astype(np.uint32))
+                z = jnp.zeros((n,), jnp.uint32)
+                return jnp.stack([hi, lo, z, z])
+            return jnp.stack(
                 [jnp.asarray(host), jnp.zeros((n,), jnp.uint32)]
             )
+
+        data = upload()
         gb = host.nbytes * 2 / 1e9  # key+payload rows
         for eng in engines:
             sync(fns[eng](data))  # compile + warm
             times = []
             for _ in range(args.runs):
+                if donate:
+                    data = upload()  # the donated buffer was consumed
                 t0 = time.perf_counter()
                 sync(fns[eng](data))
                 times.append(time.perf_counter() - t0)
@@ -278,7 +288,7 @@ def main(argv=None):
 
     for dt_name in args.dtypes:
         rowbytes = {"u32": 8, "u64": 16}[dt_name]
-        fns = _engine_fns(dt_name, engines)
+        fns = _engine_fns(dt_name, engines, donate=len(engines) == 1)
 
         def make(key, n):
             if dt_name == "u64":
