@@ -52,6 +52,26 @@ AGGREGATIONS = (
     "count_distinct",             # distinct values per group
     "argmin", "argmax",           # input position of the group min/max
 )
+# "quantile:<q>" (0 <= q <= 1) is also accepted anywhere an aggregation
+# name is: the group's lower order statistic at rank floor(q*(len-1)) —
+# PERCENTILE_DISC semantics; "quantile:0.5" == "median". Parsed by
+# quantile_q().
+
+
+def quantile_q(agg):
+    """The q of a ``"quantile:<q>"`` aggregation name, else None."""
+    if isinstance(agg, str) and agg.startswith("quantile:"):
+        try:
+            q = float(agg.split(":", 1)[1])
+        except ValueError:
+            return None
+        if 0.0 <= q <= 1.0:
+            return q
+    return None
+
+
+def valid_agg(agg):
+    return agg in AGGREGATIONS or quantile_q(agg) is not None
 # aggregations whose per-shard partials combine with a plain reduction
 # (holistic ones need the repartition plan — parallel/dist_query.py)
 COMBINABLE_AGGREGATIONS = ("sum", "count", "min", "max", "mean",
@@ -306,8 +326,11 @@ def hash_aggregate(keys, values, agg: str = "sum", *, _positions=None):
             )
         return _hash_aggregate_multi(keys, list(values), list(agg),
                                      _positions=_positions)
-    if agg not in AGGREGATIONS:
-        raise ValueError(f"agg must be one of {AGGREGATIONS}, got {agg!r}")
+    if not valid_agg(agg):
+        raise ValueError(
+            f"agg must be one of {AGGREGATIONS} or 'quantile:<q>', "
+            f"got {agg!r}"
+        )
     multi = isinstance(keys, (list, tuple))
     cols = list(keys) if multi else [keys]
     if not cols:
@@ -337,8 +360,8 @@ def hash_aggregate(keys, values, agg: str = "sum", *, _positions=None):
     nk = len(limbs)
 
     sposr = None
-    if agg in ("min", "max", "median", "count_distinct", "mode",
-               "argmin", "argmax"):
+    if (agg in ("min", "max", "median", "count_distinct", "mode",
+                "argmin", "argmax") or quantile_q(agg) is not None):
         # sort by (key, value): the group's order statistics sit at known
         # offsets and (key, value) runs mark distinct values
         vw = K.encode(values)
@@ -370,12 +393,22 @@ def hash_aggregate(keys, values, agg: str = "sum", *, _positions=None):
         pick = first if agg == "first" else last
         *out_keys, out_vals, count = filter(pick, *uk_cols, sv)
         return _pack(out_keys), out_vals, count
-    if agg == "median":
+    if agg == "median" or quantile_q(agg) is not None:
+        # the group's lower order statistic at floor(q*(len-1)) — exact
+        # integer halving for the median; float32 rank math for general q
+        # (1-index boundary tolerance only beyond ~2^24-row groups)
+        q = 0.5 if agg == "median" else quantile_q(agg)
         pos = jnp.arange(n, dtype=jnp.int32)
         *out_keys, ends_c, count = filter(last, *uk_cols, pos)
         starts_c = jnp.roll(ends_c, 1).at[0].set(-1) + 1
-        med_idx = starts_c + (ends_c - starts_c) // 2
-        return _pack(out_keys), sv[jnp.clip(med_idx, 0, n - 1)], count
+        span = ends_c - starts_c
+        if agg == "median":
+            off = span // 2
+        else:
+            off = jnp.floor(span.astype(jnp.float32) * q
+                            + 1e-6).astype(jnp.int32)
+        q_idx = starts_c + jnp.clip(off, 0, span)
+        return _pack(out_keys), sv[jnp.clip(q_idx, 0, n - 1)], count
     if agg in ("argmin", "argmax"):
         # (key, value)-sorted with positions riding: the group's first row
         # holds argmin; the first row of its LAST value run holds argmax
@@ -524,9 +557,10 @@ def _hash_aggregate_multi(keys, val_cols, aggs, _positions=None):
     Returns ``(unique_keys, [aggregates...], count)``.
     """
     for a in aggs:
-        if a not in AGGREGATIONS:
+        if not valid_agg(a):
             raise ValueError(
-                f"agg must be one of {AGGREGATIONS}, got {a!r}"
+                f"agg must be one of {AGGREGATIONS} or 'quantile:<q>', "
+                f"got {a!r}"
             )
     multi_k = isinstance(keys, (list, tuple))
     cols = list(keys) if multi_k else [keys]
@@ -559,7 +593,8 @@ def _hash_aggregate_multi(keys, val_cols, aggs, _positions=None):
     delegated = {
         i: hash_aggregate(keys, val_cols[i], a, _positions=_positions)[1]
         for i, a in enumerate(aggs)
-        if a in ("median", "count_distinct", "mode", "argmin", "argmax")
+        if (a in ("median", "count_distinct", "mode", "argmin", "argmax")
+                or quantile_q(a) is not None)
     }
 
     limbs, specs = _cols_to_limbs(cols)

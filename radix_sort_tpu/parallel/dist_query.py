@@ -115,9 +115,10 @@ def distributed_hash_aggregate(
                 "values and agg lists must be non-empty and equal-length"
             )
         for a in agg:
-            if a not in query.AGGREGATIONS:
+            if not query.valid_agg(a):
                 raise ValueError(
-                    f"agg must be one of {query.AGGREGATIONS}, got {a!r}"
+                    f"agg must be one of {query.AGGREGATIONS} or "
+                    f"'quantile:<q>', got {a!r}"
                 )
         if any(a not in query.COMBINABLE_AGGREGATIONS for a in agg):
             return _distributed_holistic_aggregate(
@@ -127,8 +128,11 @@ def distributed_hash_aggregate(
         return _distributed_hash_aggregate_multi(
             keys, list(values), list(agg), mesh, axis_name, max_groups
         )
-    if agg not in query.AGGREGATIONS:
-        raise ValueError(f"agg must be one of {query.AGGREGATIONS}, got {agg!r}")
+    if not query.valid_agg(agg):
+        raise ValueError(
+            f"agg must be one of {query.AGGREGATIONS} or 'quantile:<q>', "
+            f"got {agg!r}"
+        )
     if agg not in query.COMBINABLE_AGGREGATIONS:
         uk, outs, cnt, ovf = _distributed_holistic_aggregate(
             keys, [values], [agg], mesh, axis_name, max_groups,
@@ -239,9 +243,10 @@ def _distributed_hash_aggregate_multi(keys, val_cols, aggs, mesh, axis_name,
     output; means divide at the end. Same contract/anchoring as
     :func:`distributed_hash_aggregate`."""
     for a in aggs:
-        if a not in query.AGGREGATIONS:
+        if not query.valid_agg(a):
             raise ValueError(
-                f"agg must be one of {query.AGGREGATIONS}, got {a!r}"
+                f"agg must be one of {query.AGGREGATIONS} or "
+                f"'quantile:<q>', got {a!r}"
             )
     multi_k = isinstance(keys, (list, tuple))
     cols = list(keys) if multi_k else [keys]

@@ -616,8 +616,9 @@ class DistTable:
             if agg in _NUMERIC_ONLY_AGGS:
                 self._no_string(col, f"{out_name!r}: {agg}")
             elif (isinstance(col, str) and col in self._dicts
-                  and agg in ("min", "max", "first", "last", "mode",
-                              "median")):
+                  and (agg in ("min", "max", "first", "last", "mode",
+                               "median")
+                       or agg.startswith("quantile:"))):
                 out_dicts[out_name] = self._dicts[col]
             names.append(out_name)
             val_cols.append(self._resolve(col)[0])

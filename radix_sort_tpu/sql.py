@@ -32,6 +32,8 @@ Supported grammar::
     agg   := SUM COUNT AVG MEAN MIN MAX MEDIAN MODE VAR VARIANCE STD
              STDDEV FIRST LAST ARGMIN ARGMAX BOOL_AND BOOL_OR
              COUNT(*) COUNT(DISTINCT x)
+             QUANTILE(x, q) / PERCENTILE_DISC(x, q): the group value at
+             rank floor(q*(len-1)) — exact order statistic
     winfn := ROW_NUMBER RANK DENSE_RANK PERCENT_RANK CUME_DIST NTILE(n)
              FIRST_VALUE(x) LAST_VALUE(x) NTH_VALUE(x, k)
              LAG(x[, off[, default]]) LEAD(x[, off[, default]])
@@ -104,6 +106,9 @@ _AGG_FNS = {
     "FIRST": "first", "LAST": "last", "ARGMIN": "argmin",
     "ARGMAX": "argmax", "BOOL_AND": "all", "BOOL_OR": "any",
 }
+# parameterized aggregates: QUANTILE(x, q) -> the engine's "quantile:<q>"
+# (PERCENTILE_DISC semantics: the group value at rank floor(q*(len-1)))
+_PARAM_AGG_FNS = {"QUANTILE", "PERCENTILE_DISC"}
 
 # verb-specific capacity knobs routed from sql(**kwargs)
 _JOIN_KNOBS = ("capacity", "capacity_per_shard", "exchange_capacity_factor")
@@ -340,7 +345,7 @@ class _Parser:
             e = self.parse_expr()
             self.expect_op(")")
             return e.abs()
-        if fn in _AGG_FNS:
+        if fn in _AGG_FNS or fn in _PARAM_AGG_FNS:
             if self.allow_aggs:
                 agg, argname = self._agg_args(fn)
                 return col(self._sink(agg, argname))
@@ -361,6 +366,21 @@ class _Parser:
         """Parse an aggregate call's argument list (the ``(`` is already
         consumed) through the ``)``; returns ``(engine_agg, argname)`` with
         ``argname None`` for COUNT(*)."""
+        if fname in _PARAM_AGG_FNS:
+            saved, self.allow_aggs = self.allow_aggs, False
+            try:
+                e = self.parse_expr()
+            finally:
+                self.allow_aggs = saved
+            self.expect_op(",")
+            q = self.next()
+            if q[0] != "num" or not 0 <= q[1] <= 1:
+                raise SqlError(
+                    f"{fname} takes (column_or_expr, q) with q in [0, 1]"
+                )
+            self.expect_op(")")
+            name = e.args[0] if e.kind == "col" else self._pre(e)
+            return f"quantile:{float(q[1])}", name
         agg = _AGG_FNS[fname]
         if self.eat_op("*"):
             if fname != "COUNT":
@@ -425,7 +445,9 @@ class _Parser:
             return ("star",)
         t = self.peek()
         if (t[0] == "id"
-                and (t[1].upper() in _AGG_FNS or t[1].upper() in _WIN_FNS)
+                and (t[1].upper() in _AGG_FNS
+                     or t[1].upper() in _PARAM_AGG_FNS
+                     or t[1].upper() in _WIN_FNS)
                 and self.peek(1) == ("op", "(")):
             return self._call_item()
         e = self.parse_expr()
@@ -455,7 +477,9 @@ class _Parser:
                 distinct_arg = True
             while True:
                 t = self.peek()
-                if (t[0] == "id" and t[1].upper() in _AGG_FNS
+                if (t[0] == "id"
+                        and (t[1].upper() in _AGG_FNS
+                             or t[1].upper() in _PARAM_AGG_FNS)
                         and self.peek(1) == ("op", "(")):
                     # an aggregate as a window-fn argument, e.g.
                     # LAG(SUM(v)) OVER (...): hoist it (rejected below if
@@ -492,15 +516,37 @@ class _Parser:
                 raise SqlError(
                     "DISTINCT is not supported inside window functions"
                 )
+            if fname in _PARAM_AGG_FNS:
+                raise SqlError(f"{fname} is not a window function")
             return self._window_item(fname, star, args)
 
-        if fname not in _AGG_FNS:
+        if fname not in _AGG_FNS and fname not in _PARAM_AGG_FNS:
             raise SqlError(
                 f"window function {fname} needs an OVER (...) clause"
             )
         if hoisted_arg:
             raise SqlError(f"nested aggregates are not supported: "
                            f"{fname}(agg(...))")
+        if fname in _PARAM_AGG_FNS:
+            if (star or distinct_arg or len(args) != 2
+                    or args[0][0] not in ("col", "expr")
+                    or args[1][0] != "num" or not 0 <= args[1][1] <= 1):
+                raise SqlError(
+                    f"{fname} takes (column_or_expr, q) with q in [0, 1]"
+                )
+            agg = f"quantile:{float(args[1][1])}"
+            if args[0][0] == "expr":
+                argname, expr_arg = self._pre(args[0][1]), True
+            else:
+                argname, expr_arg = args[0][1], False
+            alias = self._alias()
+            if alias is None:
+                if expr_arg:
+                    raise SqlError(
+                        f"{fname}(<expression>, q) needs an alias (AS name)"
+                    )
+                alias = f"quantile_{argname}"
+            return ("agg", agg, argname, alias)
         agg = _AGG_FNS[fname]
         argname = None
         expr_arg = False
@@ -554,7 +600,9 @@ class _Parser:
         identifier, or an aggregate call — ``OVER (ORDER BY SUM(v))`` —
         hoisted into a synthetic aggregate column."""
         t = self.peek()
-        if (t[0] == "id" and t[1].upper() in _AGG_FNS
+        if (t[0] == "id"
+                and (t[1].upper() in _AGG_FNS
+                     or t[1].upper() in _PARAM_AGG_FNS)
                 and self.peek(1) == ("op", "(")):
             fname = self.next()[1].upper()
             self.expect_op("(")

@@ -318,8 +318,9 @@ class Table:
             if agg in _NUMERIC_ONLY_AGGS:
                 self._no_string(col, f"{out_name!r}: {agg}")
             elif (isinstance(col, str) and col in self._dicts
-                  and agg in ("min", "max", "first", "last", "mode",
-                              "median")):
+                  and (agg in ("min", "max", "first", "last", "mode",
+                               "median")
+                       or agg.startswith("quantile:"))):
                 # value-typed output: inherits the source dictionary
                 out_dicts[out_name] = self._dicts[col]
             names.append(out_name)

@@ -511,7 +511,7 @@ class TestDistributedHolisticAggregate:
 
     @pytest.mark.parametrize(
         "agg", ["first", "last", "median", "var", "std", "count_distinct",
-                "mode", "argmin", "argmax"]
+                "mode", "argmin", "argmax", "quantile:0.75"]
     )
     def test_matches_single_chip(self, rng, mesh, agg):
         from radix_sort_tpu.ops import query

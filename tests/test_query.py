@@ -166,6 +166,31 @@ class TestHolisticAggregations:
             want = grp[(len(grp) - 1) // 2]  # lower median
             assert np.asarray(av)[i] == want
 
+    def test_quantile(self, rng):
+        keys, vals = self._data(rng)
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+            uk, av, cnt = query.hash_aggregate(
+                jnp.asarray(keys), jnp.asarray(vals), f"quantile:{q}"
+            )
+            for i, u in enumerate(self._groups(keys)):
+                grp = np.sort(vals[keys == u])
+                want = grp[int(np.floor(q * (len(grp) - 1) + 1e-6))]
+                assert np.asarray(av)[i] == want, (q, u)
+
+    def test_quantile_equals_median_and_validates(self, rng):
+        keys, vals = self._data(rng)
+        _, m, _ = query.hash_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), "median")
+        _, h, _ = query.hash_aggregate(
+            jnp.asarray(keys), jnp.asarray(vals), "quantile:0.5")
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(h))
+        with pytest.raises(ValueError, match="quantile"):
+            query.hash_aggregate(
+                jnp.asarray(keys), jnp.asarray(vals), "quantile:1.5")
+        with pytest.raises(ValueError, match="quantile"):
+            query.hash_aggregate(
+                jnp.asarray(keys), jnp.asarray(vals), "quantile:x")
+
     def test_median_float_total_order(self, rng):
         keys = rng.integers(0, 8, 300).astype(np.uint32)
         vals = rng.standard_normal(300).astype(np.float32)

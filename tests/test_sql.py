@@ -226,6 +226,27 @@ class TestAggregates:
             sql("SELECT SUM(price * qty) FROM orders GROUP BY cust",
                 _tables(db))
 
+    def test_quantile_aggregate(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT cust, QUANTILE(qty, 0.9) AS q90, "
+            "PERCENTILE_DISC(price, 0.5) AS p50 "
+            "FROM orders GROUP BY cust ORDER BY cust",
+            _tables(db),
+        ).collect().to_numpy()
+        for i, c in enumerate(np.unique(orders["cust"])):
+            sq = np.sort(orders["qty"][orders["cust"] == c])
+            sp = np.sort(orders["price"][orders["cust"] == c])
+            assert out["q90"][i] == sq[int(np.floor(0.9 * (len(sq) - 1)
+                                                    + 1e-6))]
+            assert out["p50"][i] == sp[(len(sp) - 1) // 2]
+        with pytest.raises(SqlError, match=r"q in \[0, 1\]"):
+            sql("SELECT QUANTILE(qty) AS x FROM orders GROUP BY cust",
+                _tables(db))
+        with pytest.raises(SqlError, match="not a window function"):
+            sql("SELECT QUANTILE(qty, 0.5) OVER (PARTITION BY cust) AS x "
+                "FROM orders", _tables(db))
+
     def test_string_group_min_max(self, db):
         orders, _ = db
         out = sql(
