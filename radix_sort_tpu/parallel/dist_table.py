@@ -347,7 +347,8 @@ class DistTable:
             ndesc.extend([bool(d)] * len(ws))
         return self._flag_sorted(limbs, ndesc)
 
-    def join(self, other: "DistTable", on, *, capacity_per_shard: int,
+    def join(self, other: "DistTable", on, *,
+             capacity_per_shard: int | None = None,
              how: str = "inner", suffix: str = "_r",
              exchange_capacity_factor: float = 2.0):
         """Equi-join with ``other`` on the shared ``on`` column(s) — the
@@ -360,6 +361,19 @@ class DistTable:
             raise ValueError(
                 f"how must be one of {Q.JOIN_HOWS}, got {how!r}"
             )
+        if capacity_per_shard is None:
+            if how in ("semi", "anti"):
+                # semi/anti emit at most one row per exchanged left row,
+                # so the exchange capacity is the natural bound
+                capacity_per_shard = int(
+                    exchange_capacity_factor * self.rows_per_shard
+                )
+            else:
+                raise TypeError(
+                    f"join(how={how!r}) needs an explicit "
+                    f"capacity_per_shard= (the static per-shard result "
+                    f"bound); only semi/anti joins have a natural default"
+                )
         on = _as_list(on)
         lk, rk, key_dicts = [], [], {}
         for name, lc, rc in zip(on, self._resolve(on), other._resolve(on)):

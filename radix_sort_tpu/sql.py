@@ -10,7 +10,8 @@ through the string-aware expression layer (expr.py / strings.py).
 
 Supported grammar::
 
-    query := select [ (UNION [ALL] | INTERSECT | EXCEPT) select ]*
+    query := [WITH name AS ( query ) [, ...]]
+             select [ (UNION [ALL] | INTERSECT | EXCEPT) select ]*
              [ORDER BY col [ASC|DESC], ...] [LIMIT n]
              (INTERSECT binds tighter; engine set-op semantics: distinct
              rows matched by column NAME — both sides must expose the
@@ -53,7 +54,9 @@ Supported grammar::
     (``RANK() OVER (ORDER BY SUM(v) DESC)``). Such calls hoist into
     synthetic aggregate columns dropped by the final projection.
     expr  := literals ('s', 1, 2.5), columns, + - * / %,
-             = != <> < <= > >=, AND OR NOT, [NOT] IN (...),
+             = != <> < <= > >=, AND OR NOT, [NOT] IN (literals),
+             col [NOT] IN ( query ) — rewrites to a semi/anti join; only
+             as a top-level AND conjunct of WHERE / HAVING,
              [NOT] BETWEEN a AND b, [NOT] LIKE 'pat' (% _ and \\ escapes,
              over dictionary string columns), ABS(x),
              CASE WHEN c THEN a [WHEN ...] [ELSE b] END
@@ -94,7 +97,7 @@ _KEYWORDS = {
     "ORDER", "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "ASC",
     "DESC", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "SEMI",
     "ANTI", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NULL",
-    "LIKE", "UNION", "ALL", "INTERSECT", "EXCEPT",
+    "LIKE", "UNION", "ALL", "INTERSECT", "EXCEPT", "WITH",
     "OVER", "PARTITION", "ROWS", "PRECEDING", "FOLLOWING", "CURRENT",
     "ROW", "UNBOUNDED",
 }
@@ -179,6 +182,14 @@ class _Parser:
         # repr(expr) -> ("__pre_<n>", expr), computed via with_columns
         # before the aggregate / window and dropped by the projection
         self.pre_sink = {}
+        # IN (SELECT ...) subqueries rewrite to semi/anti joins: the
+        # handler appends (how, column, LazyTable) here and returns a
+        # lit(True) placeholder; only valid as a top-level AND conjunct
+        # of WHERE / HAVING (subq_ok). sub_ctx = (tables, kwargs) of the
+        # enclosing select, for compiling the nested query.
+        self.pending_joins = []
+        self.subq_ok = False
+        self.sub_ctx = None
 
     # -- token plumbing -----------------------------------------------------
 
@@ -228,9 +239,20 @@ class _Parser:
         return self._or()
 
     def _or(self):
+        base = len(self.pending_joins)
         e = self._and()
         while self.eat_kw("OR"):
-            e = e | self._and()
+            if len(self.pending_joins) != base:
+                raise SqlError(
+                    "IN (SELECT ...) cannot appear under OR (it rewrites "
+                    "to a semi/anti join, which has no disjunctive form)"
+                )
+            saved, self.subq_ok = self.subq_ok, False
+            try:
+                rhs = self._and()
+            finally:
+                self.subq_ok = saved
+            e = e | rhs
         return e
 
     def _and(self):
@@ -241,7 +263,11 @@ class _Parser:
 
     def _not(self):
         if self.eat_kw("NOT"):
-            return ~self._not()
+            saved, self.subq_ok = self.subq_ok, False
+            try:
+                return ~self._not()
+            finally:
+                self.subq_ok = saved
         return self._cmp()
 
     def _cmp(self):
@@ -249,6 +275,32 @@ class _Parser:
         neg = bool(self.eat_kw("NOT"))
         if self.eat_kw("IN"):
             self.expect_op("(")
+            if self.at_kw("SELECT", "WITH") or self.at_op("("):
+                # IN (SELECT ...) -> semi join; NOT IN -> anti join
+                if not self.subq_ok or self.sub_ctx is None:
+                    raise SqlError(
+                        "IN (SELECT ...) is only supported as a top-level "
+                        "AND conjunct of WHERE or HAVING"
+                    )
+                if e.kind != "col":
+                    raise SqlError(
+                        "IN (SELECT ...) needs a plain column on the left"
+                    )
+                tables, kwargs = self.sub_ctx
+                sub = _query(self, tables, kwargs)
+                self.expect_op(")")
+                names = list(sub.column_names)
+                if len(names) != 1:
+                    raise SqlError(
+                        f"an IN subquery must select exactly one column, "
+                        f"got {names}"
+                    )
+                if names[0] != e.args[0]:
+                    sub = sub.rename({names[0]: e.args[0]})
+                self.pending_joins.append(
+                    ("anti" if neg else "semi", e.args[0], sub)
+                )
+                return lit(True)
             vals = [self._literal()]
             while self.eat_op(","):
                 vals.append(self._literal())
@@ -393,11 +445,12 @@ class _Parser:
             name = self._qualified_ident("column")
             self.expect_op(")")
             return "count_distinct", name
-        saved, self.allow_aggs = self.allow_aggs, False  # no nested aggs
+        saved = (self.allow_aggs, self.subq_ok)  # no nested aggs/subqueries
+        self.allow_aggs = self.subq_ok = False
         try:
             e = self.parse_expr()
         finally:
-            self.allow_aggs = saved
+            self.allow_aggs, self.subq_ok = saved
         self.expect_op(")")
         name = e.args[0] if e.kind == "col" else self._pre(e)
         return agg, name
@@ -419,6 +472,13 @@ class _Parser:
         return self.pre_sink[key][0]
 
     def _case(self) -> Expr:
+        saved, self.subq_ok = self.subq_ok, False
+        try:
+            return self._case_inner()
+        finally:
+            self.subq_ok = saved
+
+    def _case_inner(self) -> Expr:
         self.expect_kw("CASE")
         arms = []
         while self.eat_kw("WHEN"):
@@ -817,8 +877,21 @@ def sql(query: str, tables, **kwargs):
 
 
 def _query(p, tables, kwargs):
-    """compound select + its trailing ORDER BY / LIMIT (which apply to
-    the whole compound, per standard SQL)."""
+    """[WITH ctes] compound select + its trailing ORDER BY / LIMIT (which
+    apply to the whole compound, per standard SQL)."""
+    saved_ctx = p.sub_ctx
+    if p.eat_kw("WITH"):
+        # CTEs: each compiles to a LazyTable registered for the rest of
+        # this query (later CTEs may reference earlier ones)
+        tables = dict(tables)
+        while True:
+            name = p.ident("CTE name")
+            p.expect_kw("AS")
+            p.expect_op("(")
+            tables[name] = _query(p, tables, kwargs)
+            p.expect_op(")")
+            if not p.eat_op(","):
+                break
     lt = _compound(p, tables, kwargs)
     if p.eat_kw("ORDER"):
         p.expect_kw("BY")
@@ -836,6 +909,7 @@ def _query(p, tables, kwargs):
         if t[0] != "num" or not isinstance(t[1], int):
             raise SqlError(f"LIMIT needs an integer, got {t[1]!r}")
         lt = lt.limit(t[1])
+    p.sub_ctx = saved_ctx
     return lt
 
 
@@ -907,6 +981,7 @@ def _select_core(p, tables, kwargs):
         return lt
     p.agg_sink = {}  # per-core hoisted aggregates
     p.pre_sink = {}  # per-core hoisted expression arguments
+    p.sub_ctx = (tables, kwargs)  # for IN (SELECT ...) subqueries
     p.expect_kw("SELECT")
     distinct = bool(p.eat_kw("DISTINCT"))
     items = [p.parse_item()]
@@ -952,7 +1027,17 @@ def _select_core(p, tables, kwargs):
         lt = lt.join(rhs, on, how=how, **_route(kwargs, _JOIN_KNOBS))
 
     if p.eat_kw("WHERE"):
-        lt = lt.filter(p.parse_expr())
+        base = len(p.pending_joins)
+        p.subq_ok = True
+        pred = p.parse_expr()
+        p.subq_ok = False
+        if not (pred.kind == "lit" and pred.args[0] is True):
+            lt = lt.filter(pred)
+        # IN (SELECT ...) conjuncts -> semi/anti joins (natural capacity:
+        # at most one output row per left row, no knob needed)
+        for how, colname, sub in p.pending_joins[base:]:
+            lt = lt.join(sub, [colname], how=how)
+        del p.pending_joins[base:]
 
     group_by = []
     if p.eat_kw("GROUP"):
@@ -966,12 +1051,18 @@ def _select_core(p, tables, kwargs):
                 break
 
     having = None
+    having_joins = []
     if p.eat_kw("HAVING"):
         # HAVING may call aggregates inline (COUNT(*) > 1); they hoist
         # into synthetic aggregate columns alongside the SELECT aggregates
-        p.allow_aggs = True
+        base = len(p.pending_joins)
+        p.allow_aggs = p.subq_ok = True
         having = p.parse_expr()
-        p.allow_aggs = False
+        p.allow_aggs = p.subq_ok = False
+        having_joins = p.pending_joins[base:]
+        del p.pending_joins[base:]
+        if having.kind == "lit" and having.args[0] is True:
+            having = None  # pure IN-subquery HAVING
 
     has_aggs = any(it[0] == "agg" for it in items) or p.agg_sink
     if has_aggs or group_by:
@@ -1034,6 +1125,8 @@ def _select_core(p, tables, kwargs):
         lt = lt.aggregate(group_by, aggs, **_route(kwargs, _AGG_KNOBS))
         if having is not None:
             lt = lt.filter(having)
+        for how, colname, sub in having_joins:
+            lt = lt.join(sub, [colname], how=how)
         for (part, order, desc), ops in win_groups.items():
             lt = lt.window(
                 ops,
@@ -1048,7 +1141,7 @@ def _select_core(p, tables, kwargs):
             lt = lt.distinct(subset=out_names,
                              **_route(kwargs, _DISTINCT_KNOBS))
     else:
-        if having is not None:
+        if having is not None or having_joins:
             raise SqlError("HAVING needs GROUP BY or aggregates")
         derived = {}
         names = []

@@ -337,8 +337,8 @@ class Table:
         return Table(cols, cnt,
                      dictionaries={**self._subdicts(by), **out_dicts})
 
-    def join(self, other: "Table", on, *, capacity: int, how: str = "inner",
-             suffix: str = "_r"):
+    def join(self, other: "Table", on, *, capacity: int | None = None,
+             how: str = "inner", suffix: str = "_r"):
         """Equi-join with ``other`` on the shared ``on`` column(s).
 
         Returns ``(Table, overflow)``. Result columns: the ``on`` keys,
@@ -349,8 +349,19 @@ class Table:
         sorted position; full joins: the left-join rows then the unmatched
         right rows); unmatched rows carry zeros in the other side's columns.
         ``capacity`` bounds the static result size; ``overflow`` is True if
-        the true result was larger (rows [0, count) are exact
-        regardless)."""
+        the true result was larger (rows [0, count) are exact regardless).
+        Semi/anti joins emit at most one row per left row, so ``capacity``
+        defaults to this table's row count (always exact); the expanding
+        joins require it."""
+        if capacity is None:
+            if how in ("semi", "anti"):
+                capacity = self._n
+            else:
+                raise TypeError(
+                    f"join(how={how!r}) needs an explicit capacity= (the "
+                    f"static result size bound); only semi/anti joins have "
+                    f"a natural default"
+                )
         on = _as_list(on)
         lk, rk, key_dicts = [], [], {}
         for name in on:

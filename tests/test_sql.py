@@ -350,6 +350,66 @@ class TestCompounds:
             sql("SELECT k FROM t1 UNION SELECT k, s FROM t2", two)
 
 
+class TestSubqueriesAndCtes:
+    def test_in_subquery_semi_join(self, db):
+        orders, custs = db
+        out = sql(
+            "SELECT oid, cust FROM orders "
+            "WHERE cust IN (SELECT cust FROM custs WHERE region = 'north')",
+            _tables(db),
+        ).collect().to_numpy()
+        north = custs["cust"][custs["region"] == "north"]
+        keep = np.isin(orders["cust"], north)
+        np.testing.assert_array_equal(out["oid"], orders["oid"][keep])
+
+    def test_not_in_subquery_anti_join_with_rename(self, db):
+        # subquery column name differs from the left column -> renamed
+        orders, _ = db
+        out = sql(
+            "SELECT oid FROM orders WHERE qty NOT IN "
+            "(SELECT qty FROM orders WHERE qty >= 10) AND oid < 100",
+            _tables(db),
+        ).collect().to_numpy()
+        keep = (orders["qty"] < 10) & (orders["oid"] < 100)
+        np.testing.assert_array_equal(out["oid"], orders["oid"][keep])
+
+    def test_having_in_subquery(self, db):
+        orders, custs = db
+        out = sql(
+            "SELECT cust, SUM(qty) AS s FROM orders GROUP BY cust "
+            "HAVING cust IN (SELECT cust FROM custs WHERE region = 'south')",
+            _tables(db),
+        ).collect().to_numpy()
+        south = set(custs["cust"][custs["region"] == "south"].tolist())
+        np.testing.assert_array_equal(
+            np.sort(out["cust"]), sorted(south & set(orders["cust"])))
+
+    def test_ctes_chain(self, db):
+        orders, _ = db
+        out = sql(
+            "WITH big AS (SELECT cust, qty FROM orders WHERE qty > 10), "
+            "     agg AS (SELECT cust, COUNT(*) AS n FROM big GROUP BY cust) "
+            "SELECT cust, n FROM agg ORDER BY cust",
+            _tables(db),
+        ).collect().to_numpy()
+        uk, cnts = np.unique(orders["cust"][orders["qty"] > 10],
+                             return_counts=True)
+        np.testing.assert_array_equal(out["cust"], uk)
+        np.testing.assert_array_equal(out["n"], cnts)
+
+    def test_in_subquery_guards(self, db):
+        t = _tables(db)
+        with pytest.raises(SqlError, match="OR"):
+            sql("SELECT oid FROM orders WHERE cust IN "
+                "(SELECT cust FROM custs) OR qty > 3", t)
+        with pytest.raises(SqlError, match="conjunct"):
+            sql("SELECT oid FROM orders WHERE NOT "
+                "(cust IN (SELECT cust FROM custs))", t)
+        with pytest.raises(SqlError, match="exactly one column"):
+            sql("SELECT oid FROM orders WHERE cust IN "
+                "(SELECT cust, region FROM custs)", t)
+
+
 class TestJoins:
     def test_inner_join_group(self, db):
         orders, custs = db
