@@ -20,7 +20,8 @@ Supported grammar::
     select := SELECT [DISTINCT] item [, item ...]
               FROM source
               [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN source
-                    ON a.k = b.k [AND ...] ]*
+                    (ON a.k1 = b.k2 [AND ...] | USING (k, ...)) ]*
+                    -- differently-named ON keys rename the right side
               [WHERE expr] [GROUP BY cols] [HAVING expr]
             | ( query )
 
@@ -97,7 +98,7 @@ _KEYWORDS = {
     "ORDER", "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "ASC",
     "DESC", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "SEMI",
     "ANTI", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NULL",
-    "LIKE", "UNION", "ALL", "INTERSECT", "EXCEPT", "WITH",
+    "LIKE", "UNION", "ALL", "INTERSECT", "EXCEPT", "WITH", "USING",
     "OVER", "PARTITION", "ROWS", "PRECEDING", "FOLLOWING", "CURRENT",
     "ROW", "UNBOUNDED",
 }
@@ -1006,24 +1007,40 @@ def _select_core(p, tables, kwargs):
             break
         p.expect_kw("JOIN")
         rhs = _from_target(p, tables, kwargs)
-        p.expect_kw("ON")
-        on = []
-        while True:
-            a = p.ident("join column")
-            if p.eat_op("."):
-                a = p.ident("column after '.'")
-            p.expect_op("=")
-            b = p.ident("join column")
-            if p.eat_op("."):
-                b = p.ident("column after '.'")
-            if a != b:
-                raise SqlError(
-                    f"equi-join keys must share a column name on both "
-                    f"sides (got {a!r} = {b!r}); rename one side first"
-                )
-            on.append(a)
-            if not p.eat_kw("AND"):
-                break
+        on, renames = [], {}
+        if p.eat_kw("USING"):
+            # USING (k [, ...]): shorthand for same-named equi-keys
+            p.expect_op("(")
+            while True:
+                on.append(p.ident("join column"))
+                if not p.eat_op(","):
+                    break
+            p.expect_op(")")
+        else:
+            p.expect_kw("ON")
+            while True:
+                a = p._qualified_ident("join column")
+                p.expect_op("=")
+                b = p._qualified_ident("join column")
+                if a != b:
+                    # differently-named keys: rename the right side's
+                    # column to the left's name pre-join (the engine
+                    # matches keys by name). Sides may be written in
+                    # either order.
+                    ln, rn = set(lt.column_names), set(rhs.column_names)
+                    if a in rn and b in ln and not (a in ln and b in rn):
+                        a, b = b, a
+                    if a not in ln or b not in rn:
+                        raise SqlError(
+                            f"join key {a!r} = {b!r}: one side must name "
+                            f"a left column and the other a right column"
+                        )
+                    renames[b] = a
+                on.append(a)
+                if not p.eat_kw("AND"):
+                    break
+        if renames:
+            rhs = rhs.rename(renames)
         lt = lt.join(rhs, on, how=how, **_route(kwargs, _JOIN_KNOBS))
 
     if p.eat_kw("WHERE"):

@@ -350,6 +350,38 @@ class TestCompounds:
             sql("SELECT k FROM t1 UNION SELECT k, s FROM t2", two)
 
 
+class TestJoinKeyForms:
+    def test_on_different_names_renames_right(self, rng):
+        orders = Table({"cust_id": rng.integers(0, 8, 64).astype(np.uint32),
+                        "qty": rng.integers(1, 20, 64).astype(np.int32)})
+        custs = Table({"cid": np.arange(8, dtype=np.uint32),
+                       "region": np.array(["n", "s"] * 4)})
+        T = {"orders": orders, "custs": custs}
+        oc = np.asarray(orders.to_numpy()["cust_id"])
+        for on in ("cust_id = cid", "cid = cust_id"):  # either side order
+            out = sql(f"SELECT cust_id, region FROM orders "
+                      f"JOIN custs ON {on}", T,
+                      capacity=128).collect().to_numpy()
+            np.testing.assert_array_equal(out["cust_id"], oc, err_msg=on)
+            np.testing.assert_array_equal(
+                out["region"], np.array(["n", "s"] * 4)[oc], err_msg=on)
+
+    def test_using(self):
+        a = Table({"k": np.array([1, 2, 3], np.uint32),
+                   "x": np.array([1, 2, 3], np.int32)})
+        b = Table({"k": np.array([2, 3, 4], np.uint32),
+                   "y": np.array([20, 30, 40], np.int32)})
+        out = sql("SELECT k, x, y FROM a JOIN b USING (k) ORDER BY k",
+                  {"a": a, "b": b}, capacity=8).collect().to_numpy()
+        np.testing.assert_array_equal(out["k"], [2, 3])
+        np.testing.assert_array_equal(out["y"], [20, 30])
+
+    def test_on_bad_key_raises(self, db):
+        with pytest.raises(SqlError, match="left column"):
+            sql("SELECT qty FROM orders JOIN custs ON qty = nope",
+                _tables(db), capacity=8)
+
+
 class TestSubqueriesAndCtes:
     def test_in_subquery_semi_join(self, db):
         orders, custs = db
@@ -567,8 +599,11 @@ class TestErrors:
             sql("SELECT qty + 1 FROM orders", t)
         with pytest.raises(SqlError, match="GROUP BY key"):
             sql("SELECT qty, SUM(price) AS s FROM orders GROUP BY item", t)
-        with pytest.raises(SqlError, match="share a column name"):
-            sql("SELECT oid FROM orders JOIN custs ON cust = region", t)
+        # differently-named ON keys are legal (rename join) — but joining
+        # a numeric column against a string column errors at execution
+        with pytest.raises(TypeError, match="string"):
+            sql("SELECT oid FROM orders JOIN custs ON cust = region", t,
+                capacity=8).collect()
         with pytest.raises(SqlError, match="top-level"):
             sql("SELECT SUM(qty) + 1 AS x FROM orders", t)
         with pytest.raises(SqlError, match="top-level"):
