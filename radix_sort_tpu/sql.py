@@ -322,6 +322,15 @@ class _Parser:
                 )
             out = e.like(t[1])
             return ~out if neg else out
+        if self.eat_kw("IS"):
+            self.eat_kw("NOT")
+            self.expect_kw("NULL")
+            raise SqlError(
+                "this engine has no NULLs (static shapes; unmatched join "
+                "cells are zero-filled / ''-decoded) — IS [NOT] NULL has "
+                "no meaning here; compare against 0 / '' instead, or use "
+                "a join matched-indicator column"
+            )
         if neg:
             raise SqlError("NOT must precede IN, BETWEEN or LIKE here")
         op = self.eat_op("=", "!=", "<>", "<=", ">=", "<", ">")
@@ -1084,6 +1093,7 @@ def _select_core(p, tables, kwargs):
     has_aggs = any(it[0] == "agg" for it in items) or p.agg_sink
     if has_aggs or group_by:
         aggs, out_names = {}, []
+        derived_keys = {}  # computed GROUP BY keys (SELECT expr AS g)
         win_groups = {}  # (partition, order, desc) -> {alias: spec}
         for it in items:
             if it[0] == "star":
@@ -1103,17 +1113,23 @@ def _select_core(p, tables, kwargs):
                 out_names.append(alias)
             else:
                 _, e, alias = it
-                if e.kind != "col" or e.args[0] not in group_by:
+                if e.kind == "col" and e.args[0] in group_by:
+                    if alias != e.args[0]:
+                        raise SqlError(
+                            "aliasing a group key in SELECT is not "
+                            "supported; rename after the query"
+                        )
+                    out_names.append(e.args[0])
+                elif alias in group_by:
+                    # a computed group key: SELECT k / 10 AS bucket ...
+                    # GROUP BY bucket — materialized pre-aggregation
+                    derived_keys[alias] = e
+                    out_names.append(alias)
+                else:
                     raise SqlError(
                         f"non-aggregate SELECT item {alias!r} must be a "
                         f"GROUP BY key"
                     )
-                if alias != e.args[0]:
-                    raise SqlError(
-                        "aliasing a group key in SELECT is not supported; "
-                        "rename after the query"
-                    )
-                out_names.append(e.args[0])
         for spec, sname in p.agg_sink.items():
             aggs[sname] = spec  # hoisted HAVING / OVER aggregates
         if p.pre_sink:
@@ -1139,6 +1155,8 @@ def _select_core(p, tables, kwargs):
             lt = lt.with_columns(
                 **{n: e for n, e in p.pre_sink.values()}
             )
+        if derived_keys:
+            lt = lt.with_columns(**derived_keys)
         lt = lt.aggregate(group_by, aggs, **_route(kwargs, _AGG_KNOBS))
         if having is not None:
             lt = lt.filter(having)

@@ -226,6 +226,32 @@ class TestAggregates:
             sql("SELECT SUM(price * qty) FROM orders GROUP BY cust",
                 _tables(db))
 
+    def test_computed_group_keys(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT qty % 5 AS r, COUNT(*) AS n, "
+            "CASE WHEN qty >= 10 THEN 1 ELSE 0 END AS big, SUM(qty) AS s "
+            "FROM orders GROUP BY r, big ORDER BY r, big",
+            _tables(db),
+        ).collect().to_numpy()
+        r = orders["qty"] % 5
+        big = (orders["qty"] >= 10).astype(int)
+        seen = 0
+        for rv in np.unique(r):
+            for bv in np.unique(big[r == rv]):
+                m = (r == rv) & (big == bv)
+                assert out["r"][seen] == rv and out["big"][seen] == bv
+                assert out["n"][seen] == m.sum()
+                assert out["s"][seen] == orders["qty"][m].sum()
+                seen += 1
+        assert seen == out["r"].size
+
+    def test_is_null_typed_error(self, db):
+        with pytest.raises(SqlError, match="no NULLs"):
+            sql("SELECT oid FROM orders WHERE qty IS NULL", _tables(db))
+        with pytest.raises(SqlError, match="no NULLs"):
+            sql("SELECT oid FROM orders WHERE qty IS NOT NULL", _tables(db))
+
     def test_quantile_aggregate(self, db):
         orders, _ = db
         out = sql(
