@@ -55,11 +55,13 @@ def _parse_args(argv=None):
     p.add_argument("--n", type=float, default=None,
                    help="element count for --gen-data")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--suite", default="sort", choices=["sort", "ops"],
+    p.add_argument("--suite", default="sort",
+                   choices=["sort", "ops", "queries"],
                    help="sort = the reference GB sweep (default); ops = "
                         "query-operator throughputs (window / rolling / "
                         "asof join / holistic aggregates / hash join) at "
-                        "--ops-n rows")
+                        "--ops-n rows; queries = end-to-end SQL analytics "
+                        "(TPC-H-shaped Q1/Q3/window) through the planner")
     p.add_argument("--ops-n", type=float, default=float(1 << 24),
                    help="row count for --suite ops")
     p.add_argument("--groups", type=float, default=float(1 << 20),
@@ -126,6 +128,111 @@ def _engine_fns(dt_name, engines, donate=False):
                 donate_argnums=(0,) if donate else (),
             )
     return fns
+
+
+def _queries_suite(args):
+    """End-to-end SQL analytics throughput: TPC-H-shaped queries compiled
+    by the SQL frontend onto the lazy planner and jitted whole (the Table
+    verbs are traceable; one packed buffer each way per dispatch)."""
+    import radix_sort_tpu as rst
+    from radix_sort_tpu.sql import sql
+    from radix_sort_tpu.table import Table
+    from radix_sort_tpu.utils.timing import sync
+
+    n = int(args.ops_n)
+    n_c = max(8, n // 16)
+    runs = args.runs
+    rng = np.random.default_rng(args.seed)
+    as_u32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)
+    as_f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    as_i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+
+    line = jnp.asarray(np.stack([
+        rng.integers(0, 8, n).astype(np.uint32),           # status
+        rng.integers(1, 51, n).astype(np.uint32),          # qty
+        (rng.random(n) * 1000).astype(np.float32).view(np.uint32),
+        (rng.random(n) * 0.1).astype(np.float32).view(np.uint32),
+        rng.integers(0, n_c, n).astype(np.uint32),         # custkey
+    ]))
+    cust = jnp.asarray(np.stack([
+        np.arange(n_c, dtype=np.uint32),                   # custkey
+        rng.integers(0, 5, n_c).astype(np.uint32),         # mktseg
+    ]))
+
+    def timed(fn, *bufs):
+        sync(fn(*bufs))
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            sync(fn(*bufs))
+            ts.append(time.perf_counter() - t0)
+        return float(np.mean(ts))
+
+    def report(name, rows, dt):
+        print(f"{name:45s} {dt*1e3:9.1f} ms   {rows/dt/1e6:8.1f} M rows/s")
+
+    print(f"backend={jax.default_backend()} lineitem={n:,} "
+          f"customers={n_c:,} runs={runs}")
+
+    @jax.jit
+    def q1(p):
+        t = Table({"status": p[0], "qty": as_i32(p[1]),
+                   "price": as_f32(p[2]), "disc": as_f32(p[3])})
+        out = sql(
+            "SELECT status, COUNT(*) AS n, SUM(qty) AS sq, "
+            "SUM(price * (1 - disc)) AS rev, AVG(qty) AS aq "
+            "FROM l WHERE qty < 45 GROUP BY status ORDER BY status",
+            {"l": t}, max_groups=8,
+        ).collect()
+        return jnp.stack([out["status"], as_u32(out["n"].astype(jnp.int32)),
+                          as_u32(out["sq"].astype(jnp.int32)),
+                          as_u32(out["rev"].astype(jnp.float32)),
+                          as_u32(out["aq"].astype(jnp.float32))])
+
+    report("Q1 pricing summary (filter+group+4 aggs)", n, timed(q1, line))
+
+    @jax.jit
+    def q3(p, c):
+        t = Table({"custkey": p[4], "price": as_f32(p[2])})
+        ct = Table({"custkey": c[0], "mktseg": c[1]})
+        out = sql(
+            "SELECT custkey, SUM(price) AS rev FROM l "
+            "JOIN c USING (custkey) WHERE mktseg = 2 "
+            "GROUP BY custkey ORDER BY rev DESC LIMIT 10",
+            {"l": t, "c": ct}, capacity=n, max_groups=n_c,
+        ).collect()
+        return jnp.stack([out["custkey"],
+                          as_u32(out["rev"].astype(jnp.float32))])
+
+    report("Q3 revenue top-10 (join+group+topk)", n, timed(q3, line, cust))
+
+    @jax.jit
+    def qwin(p):
+        t = Table({"custkey": p[4], "price": as_f32(p[2])})
+        out = sql(
+            "SELECT custkey, price, "
+            "RANK() OVER (PARTITION BY custkey ORDER BY price DESC) AS r, "
+            "SUM(price) OVER (PARTITION BY custkey) AS tot "
+            "FROM l", {"l": t},
+        ).collect()
+        return jnp.stack([out["custkey"], as_u32(out["r"].astype(jnp.int32)),
+                          as_u32(out["tot"].astype(jnp.float32))])
+
+    report("window rank + partition total over 1/16 parts", n,
+           timed(qwin, line))
+
+    @jax.jit
+    def qsub(p, c):
+        t = Table({"custkey": p[4], "qty": as_i32(p[1])})
+        ct = Table({"custkey": c[0], "mktseg": c[1]})
+        out = sql(
+            "SELECT custkey FROM l WHERE qty > 40 AND custkey IN "
+            "(SELECT custkey FROM c WHERE mktseg < 2)",
+            {"l": t, "c": ct},
+        ).collect()
+        return out["custkey"]
+
+    report("IN-subquery semi join (filter+semi)", n, timed(qsub, line, cust))
 
 
 def _ops_suite(args):
@@ -229,6 +336,9 @@ def main(argv=None):
 
     if args.suite == "ops":
         _ops_suite(args)
+        return
+    if args.suite == "queries":
+        _queries_suite(args)
         return
 
     if args.gen_data:

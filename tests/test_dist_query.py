@@ -598,15 +598,20 @@ class TestDistributedHolisticAggregate:
         np.testing.assert_array_equal(np.asarray(av)[:cnt],
                                       np.asarray(sav)[:cnt])
 
-    def test_skew_overflow_flagged(self, rng, mesh):
+    def test_skew_overflow_exact_fallback(self, rng, mesh):
         # all-equal keys concentrate every row on one shard: the exchange
-        # buffer (factor 1.0) cannot hold them -> flagged, never silent
+        # buffer (factor 1.0) cannot hold them — the exact replicated
+        # fallback (round 3) must produce the correct result with
+        # overflow=False, never a silent truncation
         n = 8 * 256
         keys = np.zeros(n, np.uint32)
         vals = rng.integers(0, 10, n).astype(np.int32)
         kj, vj = runtime.shard_rows(mesh, jnp.asarray(keys), jnp.asarray(vals))
-        _, _, _, ovf = dist_query.distributed_hash_aggregate(
+        uk, av, cnt, ovf = dist_query.distributed_hash_aggregate(
             kj, vj, mesh, "median", max_groups=8,
             exchange_capacity_factor=1.0,
         )
-        assert bool(ovf)
+        assert not bool(ovf)
+        assert int(cnt) == 1
+        assert np.asarray(uk)[0] == 0
+        assert np.asarray(av)[0] == np.sort(vals)[(n - 1) // 2]
