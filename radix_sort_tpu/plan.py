@@ -395,6 +395,40 @@ def _push_filters(node):
             return child.replace(
                 child=_push_filters(Filter(child.child, pred))
             )
+    if isinstance(child, Join) and is_expr and known and refs:
+        # a predicate reading only one side's columns commutes with the
+        # join and filters that side's INPUT — fewer rows reach the
+        # capacity-bounded join (strictly less overflow pressure, same
+        # result). Left-side pushes are sound when left rows survive
+        # unconditionally or by match only (inner/left/semi/anti — never
+        # right/full, whose unmatched right rows zero-fill left columns);
+        # right-side pushes mirror (inner/right). Join keys carry both
+        # sides' values on matched rows, so for inner joins a keys-only
+        # predicate pushes into BOTH inputs.
+        on = set(child.on)
+        ls = _schema(child.left)
+        left_names = set(ls) | on
+        lout = list(child.on) + [n for n in ls if n not in on]
+        rmap = _right_out_names(
+            lout, on, _schema(child.right), child.suffix
+        )  # right-column name -> output name
+        right_out = {out: rn for rn, out in rmap.items()}
+        if child.how == "inner" and refs <= on:
+            return child.replace(
+                left=_push_filters(Filter(child.left, pred)),
+                right=_push_filters(Filter(child.right, pred)),
+            )
+        if (refs <= left_names
+                and child.how in ("inner", "left", "semi", "anti")):
+            return child.replace(
+                left=_push_filters(Filter(child.left, pred))
+            )
+        if (refs <= (set(right_out) | on)
+                and child.how in ("inner", "right")):
+            ren = dict(right_out)
+            return child.replace(
+                right=_push_filters(Filter(child.right, pred.rename(ren)))
+            )
     return node
 
 

@@ -215,6 +215,52 @@ class TestOptimizerStructure:
                  .filter(lambda tb: tb["v"] < 900))
         _same(lt.collect(), eager)
 
+    def test_filter_pushes_below_join(self, tbl):
+        # single-side predicates sink into the join's inputs (fewer rows
+        # reach the capacity-bounded join); key predicates of an inner
+        # join sink into BOTH sides
+        t = _t(tbl)
+        rt = Table({"k": np.arange(13, dtype=np.uint32),
+                    "w": np.arange(13, dtype=np.int32) * 10})
+        lt = (t.lazy().join(rt.lazy(), ["k"], how="inner", capacity=4096)
+              .filter(col("v") > 100).filter(col("w") > 20)
+              .filter(col("k") < 9))
+        opt = lt.optimized().plan
+        (j,) = _nodes(opt, P.Join)
+        # no filter remains above the join
+        assert not isinstance(opt, P.Filter)
+        assert _nodes(j.left, P.Filter) and _nodes(j.right, P.Filter)
+        raw, _ = t.join(rt, ["k"], how="inner", capacity=4096)
+        m = ((raw["v"] > 100) & (raw["w"] > 20) & (raw["k"] < 9))
+        _same(lt.collect(), raw.filter(np.asarray(m)))
+
+    def test_filter_stays_above_outer_joins(self, tbl):
+        # a right-column predicate cannot sink through a LEFT join
+        # (unmatched left rows zero-fill right columns)
+        t = _t(tbl)
+        rt = Table({"k": np.arange(5, dtype=np.uint32),
+                    "z": np.arange(5, dtype=np.int32) - 2})
+        lt = (t.lazy().join(rt.lazy(), ["k"], how="left", capacity=4096)
+              .filter(col("z") > 0))
+        opt = lt.optimized().plan
+        assert isinstance(opt, P.Filter)
+        raw, _ = t.join(rt, ["k"], how="left", capacity=4096)
+        _same(lt.collect(), raw.filter(np.asarray(raw["z"] > 0)))
+
+    def test_join_pushdown_suffix_collision(self, tbl):
+        # right column colliding with a left name: the output-suffixed
+        # predicate renames back to the right-side name when sinking
+        t = _t(tbl)
+        rt = Table({"k": np.arange(13, dtype=np.uint32),
+                    "v": np.arange(13, dtype=np.int32) * 100})
+        lt = (t.lazy().join(rt.lazy(), ["k"], how="inner", capacity=4096)
+              .filter(col("v_r") > 500))
+        opt = lt.optimized().plan
+        (j,) = _nodes(opt, P.Join)
+        assert _nodes(j.right, P.Filter) and not isinstance(opt, P.Filter)
+        raw, _ = t.join(rt, ["k"], how="inner", capacity=4096)
+        _same(lt.collect(), raw.filter(np.asarray(raw["v_r"] > 500)))
+
     def test_sort_fusion_matches_two_pass_order(self, tbl):
         t = _t(tbl)
         lt = t.lazy().sort_by("v", descending=True).sort_by("k")
