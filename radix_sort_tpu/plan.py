@@ -395,6 +395,22 @@ def _push_filters(node):
             return child.replace(
                 child=_push_filters(Filter(child.child, pred))
             )
+    if isinstance(child, Concat) and is_expr and known:
+        # filtering a concatenation == concatenating the filtered sides
+        return child.replace(
+            left=_push_filters(Filter(child.left, pred)),
+            right=_push_filters(Filter(child.right, pred)),
+        )
+    if isinstance(child, Window) and is_expr and known and refs:
+        # a predicate over partition keys only keeps or drops WHOLE
+        # partitions, and every window op is partition-scoped — filtering
+        # first computes the same values over fewer rows (sort operands
+        # shrink). Must not touch window outputs or order columns.
+        out_names = {n for n, _ in child.ops}
+        if refs <= set(child.partition_by) and not (refs & out_names):
+            return child.replace(
+                child=_push_filters(Filter(child.child, pred))
+            )
     if isinstance(child, Join) and is_expr and known and refs:
         # a predicate reading only one side's columns commutes with the
         # join and filters that side's INPUT — fewer rows reach the

@@ -261,6 +261,32 @@ class TestOptimizerStructure:
         raw, _ = t.join(rt, ["k"], how="inner", capacity=4096)
         _same(lt.collect(), raw.filter(np.asarray(raw["v_r"] > 500)))
 
+    def test_filter_pushes_below_window_on_partition_keys(self, tbl):
+        # partition-key predicates drop whole partitions, so they commute
+        # with every (partition-scoped) window op; other predicates stay
+        t = _t(tbl)
+        lt = (t.lazy().window({"rn": "row_number", "cs": ("cumsum", "v")},
+                              partition_by="k", order_by="v")
+              .filter(col("k") < 7))
+        opt = lt.optimized().plan
+        assert not isinstance(opt, P.Filter)
+        ref = t.window({"rn": "row_number", "cs": ("cumsum", "v")},
+                       partition_by="k", order_by="v")
+        _same(lt.collect(), ref.filter(np.asarray(ref["k"] < 7)))
+        lt2 = (t.lazy().window({"rn": "row_number"}, partition_by="k",
+                               order_by="v").filter(col("v") > 100))
+        assert isinstance(lt2.optimized().plan, P.Filter)
+
+    def test_filter_pushes_below_concat(self, tbl):
+        t = _t(tbl)
+        t2 = Table({k: jnp.asarray(np.asarray(v)[:32])
+                    for k, v in tbl.items()})
+        lt = t.lazy().concat(t2.lazy()).filter(col("v") > 100)
+        opt = lt.optimized().plan
+        assert isinstance(opt, P.Concat)
+        ref = t.concat(t2)
+        _same(lt.collect(), ref.filter(np.asarray(ref["v"] > 100)))
+
     def test_sort_fusion_matches_two_pass_order(self, tbl):
         t = _t(tbl)
         lt = t.lazy().sort_by("v", descending=True).sort_by("k")
