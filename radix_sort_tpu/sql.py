@@ -58,6 +58,8 @@ Supported grammar::
              = != <> < <= > >=, AND OR NOT, [NOT] IN (literals),
              col [NOT] IN ( query ) — rewrites to a semi/anti join; only
              as a top-level AND conjunct of WHERE / HAVING,
+             ( query ) as a scalar operand — one selected column, row 0
+             broadcasts (e.g. WHERE v > (SELECT AVG(v) FROM t)),
              [NOT] BETWEEN a AND b, [NOT] LIKE 'pat' (% _ and \\ escapes,
              over dictionary string columns), ABS(x),
              CASE WHEN c THEN a [WHEN ...] [ELSE b] END
@@ -382,6 +384,32 @@ class _Parser:
             self.next()
             return lit(t[1])
         if self.eat_op("("):
+            if self.at_kw("SELECT", "WITH"):
+                # a scalar subquery: (SELECT AVG(v) FROM t) — must yield
+                # one column; row 0 of its collected result broadcasts as
+                # a scalar operand (single-row by construction for global
+                # aggregates; extra rows are ignored like SQL's LIMIT 1)
+                if self.sub_ctx is None:
+                    raise SqlError(
+                        "scalar subqueries are only supported inside a "
+                        "query's WHERE / HAVING / SELECT expressions"
+                    )
+                tables, kwargs = self.sub_ctx
+                sub = _query(self, tables, kwargs)
+                self.expect_op(")")
+                names = list(sub.column_names)
+                if len(names) != 1:
+                    raise SqlError(
+                        f"a scalar subquery must select exactly one "
+                        f"column, got {names}"
+                    )
+                from radix_sort_tpu.expr import udf
+                cname = names[0]
+                return udf(
+                    lambda _sub=sub, _c=cname: _sub.collect()[_c][0],
+                    columns=[],
+                    label=f"scalar_subquery({cname})",
+                )
             e = self.parse_expr()
             self.expect_op(")")
             return e
@@ -989,8 +1017,13 @@ def _select_core(p, tables, kwargs):
         lt = _query(p, tables, kwargs)
         p.expect_op(")")
         return lt
-    p.agg_sink = {}  # per-core hoisted aggregates
-    p.pre_sink = {}  # per-core hoisted expression arguments
+    # per-core hoisted-aggregate/expression sinks; the outer core's are
+    # restored on exit so nested subqueries (scalar / IN / derived-table)
+    # parsed mid-core don't wipe aggregates already hoisted by the outer
+    # HAVING / OVER clauses
+    outer_sinks = (p.agg_sink, p.pre_sink)
+    p.agg_sink = {}
+    p.pre_sink = {}
     p.sub_ctx = (tables, kwargs)  # for IN (SELECT ...) subqueries
     p.expect_kw("SELECT")
     distinct = bool(p.eat_kw("DISTINCT"))
@@ -1217,4 +1250,5 @@ def _select_core(p, tables, kwargs):
             lt = lt.distinct(subset=None if star else names,
                              **_route(kwargs, _DISTINCT_KNOBS))
 
+    p.agg_sink, p.pre_sink = outer_sinks
     return lt

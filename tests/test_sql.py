@@ -455,6 +455,36 @@ class TestSubqueriesAndCtes:
         np.testing.assert_array_equal(out["cust"], uk)
         np.testing.assert_array_equal(out["n"], cnts)
 
+    def test_scalar_subqueries(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid FROM orders WHERE qty > (SELECT AVG(qty) FROM "
+            "orders)",
+            _tables(db),
+        ).collect().to_numpy()
+        keep = orders["qty"] > orders["qty"].mean()
+        np.testing.assert_array_equal(out["oid"], orders["oid"][keep])
+        # in HAVING with arithmetic, and as a SELECT expression
+        out = sql(
+            "SELECT cust, SUM(qty) AS s FROM orders GROUP BY cust "
+            "HAVING SUM(qty) > (SELECT SUM(qty) FROM orders) / 10",
+            _tables(db),
+        ).collect().to_numpy()
+        uk = np.unique(orders["cust"])
+        sums = np.array([orders["qty"][orders["cust"] == c].sum()
+                         for c in uk])
+        np.testing.assert_array_equal(
+            np.sort(out["cust"]), uk[sums > orders["qty"].sum() / 10])
+        out = sql(
+            "SELECT oid, qty - (SELECT MIN(qty) FROM orders) AS rel "
+            "FROM orders", _tables(db),
+        ).collect().to_numpy()
+        np.testing.assert_array_equal(
+            out["rel"], orders["qty"] - orders["qty"].min())
+        with pytest.raises(SqlError, match="exactly one"):
+            sql("SELECT oid FROM orders WHERE qty > "
+                "(SELECT oid, qty FROM orders)", _tables(db))
+
     def test_in_subquery_guards(self, db):
         t = _tables(db)
         with pytest.raises(SqlError, match="OR"):
