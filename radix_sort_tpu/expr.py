@@ -13,7 +13,8 @@ computing anything. The tree knows two things a raw lambda cannot tell us:
     (``DistTable``: elementwise ops map over shards untouched).
 
 The surface is deliberately closed (literals, columns, arithmetic,
-comparisons, boolean algebra, ``where``, ``cast``/``abs``, ``like`` over
+comparisons, boolean algebra, ``where``, ``cast``, scalar math
+(``abs/floor/ceil/round/sign/sqrt/exp/log*/pow``), ``like`` over
 string columns, and an explicit ``udf`` escape hatch that still declares
 its column reads) so every node stays analyzable and printable by
 ``LazyTable.explain()``.
@@ -51,12 +52,23 @@ _BINOPS = {
     "rshift": (lambda a, b: a >> b, ">>"),
     "min": (jnp.minimum, "min"),
     "max": (jnp.maximum, "max"),
+    "pow": (jnp.power, "pow"),
 }
 
 _UNOPS = {
     "neg": (lambda a: -a, "-"),
     "invert": (lambda a: ~a, "~"),
     "abs": (jnp.abs, "abs"),
+    "floor": (jnp.floor, "floor"),
+    "ceil": (jnp.ceil, "ceil"),
+    # round-half-to-even (IEEE default), like np.round — SQL dialects vary
+    "round": (jnp.round, "round"),
+    "sign": (jnp.sign, "sign"),
+    "sqrt": (jnp.sqrt, "sqrt"),
+    "exp": (jnp.exp, "exp"),
+    "log": (jnp.log, "log"),
+    "log10": (jnp.log10, "log10"),
+    "log2": (jnp.log2, "log2"),
 }
 
 
@@ -256,6 +268,44 @@ class Expr:
     def abs(self) -> "Expr":
         return Expr("un", ("abs", self))
 
+    def floor(self) -> "Expr":
+        return Expr("un", ("floor", self))
+
+    def ceil(self) -> "Expr":
+        return Expr("un", ("ceil", self))
+
+    def round(self) -> "Expr":
+        """Round half-to-even (np.round semantics)."""
+        return Expr("un", ("round", self))
+
+    def sign(self) -> "Expr":
+        return Expr("un", ("sign", self))
+
+    def sqrt(self) -> "Expr":
+        return Expr("un", ("sqrt", self))
+
+    def exp(self) -> "Expr":
+        return Expr("un", ("exp", self))
+
+    def log(self) -> "Expr":
+        """Natural logarithm."""
+        return Expr("un", ("log", self))
+
+    def log10(self) -> "Expr":
+        return Expr("un", ("log10", self))
+
+    def log2(self) -> "Expr":
+        return Expr("un", ("log2", self))
+
+    def pow(self, o) -> "Expr":
+        return self._bin("pow", o)
+
+    def __pow__(self, o):
+        return self._bin("pow", o)
+
+    def __rpow__(self, o):
+        return self._bin("pow", o, swap=True)
+
     def cast(self, dtype) -> "Expr":
         return Expr("cast", (self, np.dtype(dtype)))
 
@@ -292,13 +342,13 @@ class Expr:
         if k == "bin":
             op, a, b = self.args
             sym = _BINOPS[op][1]
-            if sym in ("min", "max"):
+            if sym in ("min", "max", "pow"):
                 return f"{sym}({a!r}, {b!r})"
             return f"({a!r} {sym} {b!r})"
         if k == "un":
             op, a = self.args
             sym = _UNOPS[op][1]
-            return f"{sym}({a!r})" if sym == "abs" else f"{sym}{a!r}"
+            return f"{sym}{a!r}" if sym in ("-", "~") else f"{sym}({a!r})"
         if k == "cast":
             a, dt = self.args
             return f"{a!r}.cast({dt.name})"

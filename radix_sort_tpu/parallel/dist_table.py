@@ -655,7 +655,9 @@ class DistTable:
     def top_k(self, k: int, by, largest: bool = True) -> Table:
         """The global ``k`` rows with extreme ``by`` keys (ORDER BY ...
         LIMIT k over the mesh; k rows per shard on the wire). Returns a
-        replicated :class:`Table`."""
+        replicated :class:`Table`. ``k`` beyond the global row count
+        clamps (LIMIT semantics: all rows, sorted)."""
+        k = min(int(k), self.num_rows)
         by = _as_list(by)
         key_cols = self._resolve(by)
         keys_arg = list(key_cols)
@@ -674,6 +676,14 @@ class DistTable:
         cnt = (None if self._counts is None
                else jnp.minimum(self.total_count(), jnp.int32(k)))
         return Table(cols, cnt, dictionaries=self._dicts)
+
+    def limit(self, k: int, offset: int = 0) -> Table:
+        """First ``k`` valid rows (after skipping ``offset``), in
+        shard-major order, gathered to a single-chip :class:`Table`. SQL
+        LIMIT without ORDER BY has no defined row order; this engine's is
+        shard 0's valid rows, then shard 1's, ... (ORDER BY + LIMIT
+        optimizes to :meth:`top_k` in the planner and never lands here)."""
+        return self.to_table().limit(k, offset)
 
     def _set_op(self, other: "DistTable", subset, op_name, max_unique):
         names = _as_list(subset) or list(self._cols)

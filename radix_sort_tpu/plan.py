@@ -242,6 +242,7 @@ class TopK(_Node):
 class Limit(_Node):
     child: _Node
     k: int
+    offset: int = 0
 
     label = "limit"
 
@@ -519,7 +520,10 @@ def _sort_limit_to_topk(node):
         if len(descs) == 1 and all(
             isinstance(b, str) for b in s.by
         ):
-            return TopK(s.child, node.k, s.by, largest=descs.pop())
+            top = TopK(s.child, node.k + node.offset, s.by,
+                       largest=descs.pop())
+            # top_k emits rows in key order, so OFFSET is a head slice of it
+            return top if node.offset == 0 else node.replace(child=top)
     return node
 
 
@@ -839,7 +843,7 @@ def _exec(node, flags):
         return t.top_k(node.k, [_sort_key(b, t) for b in node.by],
                        largest=node.largest)
     if isinstance(node, Limit):
-        return _exec(node.child, flags).limit(node.k)
+        return _exec(node.child, flags).limit(node.k, node.offset)
     if isinstance(node, Concat):
         lt = _exec(node.left, flags)
         return lt.concat(_exec(node.right, flags))
@@ -924,7 +928,8 @@ def _describe(node):
         d = "desc" if node.largest else "asc"
         return f"top_k[{node.k} by {_fmt_by(node.by)} {d}]"
     if isinstance(node, Limit):
-        return f"limit[{node.k}]"
+        return (f"limit[{node.k}]" if not node.offset
+                else f"limit[{node.k} offset {node.offset}]")
     if isinstance(node, Concat):
         return "concat"
     if isinstance(node, Unnest):
@@ -1065,8 +1070,8 @@ class LazyTable:
             TopK(self._plan, int(k), tuple(_as_list(by)), bool(largest))
         )
 
-    def limit(self, k: int) -> "LazyTable":
-        return self._wrap(Limit(self._plan, int(k)))
+    def limit(self, k: int, offset: int = 0) -> "LazyTable":
+        return self._wrap(Limit(self._plan, int(k), int(offset)))
 
     def concat(self, other) -> "LazyTable":
         return self._wrap(Concat(self._plan, self._plan_of(other)))

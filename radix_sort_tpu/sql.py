@@ -12,7 +12,7 @@ Supported grammar::
 
     query := [WITH name AS ( query ) [, ...]]
              select [ (UNION [ALL] | INTERSECT | EXCEPT) select ]*
-             [ORDER BY col [ASC|DESC], ...] [LIMIT n]
+             [ORDER BY col [ASC|DESC], ...] [LIMIT n [OFFSET m]]
              (INTERSECT binds tighter; engine set-op semantics: distinct
              rows matched by column NAME — both sides must expose the
              same column names; UNION ALL = concat)
@@ -61,7 +61,10 @@ Supported grammar::
              ( query ) as a scalar operand — one selected column, row 0
              broadcasts (e.g. WHERE v > (SELECT AVG(v) FROM t)),
              [NOT] BETWEEN a AND b, [NOT] LIKE 'pat' (% _ and \\ escapes,
-             over dictionary string columns), ABS(x),
+             over dictionary string columns),
+             scalar math: ABS FLOOR CEIL[ING] ROUND(x[, d]) SIGN SQRT EXP
+             LN LOG LOG10 LOG2 POWER/POW(a, b) MOD(a, b)
+             LEAST(a, b, ...) GREATEST(a, b, ...),
              CASE WHEN c THEN a [WHEN ...] [ELSE b] END
 
 Engine capacity knobs (static shapes) ride keyword arguments:
@@ -102,7 +105,7 @@ _KEYWORDS = {
     "ANTI", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NULL",
     "LIKE", "UNION", "ALL", "INTERSECT", "EXCEPT", "WITH", "USING",
     "OVER", "PARTITION", "ROWS", "PRECEDING", "FOLLOWING", "CURRENT",
-    "ROW", "UNBOUNDED",
+    "ROW", "UNBOUNDED", "OFFSET",
 }
 
 _AGG_FNS = {
@@ -115,6 +118,13 @@ _AGG_FNS = {
 # parameterized aggregates: QUANTILE(x, q) -> the engine's "quantile:<q>"
 # (PERCENTILE_DISC semantics: the group value at rank floor(q*(len-1)))
 _PARAM_AGG_FNS = {"QUANTILE", "PERCENTILE_DISC"}
+
+# single-argument scalar functions -> the Expr method computing them
+_SCALAR_FNS = {
+    "ABS": "abs", "FLOOR": "floor", "CEIL": "ceil", "CEILING": "ceil",
+    "ROUND": "round", "SIGN": "sign", "SQRT": "sqrt", "EXP": "exp",
+    "LN": "log", "LOG": "log", "LOG10": "log10", "LOG2": "log2",
+}
 
 # verb-specific capacity knobs routed from sql(**kwargs)
 _JOIN_KNOBS = ("capacity", "capacity_per_shard", "exchange_capacity_factor")
@@ -431,10 +441,38 @@ class _Parser:
     def _call(self, name) -> Expr:
         fn = name.upper()
         self.expect_op("(")
-        if fn == "ABS":
+        if fn in _SCALAR_FNS:
             e = self.parse_expr()
+            if fn == "ROUND" and self.eat_op(","):
+                # ROUND(x, d): scale, round, unscale (d static non-negative)
+                t = self.next()
+                if t[0] != "num" or not isinstance(t[1], int) or t[1] < 0:
+                    raise SqlError(
+                        f"ROUND digits must be a non-negative integer, "
+                        f"got {t[1]!r}"
+                    )
+                self.expect_op(")")
+                s = float(10 ** t[1])
+                return (e * s).round() / s
             self.expect_op(")")
-            return e.abs()
+            return getattr(e, _SCALAR_FNS[fn])()
+        if fn in ("POWER", "POW", "MOD"):
+            a = self.parse_expr()
+            self.expect_op(",")
+            b = self.parse_expr()
+            self.expect_op(")")
+            return a.pow(b) if fn != "MOD" else a % b
+        if fn in ("LEAST", "GREATEST"):
+            args = [self.parse_expr()]
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            if len(args) < 2:
+                raise SqlError(f"{fn} needs at least two arguments")
+            out = args[0]
+            for a in args[1:]:
+                out = out.minimum(a) if fn == "LEAST" else out.maximum(a)
+            return out
         if fn in _AGG_FNS or fn in _PARAM_AGG_FNS:
             if self.allow_aggs:
                 agg, argname = self._agg_args(fn)
@@ -946,7 +984,13 @@ def _query(p, tables, kwargs):
         t = p.next()
         if t[0] != "num" or not isinstance(t[1], int):
             raise SqlError(f"LIMIT needs an integer, got {t[1]!r}")
-        lt = lt.limit(t[1])
+        offset = 0
+        if p.eat_kw("OFFSET"):
+            o = p.next()
+            if o[0] != "num" or not isinstance(o[1], int):
+                raise SqlError(f"OFFSET needs an integer, got {o[1]!r}")
+            offset = o[1]
+        lt = lt.limit(t[1], offset)
     p.sub_ctx = saved_ctx
     return lt
 

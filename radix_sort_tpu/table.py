@@ -576,7 +576,9 @@ class Table:
     def top_k(self, k: int, by, largest: bool = True) -> "Table":
         """The ``k`` rows with extreme ``by`` keys (ORDER BY ... LIMIT k):
         result rows sorted by key (descending for ``largest``), ties by
-        input position. All other columns are co-selected."""
+        input position. All other columns are co-selected. ``k`` beyond
+        the row count clamps (LIMIT semantics: all rows, sorted)."""
+        k = min(int(k), self._n)
         by = _as_list(by)
         key_cols = self._resolve(by)
         keys_arg = list(key_cols)
@@ -618,12 +620,14 @@ class Table:
         return Table(dict(zip(self._cols, outs)), cnt,
                      dictionaries=self._dicts), ovf
 
-    def limit(self, k: int) -> "Table":
-        """First ``k`` valid rows (static head slice)."""
-        k = min(int(k), self._n)
-        cols = {n: c[:k] for n, c in self._cols.items()}
+    def limit(self, k: int, offset: int = 0) -> "Table":
+        """Valid rows [offset, offset+k) (static slice; valid rows are a
+        prefix, so OFFSET is a start shift)."""
+        off = min(int(offset), self._n)
+        k = max(0, min(int(k), self._n - off))
+        cols = {n: c[off:off + k] for n, c in self._cols.items()}
         cnt = (jnp.int32(k) if self._count is None
-               else jnp.minimum(self._count, jnp.int32(k)))
+               else jnp.clip(self._count - off, 0, k).astype(jnp.int32))
         return Table(cols, cnt, dictionaries=self._dicts)
 
     def concat(self, other: "Table") -> "Table":

@@ -144,6 +144,43 @@ class TestRowShaped:
         for n in want:
             np.testing.assert_array_equal(got[n], want[n], err_msg=n)
 
+    def test_sql_group_window_union_over_disttable(self, tbl):
+        # round-3 frontend features over the MPP facade: inline-aggregate
+        # HAVING, window over GROUP BY, and a UNION compound — identical
+        # results whether the registered relation is Table or DistTable
+        from radix_sort_tpu.sql import sql
+
+        t, d = _pair(tbl)
+        q = ("SELECT k, SUM(v) AS total, "
+             "RANK() OVER (ORDER BY SUM(v) DESC) AS rnk "
+             "FROM r GROUP BY k HAVING COUNT(*) > 1 ORDER BY k")
+        got = sql(q, {"r": d}, max_groups=64).collect().to_numpy()
+        want = sql(q, {"r": t}, max_groups=64).collect().to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n], err_msg=n)
+        qu = ("SELECT k FROM r WHERE v > 250 UNION "
+              "SELECT k FROM r WHERE v < -250")
+        gu = sql(qu, {"r": d}, max_unique=256).collect().to_numpy()
+        wu = sql(qu, {"r": t}, max_unique=256).collect().to_numpy()
+        np.testing.assert_array_equal(np.sort(gu["k"]), np.sort(wu["k"]))
+
+    def test_limit_offset(self, tbl):
+        from radix_sort_tpu.sql import sql
+
+        t, d = _pair(tbl)
+        # ORDER BY + LIMIT OFFSET fuses to distributed top_k + head slice
+        q = "SELECT k, v FROM r ORDER BY v LIMIT 9 OFFSET 4"
+        got = sql(q, {"r": d}).collect().to_numpy()
+        want = sql(q, {"r": t}).collect().to_numpy()
+        for n in want:
+            np.testing.assert_array_equal(got[n], want[n], err_msg=n)
+        # plain LIMIT (no ORDER BY) over a DistTable: shard-major row order
+        # == the Table's global row order
+        q2 = "SELECT k FROM r LIMIT 6 OFFSET 2"
+        g2 = sql(q2, {"r": d}).collect().to_numpy()
+        w2 = sql(q2, {"r": t}).collect().to_numpy()
+        np.testing.assert_array_equal(g2["k"], w2["k"])
+
     def test_unnest(self, tbl):
         t, d = _pair(tbl, 0.5)
         t = t.with_columns(c=jnp.asarray(np.tile([2, 0, 1, 3], N // 4)))

@@ -101,6 +101,53 @@ class TestBasics:
         np.testing.assert_array_equal(out["item"],
                                       np.unique(orders["item"]))
 
+    def test_scalar_math_functions(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT FLOOR(price) AS f, CEILING(price) AS c, "
+            "ROUND(price) AS r, ROUND(price, 1) AS r1, SIGN(price - 5) AS s, "
+            "SQRT(price) AS sq, EXP(0 - price) AS e, LN(price) AS l, "
+            "LOG10(price) AS l10, POWER(qty, 2) AS p2, MOD(qty, 3) AS m, "
+            "LEAST(qty, 5, 7) AS lo, GREATEST(qty, 5, 7) AS hi "
+            "FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        pr, q = db[0]["price"], db[0]["qty"]
+        np.testing.assert_allclose(out["f"], np.floor(pr))
+        np.testing.assert_allclose(out["c"], np.ceil(pr))
+        np.testing.assert_allclose(out["r"], np.round(pr))
+        np.testing.assert_allclose(out["r1"], np.round(pr * 10) / 10,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(out["s"], np.sign(pr - 5))
+        np.testing.assert_allclose(out["sq"], np.sqrt(pr), rtol=1e-6)
+        np.testing.assert_allclose(out["e"], np.exp(-pr), rtol=1e-5)
+        np.testing.assert_allclose(out["l"], np.log(pr), rtol=1e-6)
+        np.testing.assert_allclose(out["l10"], np.log10(pr), rtol=1e-6)
+        np.testing.assert_array_equal(out["p2"], q.astype(np.int64) ** 2)
+        np.testing.assert_array_equal(out["m"], q % 3)
+        np.testing.assert_array_equal(out["lo"], np.minimum(q, 5))
+        np.testing.assert_array_equal(out["hi"], np.maximum(q, 7))
+
+    def test_limit_offset(self, db):
+        orders, _ = db
+        srt = np.sort(orders["qty"])
+        # with ORDER BY: fuses to top_k(k+offset) + head slice
+        out = sql("SELECT qty FROM orders ORDER BY qty LIMIT 7 OFFSET 5",
+                  _tables(db)).collect().to_numpy()
+        np.testing.assert_array_equal(out["qty"], srt[5:12])
+        # plain OFFSET without ORDER BY: input row order
+        out = sql("SELECT oid FROM orders LIMIT 4 OFFSET 250",
+                  _tables(db)).collect().to_numpy()
+        np.testing.assert_array_equal(out["oid"], orders["oid"][250:254])
+        # offset past the end -> empty
+        out = sql("SELECT oid FROM orders ORDER BY oid LIMIT 5 OFFSET 300",
+                  _tables(db)).collect().to_numpy()
+        assert out["oid"].shape[0] == 0
+        # LIMIT larger than the table clamps (through the top_k fusion)
+        out = sql("SELECT oid FROM orders ORDER BY oid DESC "
+                  "LIMIT 999 OFFSET 254", _tables(db)).collect().to_numpy()
+        np.testing.assert_array_equal(out["oid"], [1, 0])
+
 
 class TestAggregates:
     def test_group_by_having(self, db):
@@ -666,6 +713,12 @@ class TestErrors:
             sql("SELECT oid FROM orders WHERE SUM(qty) > 3", t)
         with pytest.raises(SqlError, match="nested"):
             sql("SELECT COUNT(SUM(qty)) AS x FROM orders GROUP BY cust", t)
+        with pytest.raises(SqlError, match="ROUND digits"):
+            sql("SELECT ROUND(price, qty) AS x FROM orders", t)
+        with pytest.raises(SqlError, match="at least two"):
+            sql("SELECT LEAST(qty) AS x FROM orders", t)
+        with pytest.raises(SqlError, match="OFFSET needs an integer"):
+            sql("SELECT oid FROM orders LIMIT 3 OFFSET x", t)
 
     def test_string_arithmetic_rejected(self, db):
         # arithmetic over a dictionary-encoded string column would

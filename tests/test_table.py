@@ -78,6 +78,23 @@ class TestFilterSort:
             c["k"], np.concatenate([kept[:7], kept[:3]])
         )
 
+    def test_limit_offset(self, tbl):
+        t = _t(tbl).filter(lambda t: t["k"] < 5)
+        kept = tbl["k"][tbl["k"] < 5]
+        np.testing.assert_array_equal(t.limit(4, 6).to_numpy()["k"],
+                                      kept[6:10])
+        # offset beyond the valid count -> empty
+        assert t.limit(4, len(kept) + 1).to_numpy()["k"].size == 0
+        # k past the end clamps
+        np.testing.assert_array_equal(
+            t.limit(10 ** 6, 2).to_numpy()["k"], kept[2:]
+        )
+
+    def test_top_k_clamps(self, tbl):
+        t = _t(tbl)
+        out = t.top_k(10 ** 6, "v").to_numpy()
+        np.testing.assert_array_equal(out["v"], np.sort(tbl["v"])[::-1])
+
 
 class TestAggregate:
     def test_group_by_multi_agg(self, tbl):
