@@ -15,9 +15,19 @@ computing anything. The tree knows two things a raw lambda cannot tell us:
 The surface is deliberately closed (literals, columns, arithmetic,
 comparisons, boolean algebra, ``where``, ``cast``, scalar math
 (``abs/floor/ceil/round/sign/sqrt/exp/log*/pow``), ``like`` over
-string columns, and an explicit ``udf`` escape hatch that still declares
-its column reads) so every node stays analyzable and printable by
-``LazyTable.explain()``.
+string columns, NULL handling (``is_null`` / ``coalesce`` / ``nullif``
+/ the ``null()`` literal), and an explicit ``udf`` escape hatch that
+still declares its column reads) so every node stays analyzable and
+printable by ``LazyTable.explain()``.
+
+NULL semantics (nulls.py): every node evaluates through
+:meth:`Expr.evaluate_masked`, returning ``(values, null_mask_or_None)``.
+Arithmetic, comparisons and scalar functions are null-propagating (any
+NULL operand makes the result NULL — the SQL rule); ``&`` and ``|``
+follow Kleene three-valued logic (``TRUE OR NULL`` is TRUE, ``FALSE AND
+NULL`` is FALSE); ``where``/CASE treats a NULL condition as false (SQL
+CASE). ``Table.filter`` keeps a row only when the predicate is known
+TRUE. Masked values are canonicalized to 0 (the engine invariant).
 
 The reference crate has no expression layer (it is sort-only,
 src/radix_sort/mod.rs); this belongs to the north-star query-engine
@@ -29,7 +39,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Expr", "col", "lit", "where", "udf"]
+__all__ = ["Expr", "col", "lit", "where", "udf", "coalesce", "nullif",
+           "null"]
 
 # binary op name -> (callable, printable symbol)
 _BINOPS = {
@@ -124,31 +135,100 @@ class Expr:
     # -- evaluation -------------------------------------------------------
 
     def evaluate(self, table):
-        """Compute against anything supporting ``table[name]``."""
+        """Compute against anything supporting ``table[name]``. NULL
+        masks are dropped — use :meth:`evaluate_masked` to keep them."""
+        return self.evaluate_masked(table)[0]
+
+    def evaluate_masked(self, table):
+        """Compute ``(values, null_mask)`` — the mask is a bool array
+        (True = NULL) or None when no operand is nullable. Values are
+        canonicalized to 0 under the mask for boolean results; other
+        dtypes may carry garbage under masked slots (the mask is the
+        truth — consumers must honor it)."""
         k = self.kind
         if k == "col":
-            return table[self.args[0]]
+            name = self.args[0]
+            getm = getattr(table, "null_mask", None)
+            return table[name], (getm(name) if getm is not None else None)
         if k == "lit":
-            return self.args[0]
+            return self.args[0], None
+        if k == "nulllit":
+            # a typed-less NULL scalar: value 0, mask True (broadcasts)
+            return 0, True
         if k == "bin":
             op, a, b = self.args
             if op not in _COMPARES:
                 _reject_string_arith(op, (a, b), table)
-            op, av, bv = _resolve_string_compare(op, a, b, table)
-            return _BINOPS[op][0](av, bv)
+            if op in ("and", "or"):
+                av, am = _ev_masked(a, table)
+                bv, bm = _ev_masked(b, table)
+                return _kleene(op, av, am, bv, bm)
+            op2, av, bv = _resolve_string_compare(op, a, b, table)
+            m = _mor(_mask_of(a, table), _mask_of(b, table))
+            v = _BINOPS[op2][0](av, bv)
+            if m is not None and v.dtype == jnp.bool_:
+                v = v & ~m
+            return v, m
         if k == "un":
             op, a = self.args
             _reject_string_arith(op, (a,), table)
-            return _UNOPS[op][0](_ev(a, table))
+            av, am = _ev_masked(a, table)
+            v = _UNOPS[op][0](av)
+            if am is not None and op == "invert" and v.dtype == jnp.bool_:
+                v = v & ~am
+            return v, am
         if k == "cast":
             a, dt = self.args
-            return _ev(a, table).astype(dt)
+            av, am = _ev_masked(a, table)
+            return av.astype(dt), am
         if k == "where":
             c, a, b = self.args
-            return jnp.where(_ev(c, table), _ev(a, table), _ev(b, table))
+            cv, cm = _ev_masked(c, table)
+            av, am = _ev_masked(a, table)
+            bv, bm = _ev_masked(b, table)
+            take_a = cv if cm is None else (cv & ~cm)  # SQL CASE: NULL
+            v = jnp.where(take_a, av, bv)              # condition = false
+            if am is None and bm is None:
+                return v, None
+            m = jnp.where(take_a,
+                          am if am is not None else False,
+                          bm if bm is not None else False)
+            return v, m
+        if k == "isnull":
+            (a,) = self.args
+            av, am = _ev_masked(a, table)
+            if am is None:
+                return jnp.zeros(jnp.shape(av), jnp.bool_), None
+            return jnp.broadcast_to(am, jnp.shape(av)), None
+        if k == "coalesce":
+            v, m = _ev_masked(self.args[0], table)
+            for nxt in self.args[1:]:
+                if m is None:
+                    break
+                nv, nm = _ev_masked(nxt, table)
+                v = jnp.where(m, nv, v)
+                m = None if nm is None else (m & nm)
+            return v, m
+        if k == "nullif":
+            a, b = self.args
+            av, am = _ev_masked(a, table)
+            bv, bm = _ev_masked(b, table)
+            eq = av == bv
+            if am is not None:
+                eq = eq & ~am   # unknown comparison -> keep a (SQL CASE)
+            if bm is not None:
+                eq = eq & ~bm
+            m = eq if am is None else (am | eq)
+            z = jnp.zeros((), av.dtype) if hasattr(av, "dtype") else 0
+            return jnp.where(m, z, av), m
         if k == "udf":
             fn, _, cols = self.args
-            return fn(*(table[c] for c in cols))
+            getm = getattr(table, "null_mask", None)
+            m = None
+            if getm is not None:
+                for c in cols:  # scalar functions propagate NULL (SQL)
+                    m = _mor(m, getm(c))
+            return fn(*(table[c] for c in cols)), m
         if k == "like":
             a, pattern = self.args
             name = _str_col_name(a, table)
@@ -162,7 +242,9 @@ class Expr:
             # the pattern evaluates on the host vocabulary; on device the
             # predicate is one gather of the per-code mask
             mask = S.like_mask(table.dictionary(name), pattern)
-            return jnp.asarray(mask)[table[name]]
+            v = jnp.asarray(mask)[table[name]]
+            m = _mask_of(a, table)
+            return (v if m is None else (v & ~m)), m
         raise AssertionError(f"unknown Expr kind {k!r}")
 
     # -- operators --------------------------------------------------------
@@ -331,6 +413,18 @@ class Expr:
             out = out | (self == v)
         return out
 
+    def is_null(self) -> "Expr":
+        """SQL ``IS NULL`` — a (never-null) bool column."""
+        return Expr("isnull", (self,))
+
+    def is_not_null(self) -> "Expr":
+        """SQL ``IS NOT NULL``."""
+        return Expr("un", ("invert", Expr("isnull", (self,))))
+
+    def fill_null(self, value) -> "Expr":
+        """Replace NULLs with ``value`` (``COALESCE(self, value)``)."""
+        return coalesce(self, value)
+
     # -- display ----------------------------------------------------------
 
     def __repr__(self):
@@ -361,11 +455,56 @@ class Expr:
         if k == "like":
             a, pattern = self.args
             return f"{a!r}.like({pattern!r})"
+        if k == "isnull":
+            return f"{self.args[0]!r}.is_null()"
+        if k == "coalesce":
+            return f"coalesce({', '.join(repr(a) for a in self.args)})"
+        if k == "nullif":
+            return f"nullif({self.args[0]!r}, {self.args[1]!r})"
+        if k == "nulllit":
+            return "NULL"
         return f"Expr({k})"
 
 
 def _ev(x, table):
     return x.evaluate(table) if isinstance(x, Expr) else x
+
+
+def _ev_masked(x, table):
+    if isinstance(x, Expr):
+        return x.evaluate_masked(table)
+    return x, None
+
+
+def _mask_of(x, table):
+    """The null mask of an operand (None if not nullable). Re-walks the
+    subtree; under jit XLA CSEs the duplicated value computation away."""
+    return _ev_masked(x, table)[1]
+
+
+def _mor(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a | b
+
+
+def _kleene(op, av, am, bv, bm):
+    """Three-valued AND/OR: known-false dominates AND, known-true
+    dominates OR; values are canonicalized False under the mask."""
+    if am is None and bm is None:
+        return (av & bv if op == "and" else av | bv), None
+    amk = am if am is not None else jnp.asarray(False)
+    bmk = bm if bm is not None else jnp.asarray(False)
+    if op == "and":
+        value = (av & ~amk) & (bv & ~bmk)
+        known_false = (~amk & ~av) | (~bmk & ~bv)
+        mask = (amk | bmk) & ~known_false
+    else:
+        value = (av & ~amk) | (bv & ~bmk)
+        mask = (amk | bmk) & ~value
+    return value, mask
 
 
 # mirrored comparison for swapping operand order: lit OP col == col OP' lit
@@ -469,5 +608,25 @@ def udf(fn, columns, label: str = "udf") -> Expr:
     """Escape hatch: an arbitrary elementwise function of the named
     columns — ``fn(*arrays) -> array``. Unlike a raw lambda at the plan
     level, the column reads are DECLARED, so projection pruning still
-    works through it."""
+    works through it. NULL-propagating: the result is NULL wherever any
+    read column is NULL (the SQL scalar-function rule)."""
     return Expr("udf", (fn, str(label), tuple(str(c) for c in columns)))
+
+
+def coalesce(*exprs) -> Expr:
+    """SQL ``COALESCE``: the first non-NULL operand, elementwise."""
+    if not exprs:
+        raise ValueError("coalesce needs at least one operand")
+    mk = lambda x: x if isinstance(x, Expr) else lit(x)
+    return Expr("coalesce", tuple(mk(x) for x in exprs))
+
+
+def nullif(a, b) -> Expr:
+    """SQL ``NULLIF(a, b)``: NULL where ``a == b``, else ``a``."""
+    mk = lambda x: x if isinstance(x, Expr) else lit(x)
+    return Expr("nullif", (mk(a), mk(b)))
+
+
+def null() -> Expr:
+    """The SQL ``NULL`` literal (untyped; broadcasts in CASE/COALESCE)."""
+    return Expr("nulllit", ())

@@ -723,9 +723,16 @@ def optimize(node):
 
 
 def _value(x, table):
-    """Materialize a value spec against the current table."""
+    """Materialize a value spec against the current table. A nullable
+    expression comes back as a ``nulls.MaskedColumn`` so the facade can
+    keep its mask (with_columns / aggregate values / window values)."""
     if isinstance(x, Expr):
-        return x.evaluate(table)
+        v, m = x.evaluate_masked(table)
+        if m is not None:
+            from radix_sort_tpu.nulls import MaskedColumn
+
+            return MaskedColumn(v, m)
+        return v
     if callable(x):
         return x(table)
     return x
@@ -774,7 +781,11 @@ def _exec(node, flags):
         t = _exec(node.child, flags)
         p = node.pred
         if isinstance(p, Expr):
-            return t.filter(lambda tb: p.evaluate(tb))
+            def pred(tb, _p=p):
+                # SQL WHERE: keep rows where the predicate is known TRUE
+                v, m = _p.evaluate_masked(tb)
+                return v if m is None else (v & ~m)
+            return t.filter(pred)
         return t.filter(p)
     if isinstance(node, SortBy):
         t = _exec(node.child, flags)

@@ -66,6 +66,14 @@ Supported grammar::
              LN LOG LOG10 LOG2 POWER/POW(a, b) MOD(a, b)
              LEAST(a, b, ...) GREATEST(a, b, ...),
              CASE WHEN c THEN a [WHEN ...] [ELSE b] END
+             (missing ELSE is NULL, per the standard),
+             NULL handling (nulls.py masks; full three-valued logic):
+             the NULL literal, x IS [NOT] NULL, COALESCE(a, b, ...),
+             IFNULL(a, b), NULLIF(a, b); WHERE keeps known-TRUE rows;
+             COUNT(x) counts non-NULL; SUM/AVG/MIN/MAX skip NULLs and
+             are NULL for all-NULL groups; GROUP BY groups NULLs
+             together; join keys never match on NULL; ORDER BY puts
+             NULL last ascending / first descending (PostgreSQL)
 
 Engine capacity knobs (static shapes) ride keyword arguments:
 ``sql(q, tables, capacity=..., max_groups=...)`` — join verbs receive the
@@ -335,14 +343,10 @@ class _Parser:
             out = e.like(t[1])
             return ~out if neg else out
         if self.eat_kw("IS"):
-            self.eat_kw("NOT")
+            not_ = self.eat_kw("NOT")
             self.expect_kw("NULL")
-            raise SqlError(
-                "this engine has no NULLs (static shapes; unmatched join "
-                "cells are zero-filled / ''-decoded) — IS [NOT] NULL has "
-                "no meaning here; compare against 0 / '' instead, or use "
-                "a join matched-indicator column"
-            )
+            out = e.is_not_null() if not_ else e.is_null()
+            return ~out if neg else out
         if neg:
             raise SqlError("NOT must precede IN, BETWEEN or LIKE here")
         op = self.eat_op("=", "!=", "<>", "<=", ">=", "<", ">")
@@ -425,6 +429,9 @@ class _Parser:
             return e
         if self.at_kw("CASE"):
             return self._case()
+        if self.eat_kw("NULL"):
+            from radix_sort_tpu.expr import null
+            return null()
         if t[0] == "id":
             name = self.ident()
             if self.at_op("."):
@@ -473,6 +480,22 @@ class _Parser:
             for a in args[1:]:
                 out = out.minimum(a) if fn == "LEAST" else out.maximum(a)
             return out
+        if fn in ("COALESCE", "IFNULL"):
+            from radix_sort_tpu.expr import coalesce
+            args = [self.parse_expr()]
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            if len(args) < 2:
+                raise SqlError(f"{fn} needs at least two arguments")
+            return coalesce(*args)
+        if fn == "NULLIF":
+            from radix_sort_tpu.expr import nullif
+            a = self.parse_expr()
+            self.expect_op(",")
+            b = self.parse_expr()
+            self.expect_op(")")
+            return nullif(a, b)
         if fn in _AGG_FNS or fn in _PARAM_AGG_FNS:
             if self.allow_aggs:
                 agg, argname = self._agg_args(fn)
@@ -564,7 +587,11 @@ class _Parser:
             arms.append((c, v))
         if not arms:
             raise SqlError("CASE needs at least one WHEN arm")
-        default = self.parse_expr() if self.eat_kw("ELSE") else lit(0)
+        if self.eat_kw("ELSE"):
+            default = self.parse_expr()
+        else:
+            from radix_sort_tpu.expr import null
+            default = null()  # SQL: missing ELSE is NULL
         self.expect_kw("END")
         out = default
         for c, v in reversed(arms):

@@ -43,6 +43,7 @@ import numpy as np
 
 import radix_sort_tpu as rst
 from radix_sort_tpu import keys as K
+from radix_sort_tpu import nulls as NL
 from radix_sort_tpu import strings as S
 from radix_sort_tpu.ops import query as Q
 
@@ -70,13 +71,25 @@ class Table:
     """An immutable relation: equal-length named columns + a valid-row
     count (the static-shape convention; rows [0, count) are the data)."""
 
-    def __init__(self, columns, count=None, dictionaries=None):
+    def __init__(self, columns, count=None, dictionaries=None,
+                 null_masks=None):
         cols = dict(columns)
         if not cols:
             raise ValueError("a Table needs at least one column")
         dicts = dict(dictionaries) if dictionaries else {}
+        masks = {n: m for n, m in (null_masks or {}).items()
+                 if m is not None}
         n = None
-        for name, c in cols.items():
+        for name, c in list(cols.items()):
+            if NL.is_mask_name(name):
+                # internal path: a companion null-mask column inline
+                cols[name] = jnp.asarray(c, jnp.bool_)
+                continue
+            if "\x00" in name:
+                raise ValueError(f"column name {name!r} contains NUL")
+            det = NL.detect(c)
+            if det is not None:
+                c, masks[name] = det  # np.ma / None-bearing host input
             if name not in dicts and S.is_string_data(c):
                 # dictionary-encode host string data: uint32 codes on
                 # device, sorted vocabulary on host (order-preserving)
@@ -93,6 +106,24 @@ class Table:
                     f"column {name!r} has length {c.shape[0]}, expected {n}"
                 )
             cols[name] = c
+        for name, m in masks.items():
+            if name not in cols:
+                raise ValueError(f"null mask for unknown column {name!r}")
+            m = jnp.asarray(m, jnp.bool_)
+            if m.shape != (n,):
+                raise ValueError(
+                    f"null mask for {name!r} has shape {m.shape}, "
+                    f"expected ({n},)"
+                )
+            cols[NL.mask_name(name)] = m
+        for name in list(cols):
+            # the engine invariant: values are 0 wherever the mask is True
+            # (what makes NULL==NULL grouping and null-safe sums work)
+            mn = NL.mask_name(name)
+            if not NL.is_mask_name(name) and mn in cols:
+                cols[name] = jnp.where(
+                    cols[mn], jnp.zeros((), cols[name].dtype), cols[name]
+                )
         self._cols = cols
         self._n = n
         self._count = None if count is None else jnp.asarray(count, jnp.int32)
@@ -122,7 +153,7 @@ class Table:
 
     @property
     def column_names(self):
-        return list(self._cols)
+        return [n for n in self._cols if not NL.is_mask_name(n)]
 
     def __getitem__(self, name: str) -> jnp.ndarray:
         return self._cols[name]
@@ -133,7 +164,54 @@ class Table:
     def __repr__(self):
         cnt = "all" if self._count is None else "traced"
         return (f"Table({self._n} rows [{cnt} valid], "
-                f"columns={list(self._cols)})")
+                f"columns={self.column_names})")
+
+    # ---- NULLs (nulls.py: hidden companion mask columns) -----------------
+
+    def is_nullable(self, name: str) -> bool:
+        """True if ``name`` carries a null mask."""
+        return NL.mask_name(name) in self._cols
+
+    def null_mask(self, name: str):
+        """The column's bool null mask (True = NULL), or None."""
+        return self._cols.get(NL.mask_name(name))
+
+    @property
+    def nullable_columns(self):
+        return [n for n in self.column_names if self.is_nullable(n)]
+
+    def _key_words(self, ref, arr):
+        """Key words of one sort/group key: the null-mask word first
+        (NULL sorts as +infinity / groups with NULL), then the encoded
+        value limbs. ``ref`` is the key's spec: a column name, a
+        :class:`~radix_sort_tpu.nulls.MaskedColumn`, or a raw array."""
+        m = self._mask_of_ref(ref)
+        words = [] if m is None else [m.astype(jnp.uint32)]
+        words.extend(K.encode_limbs(arr))
+        return words, m is not None
+
+    def _mask_of_ref(self, ref):
+        if isinstance(ref, str):
+            return self.null_mask(ref)
+        if isinstance(ref, NL.MaskedColumn):
+            return jnp.asarray(ref.mask, jnp.bool_)
+        return None
+
+    def _resolve_masked(self, cols):
+        """Like :meth:`_resolve` but keeps the original refs (so callers
+        can recover null masks) and canonicalizes masked values to 0."""
+        refs = _as_list(cols)
+        arrs = []
+        for c in refs:
+            if isinstance(c, str):
+                arrs.append(self._cols[c])
+            elif isinstance(c, NL.MaskedColumn):
+                v = jnp.asarray(c.values)
+                arrs.append(jnp.where(jnp.asarray(c.mask, jnp.bool_),
+                                      jnp.zeros((), v.dtype), v))
+            else:
+                arrs.append(jnp.asarray(c))
+        return arrs, refs
 
     def valid_mask(self) -> jnp.ndarray:
         """Bool mask of the valid prefix."""
@@ -194,16 +272,31 @@ class Table:
     # ---- projection ----------------------------------------------------
 
     def select(self, *names) -> "Table":
-        return Table({n: self._cols[n] for n in names}, self._count,
-                     dictionaries=self._subdicts(names))
+        cols = {}
+        for n in names:
+            cols[n] = self._cols[n]
+            mn = NL.mask_name(n)
+            if mn in self._cols:
+                cols[mn] = self._cols[mn]
+        return Table(cols, self._count, dictionaries=self._subdicts(names))
 
     def drop(self, *names) -> "Table":
-        keep = {n: c for n, c in self._cols.items() if n not in names}
+        gone = set(names)
+        keep = {
+            n: c for n, c in self._cols.items()
+            if (NL.base_name(n) if NL.is_mask_name(n) else n) not in gone
+        }
         return Table(keep, self._count, dictionaries=self._subdicts(keep))
 
     def rename(self, mapping) -> "Table":
+        def new(n):
+            if NL.is_mask_name(n):
+                b = NL.base_name(n)
+                return NL.mask_name(mapping.get(b, b))
+            return mapping.get(n, n)
+
         return Table(
-            {mapping.get(n, n): c for n, c in self._cols.items()},
+            {new(n): c for n, c in self._cols.items()},
             self._count,
             dictionaries={mapping.get(n, n): d
                           for n, d in self._dicts.items()},
@@ -213,6 +306,10 @@ class Table:
         cols = dict(self._cols)
         dicts = dict(self._dicts)
         for n, c in named.items():
+            det = NL.detect(c)
+            m = None
+            if det is not None:
+                c, m = det
             if S.is_string_data(c):
                 codes, vocab = S.encode(c)
                 dicts[n] = vocab
@@ -220,20 +317,37 @@ class Table:
             else:
                 dicts.pop(n, None)  # replaced by a numeric column
             c = jnp.asarray(c)
+            if m is not None and c.ndim == 0:
+                c = jnp.broadcast_to(c, (self._n,))  # e.g. a NULL literal
             if c.shape[0] != self._n:
                 raise ValueError(
                     f"column {n!r} has length {c.shape[0]}, expected {self._n}"
                 )
+            if m is not None:
+                m = jnp.broadcast_to(jnp.asarray(m, jnp.bool_), (self._n,))
+                cols[NL.mask_name(n)] = m
+                c = jnp.where(m, jnp.zeros((), c.dtype), c)
+            else:
+                cols.pop(NL.mask_name(n), None)  # replaced, no longer null
             cols[n] = c
         return Table(cols, self._count, dictionaries=dicts)
 
     # ---- relational operators ------------------------------------------
 
     def filter(self, mask) -> "Table":
-        """Rows where ``mask`` holds (a bool column or a callable taking
-        this Table), compacted to the front in original order."""
-        if callable(mask):
+        """Rows where ``mask`` holds (a bool column, an :class:`Expr`, or
+        a callable taking this Table), compacted to the front in original
+        order. A nullable predicate keeps only rows where it is known
+        TRUE (SQL WHERE semantics)."""
+        from radix_sort_tpu.expr import Expr
+
+        if isinstance(mask, Expr):
+            v, m = mask.evaluate_masked(self)
+            mask = v if m is None else (v & ~m)
+        elif callable(mask):
             mask = mask(self)
+        if isinstance(mask, NL.MaskedColumn):
+            mask = jnp.asarray(mask.values) & ~jnp.asarray(mask.mask)
         mask = jnp.asarray(mask)
         if self._count is not None:
             mask = mask & self.valid_mask()
@@ -244,16 +358,18 @@ class Table:
     def sort_by(self, by, descending=False) -> "Table":
         """Stable sort of the valid rows by one or more columns (every
         other column rides the one variadic sort; padding stays last).
-        ``descending`` is a bool or a per-column list."""
+        ``descending`` is a bool or a per-column list. NULL keys sort as
+        +infinity: last ascending, first descending (PostgreSQL)."""
         by = _as_list(by)
         desc = ([descending] * len(by)
                 if isinstance(descending, bool) else list(descending))
         if len(desc) != len(by):
             raise ValueError("descending list must match the by list")
-        key_cols = self._resolve(by)
+        key_cols, by = self._resolve_masked(by)
         limbs = []
-        for c, d in zip(key_cols, desc):
-            limbs.extend(~w if d else w for w in K.encode_limbs(c))
+        for c, d, name in zip(key_cols, desc, by):
+            words, _ = self._key_words(name, c)
+            limbs.extend(~w if d else w for w in words)
         flag = self._flag()
         if flag is not None:
             limbs = [flag, *limbs]
@@ -266,22 +382,36 @@ class Table:
 
     def distinct(self, subset=None) -> "Table":
         """Distinct rows over ``subset`` columns (default: all columns),
-        ascending lexicographically. Non-subset columns are dropped (their
-        per-group representative would be arbitrary)."""
-        names = _as_list(subset) or list(self._cols)
-        key_cols = self._resolve(names)
+        ascending lexicographically (NULL last, one group per SQL
+        semantics: NULL groups with NULL). Non-subset columns are dropped
+        (their per-group representative would be arbitrary)."""
+        names = _as_list(subset) or self.column_names
+        key_cols, names = self._resolve_masked(names)
         flag = self._flag()
+        keys_arg = [] if flag is None else [flag]
+        has_mask = []
+        for name, c in zip(names, key_cols):
+            m = self._mask_of_ref(name)
+            if m is not None:
+                keys_arg.append(m.astype(jnp.uint32))
+            has_mask.append(m is not None)
+            keys_arg.append(c)
         uk, _, num = rst.unique(
-            [flag, *key_cols] if flag is not None else
-            (key_cols if len(key_cols) > 1 else key_cols[0])
+            keys_arg if len(keys_arg) > 1 else keys_arg[0]
         )
         uks = list(uk) if isinstance(uk, (list, tuple)) else [uk]
         if flag is not None:
             fcol, uks = uks[0], uks[1:]
             pos = jnp.arange(uks[0].shape[0], dtype=jnp.int32)
             num = jnp.sum(((pos < num) & (fcol == 0)).astype(jnp.int32))
-        return Table(dict(zip(names, uks)), num,
-                     dictionaries=self._subdicts(names))
+        cols, i = {}, 0
+        for name, hm in zip(names, has_mask):
+            if hm:
+                cols[NL.mask_name(name)] = uks[i].astype(jnp.bool_)
+                i += 1
+            cols[name] = uks[i]
+            i += 1
+        return Table(cols, num, dictionaries=self._subdicts(names))
 
     def aggregate(self, by, aggs) -> "Table":
         """GROUP BY ``by`` (a column name/list, or None for one global
@@ -298,12 +428,33 @@ class Table:
             if not by:
                 raise ValueError("aggregate needs group keys or aggs")
             return self.distinct(by)  # GROUP BY with no aggregates
-        key_cols = self._resolve(by)
-        if not key_cols:
-            key_cols = [jnp.zeros((self._n,), jnp.uint32)]
+        key_cols, by = self._resolve_masked(by)
         flag = self._flag()
-        keys_arg = [flag, *key_cols] if flag is not None else key_cols
+        keys_arg = [] if flag is None else [flag]
+        key_has_mask = []
+        if not key_cols:
+            keys_arg.append(jnp.zeros((self._n,), jnp.uint32))
+        for kname, kc in zip(by, key_cols):
+            m = self._mask_of_ref(kname)
+            if m is not None:
+                keys_arg.append(m.astype(jnp.uint32))
+            key_has_mask.append(m is not None)
+            keys_arg.append(kc)
         names, val_cols, agg_list, out_dicts = [], [], [], {}
+        # post-processing plan: (out_name, kind, value-slot indexes...)
+        post, nonnull_slot = [], {}
+
+        def _slot(agg, arr):
+            val_cols.append(arr)
+            agg_list.append(agg)
+            return len(val_cols) - 1
+
+        def _nonnull(m, key):
+            # one shared non-null counter per distinct nullable column
+            if key not in nonnull_slot:
+                nonnull_slot[key] = _slot("sum", (~m).astype(jnp.int32))
+            return nonnull_slot[key]
+
         for out_name, spec in aggs.items():
             if isinstance(spec, str):
                 agg, col = spec, None
@@ -324,16 +475,85 @@ class Table:
                 # value-typed output: inherits the source dictionary
                 out_dicts[out_name] = self._dicts[col]
             names.append(out_name)
-            val_cols.append(self._resolve(col)[0])
-            agg_list.append(agg)
+            m = self._mask_of_ref(col)
+            if isinstance(col, NL.MaskedColumn):
+                arr = jnp.asarray(col.values)
+                arr = jnp.where(m, jnp.zeros((), arr.dtype), arr)
+                mkey = id(col)
+            else:
+                arr = self._resolve(col)[0]
+                mkey = col if isinstance(col, str) else id(col)
+            if m is None:
+                post.append((out_name, "plain", _slot(agg, arr)))
+                continue
+            # NULL-skipping rewrites (values are 0 under the mask):
+            if agg == "count":
+                # COUNT(col): non-null rows only; never NULL itself
+                post.append((out_name, "plain", _nonnull(m, mkey)))
+            elif agg == "sum":
+                post.append((out_name, "nullable", _slot("sum", arr),
+                             _nonnull(m, mkey)))
+            elif agg == "mean":
+                ft = (jnp.float64 if arr.dtype == jnp.float64
+                      else jnp.float32)
+                post.append((out_name, "mean",
+                             _slot("sum", arr.astype(ft)),
+                             _nonnull(m, mkey)))
+            elif agg == "min":
+                filled = jnp.where(m, NL.dtype_max(arr.dtype), arr)
+                post.append((out_name, "nullable", _slot("min", filled),
+                             _nonnull(m, mkey)))
+            elif agg == "max":
+                filled = jnp.where(m, NL.dtype_min(arr.dtype), arr)
+                post.append((out_name, "nullable", _slot("max", filled),
+                             _nonnull(m, mkey)))
+            elif agg == "any":
+                post.append((out_name, "nullable", _slot("any", arr),
+                             _nonnull(m, mkey)))
+            elif agg == "all":
+                filled = jnp.where(m, jnp.ones((), arr.dtype), arr)
+                post.append((out_name, "nullable", _slot("all", filled),
+                             _nonnull(m, mkey)))
+            elif agg in ("first", "last"):
+                # the value AND its nullness at the group's first/last row
+                post.append((out_name, "pair", _slot(agg, arr),
+                             _slot(agg, m.astype(jnp.int32))))
+            else:
+                raise TypeError(
+                    f"{out_name!r}: aggregate {agg!r} over a NULLABLE "
+                    f"column is not supported (holistic aggregates need "
+                    f"non-null inputs here) — fill_null(...) or filter "
+                    f"is_not_null() first"
+                )
         uk, outs, cnt = rst.hash_aggregate(keys_arg, val_cols, agg_list)
-        uks = list(uk)
+        uks, outs = list(uk), list(outs)
         if flag is not None:
             fcol, uks = uks[0], uks[1:]
             pos = jnp.arange(self._n, dtype=jnp.int32)
             cnt = jnp.sum(((pos < cnt) & (fcol == 0)).astype(jnp.int32))
-        cols = dict(zip(by, uks[:len(by)]))  # drops the dummy global key
-        cols.update(zip(names, outs))
+        cols, i = {}, 0
+        for kname, hm in zip(by, key_has_mask):  # drops the dummy key
+            if hm:
+                cols[NL.mask_name(kname)] = uks[i].astype(jnp.bool_)
+                i += 1
+            cols[kname] = uks[i]
+            i += 1
+        for item in post:
+            out_name, kind = item[0], item[1]
+            if kind == "plain":
+                cols[out_name] = outs[item[2]]
+                continue
+            if kind == "pair":
+                v, mi = outs[item[2]], outs[item[3]]
+                gm = mi != 0
+            else:
+                v, nn = outs[item[2]], outs[item[3]]
+                gm = nn == 0  # all-NULL group -> NULL result (SQL)
+                if kind == "mean":
+                    denom = jnp.maximum(nn, 1).astype(v.dtype)
+                    v = v / denom
+            cols[out_name] = jnp.where(gm, jnp.zeros((), v.dtype), v)
+            cols[NL.mask_name(out_name)] = gm
         return Table(cols, cnt,
                      dictionaries={**self._subdicts(by), **out_dicts})
 
@@ -364,6 +584,8 @@ class Table:
                 )
         on = _as_list(on)
         lk, rk, key_dicts = [], [], {}
+        lkey_masks, rkey_masks = {}, {}
+        lnull = rnull = None
         for name in on:
             lc = self._resolve(name)[0]
             rc = other._resolve(name)[0]
@@ -382,16 +604,35 @@ class Table:
                 lc = jnp.asarray(ra)[lc]
                 rc = jnp.asarray(rb)[rc]
                 key_dicts[name] = union
+            if isinstance(name, str):
+                lm = self.null_mask(name)
+                rm = other.null_mask(name)
+                if lm is not None:
+                    lkey_masks[name] = lm
+                    lnull = NL.merge_masks(lnull, lm)
+                if rm is not None:
+                    rkey_masks[name] = rm
+                    rnull = NL.merge_masks(rnull, rm)
             lk.append(lc)
             rk.append(rc)
         lflag, rflag = self._flag(), other._flag()
-        if lflag is not None or rflag is not None:
+        if (lflag is not None or rflag is not None
+                or lnull is not None or rnull is not None):
             # per-side flag words: padding never equals anything (left 1,
-            # right 2, valid 0)
-            lf = (lflag if lflag is not None
-                  else jnp.zeros((self._n,), jnp.uint32))
-            rf = ((rflag * jnp.uint32(2)) if rflag is not None
-                  else jnp.zeros((other._n,), jnp.uint32))
+            # right 2, valid 0); NULL keys never match either — not even
+            # each other (SQL) — so they get their own per-side values
+            # (left 3, right 4), kept distinct from padding so outer
+            # joins can still EMIT them unmatched
+            lf = jnp.zeros((self._n,), jnp.uint32)
+            if lnull is not None:
+                lf = jnp.where(lnull, jnp.uint32(3), lf)
+            if lflag is not None:
+                lf = jnp.where(lflag != 0, jnp.uint32(1), lf)
+            rf = jnp.zeros((other._n,), jnp.uint32)
+            if rnull is not None:
+                rf = jnp.where(rnull, jnp.uint32(4), rf)
+            if rflag is not None:
+                rf = jnp.where(rflag != 0, jnp.uint32(2), rf)
             lk, rk = [lf, *lk], [rf, *rk]
             flagged = True
         else:
@@ -408,8 +649,15 @@ class Table:
             fcol, jks = jks[0], jks[1:]
         valid = jnp.arange(capacity, dtype=jnp.int32) < cnt
         if flagged and how in ("left", "anti", "right", "full"):
-            # unmatched padding rows emit under these variants; drop them
-            keep = valid & (fcol == 0)
+            # unmatched PADDING rows emit under these variants; drop them.
+            # NULL-key rows (flags 3/4) are real rows — the variants that
+            # emit their side unmatched keep them (SQL outer semantics)
+            keep_f = fcol == 0
+            if how in ("left", "anti", "full"):
+                keep_f = keep_f | (fcol == 3)
+            if how in ("right", "full"):
+                keep_f = keep_f | (fcol == 4)
+            keep = valid & keep_f
             *packed, cnt = rst.filter(keep, *jks, jl, jr)
             jks, jl, jr = packed[:-2], packed[-2], packed[-1]
             valid = jnp.arange(capacity, dtype=jnp.int32) < cnt
@@ -418,20 +666,46 @@ class Table:
         dicts = dict(key_dicts)
         matched_l = valid & (jl > 0)
         lg = jnp.clip(jl - 1, 0, self._n - 1)
+        matched = valid & (jr > 0)
+        rg = jnp.clip(jr - 1, 0, other._n - 1)
+        if lkey_masks or rkey_masks:
+            # a key cell is NULL iff its emitting row's key was NULL
+            for name in on:
+                lm = lkey_masks.get(name)
+                rm = rkey_masks.get(name)
+                if lm is None and rm is None:
+                    continue
+                km = jnp.where(
+                    matched_l,
+                    lm[lg] if lm is not None else False,
+                    jnp.where(matched,
+                              rm[rg] if rm is not None else False,
+                              False),
+                )
+                cols[NL.mask_name(name)] = km
         for name, c in self._cols.items():
-            if name in on:
+            if name in on or NL.is_mask_name(name):
                 continue
             cols[name] = jnp.where(matched_l, c[lg], 0)
+            lm = self.null_mask(name)
+            if lm is not None or how in ("right", "full"):
+                # unmatched-left cells (right/full joins) are SQL NULL
+                src = lm[lg] if lm is not None else jnp.zeros_like(matched_l)
+                cols[NL.mask_name(name)] = jnp.where(matched_l, src, True)
             if name in self._dicts:
                 dicts[name] = self._dicts[name]
         if how in ("inner", "left", "right", "full"):
-            matched = valid & (jr > 0)
-            rg = jnp.clip(jr - 1, 0, other._n - 1)
             for name, c in other._cols.items():
-                if name in on:
+                if name in on or NL.is_mask_name(name):
                     continue
                 out_name = name + suffix if name in cols else name
                 cols[out_name] = jnp.where(matched, c[rg], 0)
+                rm = other.null_mask(name)
+                if rm is not None or how in ("left", "full"):
+                    # unmatched-right cells (left/full joins) are SQL NULL
+                    src = rm[rg] if rm is not None else jnp.zeros_like(matched)
+                    cols[NL.mask_name(out_name)] = jnp.where(matched, src,
+                                                             True)
                 if name in other._dicts:
                     dicts[out_name] = other._dicts[name]
         return Table(cols, cnt, dictionaries=dicts), ovf
@@ -460,6 +734,11 @@ class Table:
             lk = jnp.asarray(ra)[lk]
             rk = jnp.asarray(rb)[rk]
         rvalid = None if other._count is None else other.valid_mask()
+        rk_null = other.null_mask(on) if isinstance(on, str) else None
+        if rk_null is not None:
+            # NULL right keys are never match candidates
+            rvalid = (~rk_null if rvalid is None else (rvalid & ~rk_null))
+        lk_null = self.null_mask(on) if isinstance(on, str) else None
         ridx = jnp.arange(other._n, dtype=jnp.int32)
         _, matched, rpos = rst.join_asof(
             lk, rk, ridx, direction=direction, tolerance=tolerance,
@@ -467,14 +746,23 @@ class Table:
         )
         if self._count is not None:
             matched = matched & self.valid_mask()
+        if lk_null is not None:
+            matched = matched & ~lk_null  # NULL query keys never match
         rg = jnp.clip(rpos, 0, other._n - 1)
         cols = dict(self._cols)
         dicts = dict(self._dicts)
         for name, c in other._cols.items():
-            if name == on:
+            if name == on or NL.is_mask_name(name):
                 continue
             out_name = name + suffix if name in cols else name
             cols[out_name] = jnp.where(matched, c[rg], 0)
+            rm = other.null_mask(name)
+            if rm is not None:
+                # matched rows inherit the source cell's nullness;
+                # unmatched stay zero-filled (documented contract — use
+                # matched_col to distinguish)
+                cols[NL.mask_name(out_name)] = jnp.where(matched, rm[rg],
+                                                         False)
             if name in other._dicts:
                 dicts[out_name] = other._dicts[name]
         if matched_col is not None:
@@ -482,7 +770,7 @@ class Table:
         return Table(cols, self._count, dictionaries=dicts)
 
     def _set_op(self, other: "Table", subset, want) -> "Table":
-        names = _as_list(subset) or list(self._cols)
+        names = _as_list(subset) or self.column_names
         a_cols = self._resolve(names)
         b_cols = other._resolve(names)
         out_dicts = {}
@@ -501,17 +789,41 @@ class Table:
                 a_cols[i] = jnp.asarray(ra)[a_cols[i]]
                 b_cols[i] = jnp.asarray(rb)[b_cols[i]]
                 out_dicts[name] = union
+        # NULL rows compare equal to NULL rows in set ops (SQL DISTINCT
+        # semantics): weave a mask word per nullable column
+        a_keys, b_keys, has_mask = [], [], []
+        for i, name in enumerate(names):
+            am = (self.null_mask(name) if isinstance(name, str) else None)
+            bm = (other.null_mask(name) if isinstance(name, str) else None)
+            hm = am is not None or bm is not None
+            if hm:
+                a_keys.append(
+                    am.astype(jnp.uint32) if am is not None
+                    else jnp.zeros((self._n,), jnp.uint32))
+                b_keys.append(
+                    bm.astype(jnp.uint32) if bm is not None
+                    else jnp.zeros((other._n,), jnp.uint32))
+            has_mask.append(hm)
+            a_keys.append(a_cols[i])
+            b_keys.append(b_cols[i])
         from radix_sort_tpu.ops import relational
         keys_out, count = relational._set_op(
-            a_cols if len(a_cols) > 1 else a_cols[0],
-            b_cols if len(b_cols) > 1 else b_cols[0],
+            a_keys if len(a_keys) > 1 else a_keys[0],
+            b_keys if len(b_keys) > 1 else b_keys[0],
             want,
             a_valid=None if self._count is None else self.valid_mask(),
             b_valid=None if other._count is None else other.valid_mask(),
         )
         kouts = (list(keys_out) if isinstance(keys_out, (list, tuple))
                  else [keys_out])
-        return Table(dict(zip(names, kouts)), count, dictionaries=out_dicts)
+        cols, i = {}, 0
+        for name, hm in zip(names, has_mask):
+            if hm:
+                cols[NL.mask_name(name)] = kouts[i].astype(jnp.bool_)
+                i += 1
+            cols[name] = kouts[i]
+            i += 1
+        return Table(cols, count, dictionaries=out_dicts)
 
     def union(self, other: "Table", subset=None) -> "Table":
         """SQL ``UNION`` (distinct) over ``subset`` columns (default: all of
@@ -538,6 +850,8 @@ class Table:
         fenced into their own partitions and never affect valid results."""
         specs = []
         out_dicts = {}
+        mask_spec_of = {}  # out_name -> index of its parallel mask spec
+        tail_specs = []    # the mask specs, appended after the real ones
         for out_name, spec in ops.items():
             if isinstance(spec, str):
                 specs.append(spec)
@@ -553,21 +867,77 @@ class Table:
                             self._no_string(
                                 spec[1], f"window op {spec[0]!r}"
                             )
-                    spec[1] = self._resolve(spec[1])[0]
+                    vmask = self._mask_of_ref(spec[1])
+                    spec[1] = self._resolve_masked([spec[1]])[0][0]
+                    if vmask is not None:
+                        if spec[0] not in ("lag", "lead", "first_value",
+                                           "last_value", "nth_value"):
+                            raise TypeError(
+                                f"window op {spec[0]!r} over a NULLABLE "
+                                f"value column is not supported (only the "
+                                f"row-selection ops lag/lead/first_value/"
+                                f"last_value/nth_value carry NULLs "
+                                f"through) — fill_null(...) first"
+                            )
+                        # the selection op applied to the mask itself
+                        # yields the selected cell's nullness; out-of-
+                        # window fills are NULL (fill=1)
+                        mspec = [spec[0], vmask.astype(jnp.int32),
+                                 *spec[2:]]
+                        if spec[0] in ("lag", "lead", "nth_value"):
+                            if len(mspec) == 2:
+                                mspec.append(1)  # default offset / k
+                            mspec = mspec[:3] + [1]  # fill = NULL
+                        mask_spec_of[out_name] = (len(ops)
+                                                  + len(tail_specs))
+                        tail_specs.append(tuple(mspec))
                 specs.append(tuple(spec))
-        p_cols = self._resolve(partition_by)
+        specs.extend(tail_specs)
+        p_cols, _prefs = self._resolve_masked(partition_by)
+        pmasks = [
+            self._mask_of_ref(c).astype(jnp.uint32)
+            for c in _as_list(partition_by)
+            if self._mask_of_ref(c) is not None
+        ]
+        if pmasks:
+            # NULL partition keys form ONE partition together (SQL)
+            p_cols = [*pmasks, *p_cols]
         flag = self._flag()
         if flag is not None:
             p_cols = [flag, *p_cols]
+        ob = _as_list(order_by)
+        o_cols, o_desc = [], None
+        if any(self._mask_of_ref(c) is not None for c in ob):
+            # weave a NULL word per nullable order column: NULL orders
+            # as +infinity (last ascending, first descending)
+            desc_in = ([descending] * len(ob)
+                       if descending is None or isinstance(descending, bool)
+                       else list(descending))
+            o_desc = []
+            for c, d in zip(ob, desc_in):
+                m = self._mask_of_ref(c)
+                d = bool(d) if d is not None else False
+                if m is not None:
+                    o_cols.append(m.astype(jnp.uint32))
+                    o_desc.append(d)
+                o_cols.append(self._resolve_masked([c])[0][0])
+                o_desc.append(d)
+        else:
+            o_cols = self._resolve(ob)
+            o_desc = descending
         outs = rst.window(
             specs,
             partition_by=p_cols or None,
-            order_by=self._resolve(order_by) or None,
-            descending=descending,
+            order_by=o_cols or None,
+            descending=o_desc,
         )
         if isinstance(outs, jnp.ndarray):
             outs = [outs]
-        res = self.with_columns(**dict(zip(ops, outs)))
+        new_cols = dict(zip(ops, outs))
+        for out_name, idx in mask_spec_of.items():
+            new_cols[out_name] = NL.MaskedColumn(new_cols[out_name],
+                                                 outs[idx] != 0)
+        res = self.with_columns(**new_cols)
         if out_dicts:
             res = Table(res._cols, res._count,
                         dictionaries={**res._dicts, **out_dicts})
@@ -580,8 +950,15 @@ class Table:
         the row count clamps (LIMIT semantics: all rows, sorted)."""
         k = min(int(k), self._n)
         by = _as_list(by)
-        key_cols = self._resolve(by)
-        keys_arg = list(key_cols)
+        key_cols, by = self._resolve_masked(by)
+        keys_arg = []
+        for name, c in zip(by, key_cols):
+            m = self._mask_of_ref(name)
+            if m is not None:
+                # NULL keys behave as +infinity: first for largest
+                # (ORDER BY ... DESC LIMIT semantics), last otherwise
+                keys_arg.append(m.astype(jnp.uint32))
+            keys_arg.append(c)
         flag = self._flag()
         if flag is not None:
             # leading indicator that makes VALID rows win either direction
@@ -634,9 +1011,10 @@ class Table:
         """UNION ALL: this table's valid rows followed by ``other``'s (same
         column names/dtypes; a stable validity sort re-packs the combined
         valid rows into a prefix)."""
-        if list(self._cols) != list(other._cols):
+        if self.column_names != other.column_names:
             raise ValueError("concat needs identical column names")
-        for n, c in self._cols.items():
+        for n in self.column_names:
+            c = self._cols[n]
             if np.dtype(c.dtype) != np.dtype(other._cols[n].dtype):
                 raise ValueError(f"column {n!r} dtypes differ")
             if (n in self._dicts) != (n in other._dicts):
@@ -649,11 +1027,20 @@ class Table:
             remapped[n] = (jnp.asarray(ra)[self._cols[n]],
                            jnp.asarray(rb)[other._cols[n]])
             out_dicts[n] = union
-        cols = {
-            n: (jnp.concatenate(remapped[n]) if n in remapped
-                else jnp.concatenate([c, other._cols[n]]))
-            for n, c in self._cols.items()
-        }
+        cols = {}
+        for n in self.column_names:
+            cols[n] = (jnp.concatenate(remapped[n]) if n in remapped
+                       else jnp.concatenate([self._cols[n],
+                                             other._cols[n]]))
+            am, bm = self.null_mask(n), other.null_mask(n)
+            if am is not None or bm is not None:
+                # a side without a mask contributes all-non-null
+                cols[NL.mask_name(n)] = jnp.concatenate([
+                    am if am is not None
+                    else jnp.zeros((self._n,), jnp.bool_),
+                    bm if bm is not None
+                    else jnp.zeros((other._n,), jnp.bool_),
+                ])
         if self._count is None and other._count is None:
             return Table(cols, dictionaries=out_dicts)
         flag = jnp.concatenate([
@@ -680,10 +1067,16 @@ class Table:
                 f"t[{column!r}] and decode(..) explicitly if intended"
             )
         (col,) = self._resolve([column])
-        if self._count is None:
+        m = self.null_mask(column) if isinstance(column, str) else None
+        if self._count is None and m is None:
             return rst.quantiles(col, qs, method=method)
-        # order by (valid-first, value); rank r of the valid prefix is row r
-        flag = self._flag()
+        # order by (valid-and-non-null-first, value); rank r of the
+        # kept prefix is row r — NULLs are excluded (SQL order statistics)
+        keep = self.valid_mask()
+        if m is not None:
+            keep = keep & ~m
+        flag = (~keep).astype(jnp.uint32)
+        eff_count = jnp.sum(keep.astype(jnp.int32))
         limbs = K.encode_limbs(col)
         out = Q._stable_sort([flag, *limbs], num_keys=1 + len(limbs))
         svals = K.decode_limbs(list(out[1:]), col.dtype)
@@ -697,7 +1090,7 @@ class Table:
             raise ValueError(
                 f"method must be one of {QUANTILE_METHODS}, got {method!r}"
             )
-        x = jnp.asarray(qs, jnp.float32) * (self._count - 1).astype(
+        x = jnp.asarray(qs, jnp.float32) * (eff_count - 1).astype(
             jnp.float32
         )
         if method == "lower":
@@ -707,7 +1100,7 @@ class Table:
         else:
             r = jnp.floor(x + 0.5)
         idx = jnp.clip(r.astype(jnp.int32), 0,
-                       jnp.maximum(self._count - 1, 0))
+                       jnp.maximum(eff_count - 1, 0))
         return svals[idx]
 
     # ---- deferred execution ---------------------------------------------
@@ -726,12 +1119,19 @@ class Table:
     def to_numpy(self):
         """dict of numpy arrays holding ONLY the valid rows (eager only:
         fetches ``count`` to the host). String columns decode through
-        their dictionaries back to numpy unicode arrays."""
+        their dictionaries back to numpy unicode arrays. NULLABLE columns
+        come back as ``np.ma.MaskedArray`` (mask True = NULL; the data
+        under the mask is 0 / ``""``)."""
         n = self._n if self._count is None else int(self._count)
         out = {}
         for name, col in self._cols.items():
+            if NL.is_mask_name(name):
+                continue
             a = np.asarray(col[:n])
             if name in self._dicts:
                 a = S.decode(a, self._dicts[name])
+            m = self.null_mask(name)
+            if m is not None:
+                a = np.ma.MaskedArray(a, mask=np.asarray(m[:n]))
             out[name] = a
         return out
