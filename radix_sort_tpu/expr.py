@@ -153,21 +153,30 @@ class Expr:
         if k == "lit":
             return self.args[0], None
         if k == "nulllit":
-            # a typed-less NULL scalar: value 0, mask True (broadcasts)
-            return 0, True
+            # a typed-less NULL scalar: canonical value False (a 0-d bool
+            # array: acts as 0 in arithmetic, stays bool through Kleene
+            # and/or) and mask True (0-d array, not Python bool — `~True`
+            # is -2 and would poison downstream logic)
+            return jnp.asarray(False), jnp.asarray(True)
         if k == "bin":
             op, a, b = self.args
             if op not in _COMPARES:
                 _reject_string_arith(op, (a, b), table)
+            # evaluate each child exactly ONCE — values and mask together.
+            # (A mask re-walk here would make deep chains O(2^depth) in
+            # both trace time and eager compute.)
+            av, am = _ev_masked(a, table)
+            bv, bm = _ev_masked(b, table)
             if op in ("and", "or"):
-                av, am = _ev_masked(a, table)
-                bv, bm = _ev_masked(b, table)
                 return _kleene(op, av, am, bv, bm)
-            op2, av, bv = _resolve_string_compare(op, a, b, table)
-            m = _mor(_mask_of(a, table), _mask_of(b, table))
+            op2, av, bv = _resolve_string_compare(op, a, av, b, bv, table)
+            m = _mor(am, bm)
             v = _BINOPS[op2][0](av, bv)
-            if m is not None and v.dtype == jnp.bool_:
-                v = v & ~m
+            if m is not None:
+                # v can be a Python scalar (two literal operands)
+                v = jnp.asarray(v)
+                if v.dtype == jnp.bool_:
+                    v = v & ~m
             return v, m
         if k == "un":
             op, a = self.args
@@ -466,10 +475,6 @@ class Expr:
         return f"Expr({k})"
 
 
-def _ev(x, table):
-    return x.evaluate(table) if isinstance(x, Expr) else x
-
-
 def _ev_masked(x, table):
     if isinstance(x, Expr):
         return x.evaluate_masked(table)
@@ -477,8 +482,11 @@ def _ev_masked(x, table):
 
 
 def _mask_of(x, table):
-    """The null mask of an operand (None if not nullable). Re-walks the
-    subtree; under jit XLA CSEs the duplicated value computation away."""
+    """The null mask of a LEAF operand (col/lit). Only call this on leaf
+    nodes — on an interior node it would re-evaluate the whole subtree a
+    second time (the O(2^depth) trap the bin branch avoids by evaluating
+    each child exactly once)."""
+    assert not isinstance(x, Expr) or x.kind in ("col", "lit"), x.kind
     return _ev_masked(x, table)[1]
 
 
@@ -541,25 +549,30 @@ def _reject_string_arith(op, operands, table):
             )
 
 
-def _resolve_string_compare(op, a, b, table):
+def _resolve_string_compare(op, a, av, b, bv, table):
     """Make comparisons over dictionary-encoded string columns correct.
+
+    Takes the already-evaluated operand values ``av``/``bv`` alongside
+    the Expr nodes (the nodes are consulted only for string-column /
+    string-literal detection — never re-evaluated, so the caller's
+    evaluate-each-child-once contract holds).
 
     col(s) OP "literal": the literal resolves against the column's sorted
     vocabulary — equality via code lookup (absent values equal nothing);
     ordering via the literal's boundary rank (code < left-rank <=> value <
     literal; side/op adjust for <=/>). col(s1) OP col(s2): the two
     vocabularies unify and both code columns remap so one code space
-    carries the total order. Everything else evaluates untouched."""
+    carries the total order. Everything else passes through untouched."""
     if op in _COMPARES and _is_str_lit(a) and not _is_str_lit(b):
         # mirror so the column is on the left
-        op, a, b = _MIRROR[op], b, a
+        op, a, b, av, bv = _MIRROR[op], b, a, bv, av
     an = _str_col_name(a, table)
     if op in _COMPARES and an is not None and _is_str_lit(b):
         from radix_sort_tpu import strings as S
         vocab = table.dictionary(an)
         s = b.args[0]
         s = s.decode() if isinstance(s, bytes) else s
-        codes = table[an]
+        codes = av  # a col node's value IS the code column
         if op in ("eq", "ne"):
             return op, codes, jnp.uint32(S.lookup(vocab, s))
         side = "left" if op in ("lt", "ge") else "right"
@@ -584,8 +597,8 @@ def _resolve_string_compare(op, a, b, table):
     if op in _COMPARES and an is not None and bn is not None:
         from radix_sort_tpu import strings as S
         _, ra, rb = S.unify(table.dictionary(an), table.dictionary(bn))
-        return op, jnp.asarray(ra)[table[an]], jnp.asarray(rb)[table[bn]]
-    return op, _ev(a, table), _ev(b, table)
+        return op, jnp.asarray(ra)[av], jnp.asarray(rb)[bv]
+    return op, av, bv
 
 
 def col(name: str) -> Expr:

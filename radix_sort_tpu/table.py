@@ -106,6 +106,18 @@ class Table:
                     f"column {name!r} has length {c.shape[0]}, expected {n}"
                 )
             cols[name] = c
+        if n is None:
+            raise ValueError("a Table needs at least one data column "
+                             "(only null-mask columns were given)")
+        for name, c in cols.items():
+            # inline mask columns skipped the first-pass length check
+            # (n may not be known when they appear); validate them now so
+            # a wrong-length mask fails here, not deep inside a kernel
+            if NL.is_mask_name(name) and c.shape != (n,):
+                raise ValueError(
+                    f"null-mask column {name!r} has shape {c.shape}, "
+                    f"expected ({n},)"
+                )
         for name, m in masks.items():
             if name not in cols:
                 raise ValueError(f"null mask for unknown column {name!r}")
@@ -349,6 +361,9 @@ class Table:
         if isinstance(mask, NL.MaskedColumn):
             mask = jnp.asarray(mask.values) & ~jnp.asarray(mask.mask)
         mask = jnp.asarray(mask)
+        if mask.ndim == 0:
+            # all-scalar predicate (e.g. WHERE 1 = NULL): broadcast to rows
+            mask = jnp.broadcast_to(mask, (self._n,))
         if self._count is not None:
             mask = mask & self.valid_mask()
         *out, cnt = rst.filter(mask, *self._cols.values())

@@ -293,11 +293,14 @@ class TestAggregates:
                 seen += 1
         assert seen == out["r"].size
 
-    def test_is_null_typed_error(self, db):
-        with pytest.raises(SqlError, match="no NULLs"):
-            sql("SELECT oid FROM orders WHERE qty IS NULL", _tables(db))
-        with pytest.raises(SqlError, match="no NULLs"):
-            sql("SELECT oid FROM orders WHERE qty IS NOT NULL", _tables(db))
+    def test_is_null_on_non_nullable(self, db):
+        # a never-null column: IS NULL keeps nothing, IS NOT NULL keeps all
+        out = sql("SELECT oid FROM orders WHERE qty IS NULL",
+                  _tables(db)).collect().to_numpy()
+        assert len(out["oid"]) == 0
+        out = sql("SELECT oid FROM orders WHERE qty IS NOT NULL",
+                  _tables(db)).collect().to_numpy()
+        assert len(out["oid"]) == N
 
     def test_quantile_aggregate(self, db):
         orders, _ = db
@@ -579,7 +582,8 @@ class TestJoins:
         region_of = dict(zip(custs["cust"], custs["region"]))
         got = dict(zip(out["oid"].tolist(), out["region"].tolist()))
         for o, c in zip(orders["oid"], orders["cust"]):
-            want = "north" if region_of[c] == "north" else ""
+            # unmatched LEFT JOIN cells are SQL NULL (None via tolist)
+            want = "north" if region_of[c] == "north" else None
             assert got[int(o)] == want
 
 

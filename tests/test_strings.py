@@ -144,13 +144,14 @@ class TestTableStrings:
         assert rows == [("lima", 1, 10), ("lima", 1, 10),
                         ("oslo", 4, 7), ("oslo", 9, 7)]
 
-    def test_left_join_unmatched_decodes_empty(self, st):
+    def test_left_join_unmatched_is_null(self, st):
         pop = Table({"city": ["lima"], "pop": np.array([10], np.int32),
                      "tag": ["x"]})
         j, _ = st.join(pop, "city", capacity=16, how="left")
         out = j.to_numpy()
-        for c, t in zip(out["city"], out["tag"]):
-            assert t == ("x" if c == "lima" else "")
+        # unmatched cells are SQL NULL (masked; data under the mask is "")
+        for c, t in zip(out["city"], out["tag"].tolist()):
+            assert t == ("x" if c == "lima" else None)
 
     def test_mixed_string_numeric_join_key_raises(self, st):
         other = Table({"city": np.arange(3, dtype=np.uint32),
