@@ -42,7 +42,7 @@ from radix_sort_tpu.ops.relational import (
     ASOF_DIRECTIONS,
 )
 from radix_sort_tpu.ops.window import window, WINDOW_OPS
-from radix_sort_tpu.expr import col, lit, udf
+from radix_sort_tpu.expr import col, lit, udf, where, concat, coalesce, nullif, null
 from radix_sort_tpu.sql import sql, SqlError
 from radix_sort_tpu.table import Table
 
@@ -96,6 +96,11 @@ __all__ = [
     "col",
     "lit",
     "udf",
+    "where",
+    "concat",
+    "coalesce",
+    "nullif",
+    "null",
     "sql",
     "SqlError",
     "WINDOW_OPS",

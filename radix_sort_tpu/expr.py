@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["Expr", "col", "lit", "where", "udf", "coalesce", "nullif",
-           "null"]
+           "null", "concat"]
 
 # binary op name -> (callable, printable symbol)
 _BINOPS = {
@@ -162,6 +162,9 @@ class Expr:
             op, a, b = self.args
             if op not in _COMPARES:
                 _reject_string_arith(op, (a, b), table)
+            elif (_is_string_valued(a, table) or _is_string_valued(b, table)
+                  or _is_str_lit(a) or _is_str_lit(b)):
+                return _string_compare(op, a, b, table)
             # evaluate each child exactly ONCE — values and mask together.
             # (A mask re-walk here would make deep chains O(2^depth) in
             # both trace time and eager compute.)
@@ -169,9 +172,8 @@ class Expr:
             bv, bm = _ev_masked(b, table)
             if op in ("and", "or"):
                 return _kleene(op, av, am, bv, bm)
-            op2, av, bv = _resolve_string_compare(op, a, av, b, bv, table)
             m = _mor(am, bm)
-            v = _BINOPS[op2][0](av, bv)
+            v = _BINOPS[op][0](av, bv)
             if m is not None:
                 # v can be a Python scalar (two literal operands)
                 v = jnp.asarray(v)
@@ -188,10 +190,40 @@ class Expr:
             return v, am
         if k == "cast":
             a, dt = self.args
+            if _is_string_valued(a, table):
+                raise TypeError(
+                    "CAST of a string column is not supported (it would "
+                    "reinterpret dictionary codes, not parse the values)"
+                )
             av, am = _ev_masked(a, table)
             return av.astype(dt), am
+        if k in ("strfn", "concat"):
+            codes, _vocab, m = self.string_result(table)
+            return codes, m
+        if k in ("strnum", "strbool"):
+            fname, child, params = self.args
+            sub = _ev_str_chain(child, table)
+            if sub is None:
+                raise TypeError(
+                    f"{fname.upper()} needs a string-valued argument (a "
+                    f"string column or string expression), got {child!r}"
+                )
+            codes, vals, m = sub
+            fns = _S().STR_NUM_FNS if k == "strnum" else _S().STR_BOOL_FNS
+            v = jnp.asarray(fns[fname](vals, *params))[codes]
+            if k == "strbool" and m is not None:
+                v = v & ~m
+            return v, m
         if k == "where":
             c, a, b = self.args
+            if _is_string_valued(a, table) or _is_string_valued(b, table):
+                sr = self.string_result(table)
+                if sr is None:
+                    raise TypeError(
+                        "CASE/where over strings needs BOTH branches "
+                        "string-valued (or NULL / string literals)"
+                    )
+                return sr[0], sr[2]
             cv, cm = _ev_masked(c, table)
             av, am = _ev_masked(a, table)
             bv, bm = _ev_masked(b, table)
@@ -210,6 +242,14 @@ class Expr:
                 return jnp.zeros(jnp.shape(av), jnp.bool_), None
             return jnp.broadcast_to(am, jnp.shape(av)), None
         if k == "coalesce":
+            if any(_is_string_valued(a, table) for a in self.args):
+                sr = self.string_result(table)
+                if sr is None:
+                    raise TypeError(
+                        "COALESCE over strings needs every operand "
+                        "string-valued (or NULL / string literals)"
+                    )
+                return sr[0], sr[2]
             v, m = _ev_masked(self.args[0], table)
             for nxt in self.args[1:]:
                 if m is None:
@@ -240,21 +280,90 @@ class Expr:
             return fn(*(table[c] for c in cols)), m
         if k == "like":
             a, pattern = self.args
-            name = _str_col_name(a, table)
-            if name is None:
+            sub = _ev_str_chain(a, table)
+            if sub is None:
                 raise TypeError(
                     f"LIKE requires a string column, got {a!r} (numeric "
-                    f"columns and computed expressions have no character "
+                    f"columns and numeric expressions have no character "
                     f"patterns)"
                 )
-            from radix_sort_tpu import strings as S
-            # the pattern evaluates on the host vocabulary; on device the
-            # predicate is one gather of the per-code mask
-            mask = S.like_mask(table.dictionary(name), pattern)
-            v = jnp.asarray(mask)[table[name]]
-            m = _mask_of(a, table)
+            codes, vals, m = sub
+            # the pattern evaluates on the host per-code values; on device
+            # the predicate is one gather of the per-code mask
+            mask = _S().like_mask(vals, pattern)
+            v = jnp.asarray(mask)[codes]
             return (v if m is None else (v & ~m)), m
         raise AssertionError(f"unknown Expr kind {k!r}")
+
+    def string_result(self, table):
+        """``(codes, vocab, mask)`` when this expression is string-valued
+        — a string column, a string-function/CONCAT chain, or CASE /
+        COALESCE over strings — else None. ``codes`` index the SORTED
+        host ``vocab`` (order-preserving, ``""`` at index 0), so the
+        triple is exactly what :class:`strings.DictColumn` carries and
+        facades attach as the output column's dictionary."""
+        S = _S()
+        k = self.kind
+        if k == "col":
+            name = _str_col_name(self, table)
+            if name is None:
+                return None
+            getm = getattr(table, "null_mask", None)
+            return (table[name], np.asarray(table.dictionary(name)),
+                    getm(name) if getm is not None else None)
+        if k in ("strfn", "concat"):
+            codes, vals, m = _ev_str_chain(self, table)
+            vocab, mapping = S.revocab(vals)
+            return jnp.asarray(mapping)[codes], vocab, m
+        if k == "lit" and isinstance(self.args[0], (str, bytes)):
+            s = _lit_str(self)
+            vocab, mapping = S.revocab(np.array([s], dtype=np.str_))
+            return jnp.asarray(mapping)[0], vocab, None
+        if k == "nulllit":
+            # NULL in a string CASE/COALESCE branch: code 0 = "" + mask
+            return (jnp.uint32(0), np.array([""], dtype=np.str_),
+                    jnp.asarray(True))
+        if k == "where":
+            c, a, b = self.args
+            ar = a.string_result(table) if isinstance(a, Expr) else None
+            br = b.string_result(table) if isinstance(b, Expr) else None
+            if ar is None or br is None:
+                return None
+            union, ra, rb = S.unify(ar[1], br[1])
+            cv, cm = _ev_masked(c, table)
+            take_a = cv if cm is None else (cv & ~cm)
+            v = jnp.where(take_a, jnp.asarray(ra)[ar[0]],
+                          jnp.asarray(rb)[br[0]])
+            am, bm = ar[2], br[2]
+            if am is None and bm is None:
+                return v, union, None
+            m = jnp.where(take_a,
+                          am if am is not None else False,
+                          bm if bm is not None else False)
+            return jnp.where(m, jnp.uint32(0), v), union, m
+        if k == "coalesce":
+            rs = [a.string_result(table) if isinstance(a, Expr) else None
+                  for a in self.args]
+            if any(r is None for r in rs):
+                return None
+            union = rs[0][1]
+            for r in rs[1:]:
+                union = np.union1d(union, r[1])
+            v, m = None, None
+            for codes, vocab, am in rs:
+                remap = np.searchsorted(union, vocab).astype(np.uint32)
+                cv = jnp.asarray(remap)[codes]
+                if v is None:
+                    v, m = cv, am
+                    continue
+                if m is None:
+                    break  # earlier operand never NULL
+                v = jnp.where(m, cv, v)
+                m = None if am is None else (m & am)
+            if m is not None:
+                v = jnp.where(m, jnp.uint32(0), v)
+            return v, union, m
+        return None
 
     # -- operators --------------------------------------------------------
 
@@ -412,6 +521,74 @@ class Expr:
         host-side vocabulary; one mask gather on device."""
         return Expr("like", (self, str(pattern)))
 
+    # -- string functions (host vocabulary transforms; one device gather) --
+
+    def _strfn(self, fname, *params) -> "Expr":
+        return Expr("strfn", (fname, self, tuple(params)))
+
+    def upper(self) -> "Expr":
+        return self._strfn("upper")
+
+    def lower(self) -> "Expr":
+        return self._strfn("lower")
+
+    def trim(self, chars: str = " ") -> "Expr":
+        """SQL TRIM: strip ``chars`` (default spaces) from both ends."""
+        return self._strfn("trim", str(chars))
+
+    def ltrim(self, chars: str = " ") -> "Expr":
+        return self._strfn("ltrim", str(chars))
+
+    def rtrim(self, chars: str = " ") -> "Expr":
+        return self._strfn("rtrim", str(chars))
+
+    def substr(self, start: int, length=None) -> "Expr":
+        """SQL SUBSTR: 1-based ``start``; to the end if no ``length``."""
+        if length is None:
+            return self._strfn("substr", int(start))
+        return self._strfn("substr", int(start), int(length))
+
+    def replace(self, old: str, new: str) -> "Expr":
+        return self._strfn("replace", str(old), str(new))
+
+    def left(self, n: int) -> "Expr":
+        return self._strfn("left", int(n))
+
+    def right(self, n: int) -> "Expr":
+        return self._strfn("right", int(n))
+
+    def reverse(self) -> "Expr":
+        return self._strfn("reverse")
+
+    def lpad(self, width: int, fill: str = " ") -> "Expr":
+        """SQL LPAD: pad/truncate to ``width`` characters."""
+        return self._strfn("lpad", int(width), str(fill))
+
+    def rpad(self, width: int, fill: str = " ") -> "Expr":
+        return self._strfn("rpad", int(width), str(fill))
+
+    def length(self) -> "Expr":
+        """Character count (int32)."""
+        return Expr("strnum", ("length", self, ()))
+
+    def strpos(self, sub: str) -> "Expr":
+        """SQL STRPOS: 1-based position of ``sub``, 0 when absent."""
+        return Expr("strnum", ("strpos", self, (str(sub),)))
+
+    def starts_with(self, prefix: str) -> "Expr":
+        return Expr("strbool", ("starts_with", self, (str(prefix),)))
+
+    def ends_with(self, suffix: str) -> "Expr":
+        return Expr("strbool", ("ends_with", self, (str(suffix),)))
+
+    def contains(self, sub: str) -> "Expr":
+        return Expr("strbool", ("contains", self, (str(sub),)))
+
+    def concat(self, *others) -> "Expr":
+        """String concatenation (SQL ``||``): this value then each of
+        ``others`` (string expressions or literals)."""
+        return concat(self, *others)
+
     def isin(self, values) -> "Expr":
         """Membership in a small static value list (ORed equalities)."""
         vals = list(values)
@@ -472,6 +649,12 @@ class Expr:
             return f"nullif({self.args[0]!r}, {self.args[1]!r})"
         if k == "nulllit":
             return "NULL"
+        if k in ("strfn", "strnum", "strbool"):
+            fname, a, params = self.args
+            ps = "".join(f", {p!r}" for p in params)
+            return f"{a!r}.{fname}({ps[2:] if ps else ''})"
+        if k == "concat":
+            return f"concat({', '.join(repr(a) for a in self.args)})"
         return f"Expr({k})"
 
 
@@ -479,15 +662,6 @@ def _ev_masked(x, table):
     if isinstance(x, Expr):
         return x.evaluate_masked(table)
     return x, None
-
-
-def _mask_of(x, table):
-    """The null mask of a LEAF operand (col/lit). Only call this on leaf
-    nodes — on an interior node it would re-evaluate the whole subtree a
-    second time (the O(2^depth) trap the bin branch avoids by evaluating
-    each child exactly once)."""
-    assert not isinstance(x, Expr) or x.kind in ("col", "lit"), x.kind
-    return _ev_masked(x, table)[1]
 
 
 def _mor(a, b):
@@ -521,6 +695,11 @@ _MIRROR = {"eq": "eq", "ne": "ne", "lt": "gt", "le": "ge",
 _COMPARES = frozenset(_MIRROR)
 
 
+def _S():
+    from radix_sort_tpu import strings as S
+    return S
+
+
 def _str_col_name(x, table):
     """Column name if ``x`` is col() of a string column of ``table``."""
     if (isinstance(x, Expr) and x.kind == "col"
@@ -534,71 +713,178 @@ def _is_str_lit(x):
             and isinstance(x.args[0], (str, bytes)))
 
 
-def _reject_string_arith(op, operands, table):
-    """Arithmetic/bit ops over dictionary-encoded string columns would
-    silently compute on uint32 codes; refuse (mirrors the mixed-operand
-    check in :func:`_resolve_string_compare`)."""
-    for x in operands:
+def _lit_str(x):
+    s = x.args[0]
+    return s.decode() if isinstance(s, bytes) else s
+
+
+def _is_string_valued(x, table):
+    """True when ``x`` evaluates to dictionary-encoded string values: a
+    string column, a string function / CONCAT chain, or CASE / COALESCE
+    whose branches are string-valued. Structural — nothing evaluates."""
+    if not isinstance(x, Expr):
+        return False
+    k = x.kind
+    if k == "col":
+        return _str_col_name(x, table) is not None
+    if k in ("strfn", "concat"):
+        return True
+    if k == "where":
+        return (_is_string_valued(x.args[1], table)
+                or _is_string_valued(x.args[2], table))
+    if k == "coalesce":
+        return any(_is_string_valued(a, table) for a in x.args)
+    return False
+
+
+def _ev_str_chain(x, table):
+    """Resolve a string-valued expression into ``(codes, vals, mask)``:
+    ``codes`` is a device ``uint32`` array of dictionary codes, ``vals``
+    a host numpy string array POSITIONAL BY CODE (``vals[c]`` is the
+    string value of code ``c`` — unsorted, possibly duplicated), ``mask``
+    the null mask or None. All function composition happens on the
+    (small) host ``vals`` array; the only device work a consumer pays is
+    one gather by ``codes``. Returns None when ``x`` is not
+    string-valued."""
+    if not isinstance(x, Expr):
+        return None
+    k = x.kind
+    if k == "col":
         name = _str_col_name(x, table)
-        if name is not None:
+        if name is None:
+            return None
+        getm = getattr(table, "null_mask", None)
+        return (table[name], np.asarray(table.dictionary(name)),
+                getm(name) if getm is not None else None)
+    if k == "strfn":
+        fname, child, params = x.args
+        sub = _ev_str_chain(child, table)
+        if sub is None:
             raise TypeError(
-                f"operator {op!r} is not defined for string column "
-                f"{name!r} (it would compute on dictionary codes, not "
-                f"string values); only comparisons against str literals "
-                f"or other string columns are supported"
+                f"{fname.upper()} needs a string-valued argument (a "
+                f"string column or string expression), got {child!r}"
             )
+        codes, vals, m = sub
+        return codes, _S().STR_FNS[fname](vals, *params), m
+    if k == "concat":
+        chains, parts = [], []
+        for p in x.args:
+            if _is_str_lit(p):
+                parts.append(_lit_str(p))
+                continue
+            sub = _ev_str_chain(p, table)
+            if sub is None:
+                raise TypeError(
+                    f"CONCAT/|| operands must be string-valued or string "
+                    f"literals, got {p!r}"
+                )
+            chains.append(sub)
+            parts.append(len(chains) - 1)
+        if not chains:  # all-literal concat (normally folded by
+            s = "".join(parts)  # concat(); defensive)
+            return jnp.uint32(0), np.array([s], dtype=np.str_), None
+        codes, _, m = chains[0]
+        for c2, v2, m2 in chains[1:]:
+            # several chains are fine iff they share one base code
+            # column (w || '-' || UPPER(w)): the transforms then combine
+            # positionally on the host values
+            if c2 is not codes:
+                raise TypeError(
+                    "CONCAT over DIFFERENT string columns would need a "
+                    "row-wise dictionary product; operands may share one "
+                    "base column (plus literals)"
+                )
+            m = _mor(m, m2)
+        out = None
+        for s in parts:
+            piece = (chains[s][1] if isinstance(s, int)
+                     else np.broadcast_to(np.array(s, dtype=np.str_),
+                                          chains[0][1].shape))
+            out = piece if out is None else np.char.add(out, piece)
+        return codes, np.asarray(out, dtype=np.str_), m
+    if k == "lit" and isinstance(x.args[0], (str, bytes)):
+        return jnp.uint32(0), np.array([_lit_str(x)], dtype=np.str_), None
+    if k in ("where", "coalesce", "nulllit"):
+        sr = x.string_result(table)
+        if sr is not None:
+            return sr  # a sorted vocab is a valid positional vals array
+    return None
 
 
-def _resolve_string_compare(op, a, av, b, bv, table):
-    """Make comparisons over dictionary-encoded string columns correct.
+def _string_compare(op, a, b, table):
+    """Comparison where at least one side is string-valued (or a string
+    literal). Returns ``(values, mask)``.
 
-    Takes the already-evaluated operand values ``av``/``bv`` alongside
-    the Expr nodes (the nodes are consulted only for string-column /
-    string-literal detection — never re-evaluated, so the caller's
-    evaluate-each-child-once contract holds).
-
-    col(s) OP "literal": the literal resolves against the column's sorted
+    chain OP "literal": the literal resolves against the chain's output
     vocabulary — equality via code lookup (absent values equal nothing);
-    ordering via the literal's boundary rank (code < left-rank <=> value <
-    literal; side/op adjust for <=/>). col(s1) OP col(s2): the two
+    ordering via the literal's boundary rank (code < left-rank <=> value
+    < literal; side/op adjust for <=/>). chain OP chain: the two output
     vocabularies unify and both code columns remap so one code space
-    carries the total order. Everything else passes through untouched."""
-    if op in _COMPARES and _is_str_lit(a) and not _is_str_lit(b):
-        # mirror so the column is on the left
-        op, a, b, av, bv = _MIRROR[op], b, a, bv, av
-    an = _str_col_name(a, table)
-    if op in _COMPARES and an is not None and _is_str_lit(b):
-        from radix_sort_tpu import strings as S
-        vocab = table.dictionary(an)
-        s = b.args[0]
-        s = s.decode() if isinstance(s, bytes) else s
-        codes = av  # a col node's value IS the code column
+    carries the total order. A device code scalar (the ``Table.code()``
+    escape hatch) passes through as a plain code comparison."""
+    S = _S()
+    if _is_str_lit(a) and _is_str_lit(b):
+        v = jnp.asarray(_BINOPS[op][0](_lit_str(a), _lit_str(b)))
+        return v, None
+    if _is_str_lit(a) or (not _is_string_valued(a, table)
+                          and _is_string_valued(b, table)):
+        op, a, b = _MIRROR[op], b, a  # string chain on the left
+    ar = a.string_result(table) if isinstance(a, Expr) else None
+    if ar is None:  # e.g. numeric column vs a string literal
+        raise TypeError(
+            f"comparing a string literal against non-string operand "
+            f"{a!r} (it has no dictionary to resolve the literal in)"
+        )
+    codes, vocab, am = ar
+    if _is_str_lit(b):
+        s = _lit_str(b)
         if op in ("eq", "ne"):
-            return op, codes, jnp.uint32(S.lookup(vocab, s))
-        side = "left" if op in ("lt", "ge") else "right"
-        bound = jnp.uint32(np.searchsorted(vocab, s, side=side))
-        new_op = "lt" if op in ("lt", "le") else "ge"
-        return new_op, codes, bound
-    bn = _str_col_name(b, table)
-    if op in _COMPARES and (an is not None) != (bn is not None):
-        other = b if an is not None else a
-        # device code arrays/scalars (the t.code() escape hatch) pass
-        # through; Python number literals and numeric expressions are
-        # meaningless against dictionary codes
-        is_code = (isinstance(other, Expr) and other.kind == "lit"
-                   and not isinstance(other.args[0], (bool, int, float)))
-        if not is_code:
+            v = _BINOPS[op][0](codes, jnp.uint32(S.lookup(vocab, s)))
+        else:
+            side = "left" if op in ("lt", "ge") else "right"
+            bound = jnp.uint32(np.searchsorted(vocab, s, side=side))
+            # lt/le <=> code < (left|right) bound; ge/gt <=> code >= bound
+            v = _BINOPS["lt" if op in ("lt", "le") else "ge"][0](
+                codes, bound)
+        m = am
+        return (v if m is None else (v & ~m)), m
+    if _is_string_valued(b, table):
+        br = b.string_result(table)
+        _, ra, rb = S.unify(vocab, br[1])
+        v = _BINOPS[op][0](jnp.asarray(ra)[codes], jnp.asarray(rb)[br[0]])
+        m = _mor(am, br[2])
+        return (v if m is None else (v & ~m)), m
+    # string side vs non-string side: device code arrays/scalars (the
+    # Table.code() escape hatch) pass through; Python number literals and
+    # numeric expressions are meaningless against dictionary codes
+    is_code = (isinstance(b, Expr) and b.kind == "lit"
+               and not isinstance(b.args[0], (bool, int, float)))
+    if not is_code:
+        raise TypeError(
+            f"comparing a string column/expression against a non-string "
+            f"operand {b!r} (dictionary codes vs numbers would be "
+            f"meaningless); compare against a str literal or a code from "
+            f"Table.code()"
+        )
+    v = _BINOPS[op][0](codes, b.args[0])
+    m = am
+    return (v if m is None else (v & ~m)), m
+
+
+def _reject_string_arith(op, operands, table):
+    """Arithmetic/bit ops over dictionary-encoded string values would
+    silently compute on uint32 codes; refuse."""
+    for x in operands:
+        if _is_string_valued(x, table):
+            name = _str_col_name(x, table)
+            what = (f"string column {name!r}" if name is not None
+                    else f"string expression {x!r}")
             raise TypeError(
-                f"comparing string column {an or bn!r} against a "
-                f"non-string operand (dictionary codes vs numbers would "
-                f"be meaningless); compare against a str literal or a "
-                f"code from Table.code()"
+                f"operator {op!r} is not defined for {what} (it would "
+                f"compute on dictionary codes, not string values); only "
+                f"comparisons, LIKE, || and the string functions are "
+                f"supported"
             )
-    if op in _COMPARES and an is not None and bn is not None:
-        from radix_sort_tpu import strings as S
-        _, ra, rb = S.unify(table.dictionary(an), table.dictionary(bn))
-        return op, jnp.asarray(ra)[av], jnp.asarray(rb)[bv]
-    return op, av, bv
 
 
 def col(name: str) -> Expr:
@@ -643,3 +929,22 @@ def nullif(a, b) -> Expr:
 def null() -> Expr:
     """The SQL ``NULL`` literal (untyped; broadcasts in CASE/COALESCE)."""
     return Expr("nulllit", ())
+
+
+def concat(*parts) -> Expr:
+    """SQL ``||`` / CONCAT over string expressions and literals. At most
+    one operand may be a string COLUMN chain (the result stays a single
+    dictionary transform); pure-literal concats fold to a literal."""
+    if not parts:
+        raise ValueError("concat needs at least one operand")
+    mk = lambda x: x if isinstance(x, Expr) else lit(x)
+    flat = []
+    for p in parts:
+        p = mk(p)
+        if isinstance(p, Expr) and p.kind == "concat":
+            flat.extend(p.args)  # a || b || c parses left-nested
+        else:
+            flat.append(p)
+    if all(_is_str_lit(p) for p in flat):
+        return lit("".join(_lit_str(p) for p in flat))
+    return Expr("concat", tuple(flat))

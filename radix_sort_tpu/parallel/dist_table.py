@@ -270,13 +270,24 @@ class DistTable:
         cols = dict(self._cols)
         dicts = dict(self._dicts)
         for n, c in named.items():
-            if S.is_string_data(c):
+            if isinstance(c, S.DictColumn):
+                # a computed string column: sharded codes + host vocab
+                # (DistTable has no null masks; drop a None mask only)
+                if c.mask is not None:
+                    raise ValueError(
+                        "DistTable.with_columns cannot carry a null mask"
+                    )
+                dicts[n] = c.vocab
+                c = c.codes
+            elif S.is_string_data(c):
                 codes, vocab = S.encode(c)
                 dicts[n] = vocab
                 c = codes
             else:
                 dicts.pop(n, None)
             c = jnp.asarray(c)
+            if c.ndim == 0:
+                c = jnp.broadcast_to(c, (self._n,))
             if c.shape[0] != self._n:
                 raise ValueError(
                     f"column {n!r} has length {c.shape[0]}, expected {self._n}"

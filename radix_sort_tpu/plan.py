@@ -722,11 +722,20 @@ def optimize(node):
 # --------------------------------------------------------------------------
 
 
-def _value(x, table):
+def _value(x, table, dicts=False):
     """Materialize a value spec against the current table. A nullable
     expression comes back as a ``nulls.MaskedColumn`` so the facade can
-    keep its mask (with_columns / aggregate values / window values)."""
+    keep its mask (with_columns / aggregate values / window values).
+    With ``dicts=True`` (the with_columns path) a string-valued
+    expression comes back as a ``strings.DictColumn`` so the facade can
+    attach its output dictionary."""
     if isinstance(x, Expr):
+        if dicts:
+            sr = x.string_result(table)
+            if sr is not None:
+                from radix_sort_tpu import strings as S
+
+                return S.DictColumn(*sr)
         v, m = x.evaluate_masked(table)
         if m is not None:
             from radix_sort_tpu.nulls import MaskedColumn
@@ -775,7 +784,7 @@ def _exec(node, flags):
     if isinstance(node, WithColumns):
         t = _exec(node.child, flags)
         return t.with_columns(
-            **{n: _value(e, t) for n, e in node.exprs}
+            **{n: _value(e, t, dicts=True) for n, e in node.exprs}
         )
     if isinstance(node, Filter):
         t = _exec(node.child, flags)

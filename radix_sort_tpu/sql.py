@@ -12,10 +12,13 @@ Supported grammar::
 
     query := [WITH name AS ( query ) [, ...]]
              select [ (UNION [ALL] | INTERSECT | EXCEPT) select ]*
-             [ORDER BY col [ASC|DESC], ...] [LIMIT n [OFFSET m]]
+             [ORDER BY key [ASC|DESC], ...] [LIMIT n [OFFSET m]]
              (INTERSECT binds tighter; engine set-op semantics: distinct
              rows matched by column NAME — both sides must expose the
-             same column names; UNION ALL = concat)
+             same column names; UNION ALL = concat. An ORDER BY key is a
+             column or an expression; it may reference base / group-key
+             columns the projection drops — except under DISTINCT or a
+             set-op compound, where only output columns order)
 
     select := SELECT [DISTINCT] item [, item ...]
               FROM source
@@ -101,7 +104,7 @@ _TOKEN_RE = re.compile(
       (?P<num>\d+\.\d*|\.\d+|\d+)
     | (?P<str>'(?:[^']|'')*')
     | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\*|\+|-|/|%|\.)
+    | (?P<op>\|\||<=|>=|!=|<>|=|<|>|\(|\)|,|\*|\+|-|/|%|\.)
     )""",
     re.X,
 )
@@ -113,7 +116,7 @@ _KEYWORDS = {
     "ANTI", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NULL",
     "LIKE", "UNION", "ALL", "INTERSECT", "EXCEPT", "WITH", "USING",
     "OVER", "PARTITION", "ROWS", "PRECEDING", "FOLLOWING", "CURRENT",
-    "ROW", "UNBOUNDED", "OFFSET",
+    "ROW", "UNBOUNDED", "OFFSET", "EXISTS",
 }
 
 _AGG_FNS = {
@@ -132,6 +135,17 @@ _SCALAR_FNS = {
     "ABS": "abs", "FLOOR": "floor", "CEIL": "ceil", "CEILING": "ceil",
     "ROUND": "round", "SIGN": "sign", "SQRT": "sqrt", "EXP": "exp",
     "LN": "log", "LOG": "log", "LOG10": "log10", "LOG2": "log2",
+}
+
+# CAST target types (BIGINT/DOUBLE need jax_enable_x64 to be true 64-bit;
+# without it JAX silently computes in 32 bits)
+_CAST_TYPES = {
+    "TINYINT": "int8", "SMALLINT": "int16", "INT": "int32",
+    "INTEGER": "int32", "BIGINT": "int64",
+    "UTINYINT": "uint8", "USMALLINT": "uint16", "UINT": "uint32",
+    "UINTEGER": "uint32", "UBIGINT": "uint64",
+    "FLOAT": "float32", "REAL": "float32", "DOUBLE": "float64",
+    "BOOLEAN": "bool", "BOOL": "bool",
 }
 
 # verb-specific capacity knobs routed from sql(**kwargs)
@@ -211,6 +225,12 @@ class _Parser:
         self.pending_joins = []
         self.subq_ok = False
         self.sub_ctx = None
+        # (pre-projection relation, final output names) stashed by the
+        # LAST completed _select_core (None under DISTINCT): lets the
+        # trailing ORDER BY reference base / group-key columns the
+        # projection drops (standard SQL). _query reads and clears it;
+        # set-operation compounds invalidate it.
+        self.order_full = None
 
     # -- token plumbing -----------------------------------------------------
 
@@ -265,8 +285,9 @@ class _Parser:
         while self.eat_kw("OR"):
             if len(self.pending_joins) != base:
                 raise SqlError(
-                    "IN (SELECT ...) cannot appear under OR (it rewrites "
-                    "to a semi/anti join, which has no disjunctive form)"
+                    "IN (SELECT ...) / EXISTS cannot appear under OR "
+                    "(they rewrite to semi/anti joins, which have no "
+                    "disjunctive form)"
                 )
             saved, self.subq_ok = self.subq_ok, False
             try:
@@ -283,6 +304,11 @@ class _Parser:
         return e
 
     def _not(self):
+        if self.at_kw("NOT") and self.peek(1) == ("kw", "EXISTS"):
+            self.next()
+            return self._exists(neg=True)
+        if self.at_kw("EXISTS"):
+            return self._exists(neg=False)
         if self.eat_kw("NOT"):
             saved, self.subq_ok = self.subq_ok, False
             try:
@@ -290,6 +316,69 @@ class _Parser:
             finally:
                 self.subq_ok = saved
         return self._cmp()
+
+    def _exists(self, neg):
+        """``[NOT] EXISTS (SELECT ... FROM tbl [WHERE pred])`` -> a
+        semi/anti join (the same rewrite as ``IN (SELECT ...)``).
+
+        Correlated equality conjuncts — ``s.a = t.b`` with exactly one
+        side in the subquery's schema, or a self-equality ``s.k = t.k``
+        that the flat namespace parses as ``col(k) == col(k)`` — become
+        the join keys; every other conjunct must read only subquery
+        columns and filters it. With no correlation the rewrite is a
+        constant-key semi/anti join: keep every outer row iff the
+        subquery has any row. The subquery is restricted to a simple
+        ``SELECT items FROM target [WHERE ...]`` (no GROUP BY tail —
+        pre-aggregate in a CTE instead)."""
+        self.expect_kw("EXISTS")
+        if not self.subq_ok or self.sub_ctx is None:
+            raise SqlError(
+                "EXISTS is only supported as a top-level AND conjunct "
+                "of WHERE or HAVING"
+            )
+        tables, kwargs = self.sub_ctx
+        self.expect_op("(")
+        self.expect_kw("SELECT")
+        while True:  # the item list is irrelevant to EXISTS semantics
+            if not self.eat_op("*"):
+                self.parse_expr()
+                self._alias()
+            if not self.eat_op(","):
+                break
+        self.expect_kw("FROM")
+        sub = _from_target(self, tables, kwargs)
+        schema = set(sub.column_names)
+        pairs, local = {}, None
+        if self.eat_kw("WHERE"):
+            for c in _conjuncts(self.parse_expr()):
+                pr = _corr_pair(c, schema)
+                if pr is not None:
+                    pairs[pr] = True
+                elif c.columns <= schema:
+                    local = c if local is None else (local & c)
+                else:
+                    missing = sorted(c.columns - schema)
+                    raise SqlError(
+                        f"EXISTS subquery predicate reads {missing} "
+                        f"outside its FROM table; correlated conjuncts "
+                        f"must be equalities between one inner and one "
+                        f"outer column"
+                    )
+        self.expect_op(")")
+        if local is not None:
+            sub = sub.filter(local)
+        how = "anti" if neg else "semi"
+        if not pairs:
+            self.pending_joins.append((how, None, sub))
+            return lit(True)
+        inner = list(dict.fromkeys(a for a, _ in pairs))
+        sub = sub.select(*inner)
+        ren = {a: b for a, b in pairs if a != b}
+        if ren:
+            sub = sub.rename(ren)
+        outer = tuple(dict.fromkeys(b for _, b in pairs))
+        self.pending_joins.append((how, outer, sub))
+        return lit(True)
 
     def _cmp(self):
         e = self._add()
@@ -369,13 +458,38 @@ class _Parser:
             return t[1]
         raise SqlError(f"expected a literal, got {t[1]!r}")
 
+    def _str1(self, build):
+        """One-argument string-function tail: ``expr )``."""
+        e = self.parse_expr()
+        self.expect_op(")")
+        return build(e)
+
+    def _str_param(self, what):
+        t = self.next()
+        if t[0] != "str":
+            raise SqlError(f"{what} must be a string literal, got "
+                           f"{t[1]!r}")
+        return t[1]
+
+    def _int_param(self, what):
+        neg = bool(self.eat_op("-"))
+        t = self.next()
+        if t[0] != "num" or not isinstance(t[1], int):
+            raise SqlError(f"{what} must be an integer literal, got "
+                           f"{t[1]!r}")
+        return -t[1] if neg else t[1]
+
     def _add(self):
         e = self._mul()
         while True:
-            op = self.eat_op("+", "-")
+            op = self.eat_op("+", "-", "||")
             if op is None:
                 return e
-            e = e + self._mul() if op == "+" else e - self._mul()
+            if op == "||":
+                from radix_sort_tpu.expr import concat
+                e = concat(e, self._mul())
+            else:
+                e = e + self._mul() if op == "+" else e - self._mul()
 
     def _mul(self):
         e = self._unary()
@@ -432,6 +546,12 @@ class _Parser:
         if self.eat_kw("NULL"):
             from radix_sort_tpu.expr import null
             return null()
+        if (t[0] == "kw" and t[1] in ("LEFT", "RIGHT")
+                and self.peek(1) == ("op", "(")):
+            # LEFT/RIGHT are join keywords; as callables they are the
+            # string functions
+            self.next()
+            return self._call(t[1])
         if t[0] == "id":
             name = self.ident()
             if self.at_op("."):
@@ -496,6 +616,94 @@ class _Parser:
             b = self.parse_expr()
             self.expect_op(")")
             return nullif(a, b)
+        if fn == "CAST":
+            e = self.parse_expr()
+            self.expect_kw("AS")
+            t = self.next()
+            if t[0] not in ("id", "kw"):
+                raise SqlError(f"expected a type name after AS, got "
+                               f"{t[1]!r}")
+            tname = str(t[1]).upper()
+            if tname == "DOUBLE" and self.peek()[0] == "id" and \
+                    str(self.peek()[1]).upper() == "PRECISION":
+                self.next()
+            if tname not in _CAST_TYPES:
+                raise SqlError(
+                    f"unknown CAST type {tname!r} (supported: "
+                    f"{', '.join(sorted(_CAST_TYPES))})"
+                )
+            self.expect_op(")")
+            return e.cast(_CAST_TYPES[tname])
+        if fn in ("UPPER", "UCASE"):
+            return self._str1(lambda e: e.upper())
+        if fn in ("LOWER", "LCASE"):
+            return self._str1(lambda e: e.lower())
+        if fn == "REVERSE":
+            return self._str1(lambda e: e.reverse())
+        if fn in ("LENGTH", "LEN", "CHAR_LENGTH", "CHARACTER_LENGTH"):
+            return self._str1(lambda e: e.length())
+        if fn in ("TRIM", "LTRIM", "RTRIM"):
+            e = self.parse_expr()
+            chars = " "
+            if self.eat_op(","):
+                chars = self._str_param(f"{fn} characters")
+            self.expect_op(")")
+            m = {"TRIM": "trim", "LTRIM": "ltrim", "RTRIM": "rtrim"}[fn]
+            return getattr(e, m)(chars)
+        if fn in ("SUBSTR", "SUBSTRING"):
+            e = self.parse_expr()
+            self.expect_op(",")
+            start = self._int_param("SUBSTR start")
+            length = None
+            if self.eat_op(","):
+                length = self._int_param("SUBSTR length")
+            self.expect_op(")")
+            return e.substr(start, length)
+        if fn == "REPLACE":
+            e = self.parse_expr()
+            self.expect_op(",")
+            old = self._str_param("REPLACE search string")
+            self.expect_op(",")
+            new = self._str_param("REPLACE replacement")
+            self.expect_op(")")
+            return e.replace(old, new)
+        if fn in ("LEFT", "RIGHT"):
+            e = self.parse_expr()
+            self.expect_op(",")
+            n = self._int_param(f"{fn} count")
+            self.expect_op(")")
+            return e.left(n) if fn == "LEFT" else e.right(n)
+        if fn in ("LPAD", "RPAD"):
+            e = self.parse_expr()
+            self.expect_op(",")
+            width = self._int_param(f"{fn} width")
+            fill = " "
+            if self.eat_op(","):
+                fill = self._str_param(f"{fn} fill")
+            self.expect_op(")")
+            return e.lpad(width, fill) if fn == "LPAD" else \
+                e.rpad(width, fill)
+        if fn in ("STRPOS", "INSTR"):
+            e = self.parse_expr()
+            self.expect_op(",")
+            sub = self._str_param(f"{fn} search string")
+            self.expect_op(")")
+            return e.strpos(sub)
+        if fn in ("STARTS_WITH", "ENDS_WITH", "CONTAINS"):
+            e = self.parse_expr()
+            self.expect_op(",")
+            s = self._str_param(f"{fn} string")
+            self.expect_op(")")
+            m = {"STARTS_WITH": "starts_with", "ENDS_WITH": "ends_with",
+                 "CONTAINS": "contains"}[fn]
+            return getattr(e, m)(s)
+        if fn == "CONCAT":
+            from radix_sort_tpu.expr import concat
+            args = [self.parse_expr()]
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return concat(*args)
         if fn in _AGG_FNS or fn in _PARAM_AGG_FNS:
             if self.allow_aggs:
                 agg, argname = self._agg_args(fn)
@@ -961,6 +1169,52 @@ class _Parser:
         return None
 
 
+def _conjuncts(e):
+    """Flatten a predicate over top-level ANDs."""
+    if isinstance(e, Expr) and e.kind == "bin" and e.args[0] == "and":
+        return _conjuncts(e.args[1]) + _conjuncts(e.args[2])
+    return [e]
+
+
+def _corr_pair(c, schema):
+    """``(inner, outer)`` join-key names when ``c`` is a correlated
+    equality conjunct of an EXISTS subquery, else None."""
+    if not (isinstance(c, Expr) and c.kind == "bin"
+            and c.args[0] == "eq"):
+        return None
+    a, b = c.args[1], c.args[2]
+    if not (isinstance(a, Expr) and a.kind == "col"
+            and isinstance(b, Expr) and b.kind == "col"):
+        return None
+    an, bn = a.args[0], b.args[0]
+    if an == bn:
+        # s.k = t.k under the flat namespace parses as col(k) == col(k);
+        # a genuine self-equality filter is vacuous, so read it as the
+        # intended correlation on the shared name
+        return (an, an) if an in schema else None
+    a_in, b_in = an in schema, bn in schema
+    if a_in != b_in:
+        return (an, bn) if a_in else (bn, an)
+    return None
+
+
+def _apply_pending_join(lt, how, on, sub):
+    """Attach one rewritten subquery predicate (IN / EXISTS) as a
+    semi/anti join. ``on`` is a column name, a tuple of names, or None
+    for the uncorrelated-EXISTS constant-key join (keep every outer row
+    iff the subquery has any row)."""
+    if on is None:
+        import jax.numpy as jnp
+        key = "__exists_one"
+        one = lit(jnp.uint32(0))
+        sub1 = sub.with_columns(**{key: one}).select(key)
+        return (lt.with_columns(**{key: one})
+                .join(sub1, [key], how=how)
+                .drop(key))
+    cols = [on] if isinstance(on, str) else list(on)
+    return lt.join(sub, cols, how=how)
+
+
 def _route(kwargs, names):
     return {k: v for k, v in kwargs.items() if k in names}
 
@@ -996,16 +1250,48 @@ def _query(p, tables, kwargs):
             if not p.eat_op(","):
                 break
     lt = _compound(p, tables, kwargs)
+    full, p.order_full = p.order_full, None
+    drop_after = ()
+    reproject = None
     if p.eat_kw("ORDER"):
         p.expect_kw("BY")
-        order_by, order_desc = [], []
+        order_by, order_desc, hoisted = [], [], {}
         while True:
-            o = p._qualified_ident("order column")
-            order_by.append(o)
+            # expression keys (ORDER BY UPPER(w), v % 10, ...) hoist into
+            # synthetic columns dropped after the (sort, limit) tail
+            e = p.parse_expr()
+            if e.kind == "col":
+                order_by.append(e.args[0])
+            else:
+                name = f"__ord_{len(hoisted)}"
+                hoisted[name] = e
+                order_by.append(name)
             d = p.eat_kw("ASC", "DESC")
             order_desc.append(d == "DESC")
             if not p.eat_op(","):
                 break
+        # keys (and hoisted expressions) may reference columns the SELECT
+        # projection drops — base columns / group keys (standard SQL):
+        # sort the stashed pre-projection relation and re-project after
+        # the (sort, limit) tail. Not available under DISTINCT/compounds.
+        schema = set(lt.column_names)
+        missing = [o for o in order_by
+                   if o not in schema and o not in hoisted]
+        if full is not None and (missing or hoisted):
+            full_lt, proj = full
+            fschema = set(full_lt.column_names)
+            if all(m in fschema for m in missing):
+                lt, reproject, schema = full_lt, proj, fschema
+                missing = []
+        if missing:
+            raise SqlError(
+                f"ORDER BY column {missing[0]!r} is not in the SELECT "
+                f"output{' or the underlying relation' if full else ''} "
+                f"(available: {sorted(schema)})"
+            )
+        if hoisted:
+            lt = lt.with_columns(**hoisted)
+            drop_after = tuple(hoisted)
         lt = lt.sort_by(order_by, descending=order_desc)
     if p.eat_kw("LIMIT"):
         t = p.next()
@@ -1018,6 +1304,10 @@ def _query(p, tables, kwargs):
                 raise SqlError(f"OFFSET needs an integer, got {o[1]!r}")
             offset = o[1]
         lt = lt.limit(t[1], offset)
+    if drop_after:
+        lt = lt.drop(*drop_after)
+    if reproject is not None:
+        lt = lt.select(*reproject)
     p.sub_ctx = saved_ctx
     return lt
 
@@ -1042,6 +1332,7 @@ def _compound(p, tables, kwargs):
             rhs = _select_core(p, tables, kwargs)
             _check_setop_schemas(lt, rhs, "INTERSECT")
             lt = lt.intersect(rhs, **_route(kwargs, _DISTINCT_KNOBS))
+            p.order_full = None  # rhs's stash doesn't describe the setop
         return lt
 
     lt = term()
@@ -1052,10 +1343,12 @@ def _compound(p, tables, kwargs):
             _check_setop_schemas(lt, rhs, "UNION")
             lt = (lt.concat(rhs) if all_
                   else lt.union(rhs, **_route(kwargs, _DISTINCT_KNOBS)))
+            p.order_full = None
         elif p.eat_kw("EXCEPT"):
             rhs = term()
             _check_setop_schemas(lt, rhs, "EXCEPT")
             lt = lt.difference(rhs, **_route(kwargs, _DISTINCT_KNOBS))
+            p.order_full = None
         else:
             return lt
 
@@ -1165,18 +1458,20 @@ def _select_core(p, tables, kwargs):
             lt = lt.filter(pred)
         # IN (SELECT ...) conjuncts -> semi/anti joins (natural capacity:
         # at most one output row per left row, no knob needed)
-        for how, colname, sub in p.pending_joins[base:]:
-            lt = lt.join(sub, [colname], how=how)
+        for how, on, sub in p.pending_joins[base:]:
+            lt = _apply_pending_join(lt, how, on, sub)
         del p.pending_joins[base:]
 
     group_by = []
     if p.eat_kw("GROUP"):
         p.expect_kw("BY")
         while True:
-            g = p.ident("group column")
-            if p.eat_op("."):
-                g = p.ident("column after '.'")
-            group_by.append(g)
+            # a full expression key: a plain (qualified) column stays a
+            # name; anything else resolves against a structurally equal
+            # SELECT item (GROUP BY LOWER(w) with SELECT LOWER(w) AS k)
+            # or hoists into a synthetic pre-aggregation column
+            g = p.parse_expr()
+            group_by.append(g.args[0] if g.kind == "col" else g)
             if not p.eat_op(","):
                 break
 
@@ -1199,6 +1494,26 @@ def _select_core(p, tables, kwargs):
         aggs, out_names = {}, []
         derived_keys = {}  # computed GROUP BY keys (SELECT expr AS g)
         win_groups = {}  # (partition, order, desc) -> {alias: spec}
+        if any(not isinstance(g, str) for g in group_by):
+            # expression GROUP BY keys: reuse a structurally identical
+            # SELECT item's alias, else hoist a synthetic key column
+            # (computed pre-aggregation, dropped by the final projection)
+            sel = {repr(e): alias for tag, *rest in items
+                   if tag == "expr"
+                   for e, alias in [rest]}
+            resolved = []
+            for g in group_by:
+                if isinstance(g, str):
+                    resolved.append(g)
+                    continue
+                alias = sel.get(repr(g))
+                if alias is not None:
+                    resolved.append(alias)
+                    continue
+                name = f"__grp_{len(derived_keys)}"
+                derived_keys[name] = g
+                resolved.append(name)
+            group_by = resolved
         for it in items:
             if it[0] == "star":
                 raise SqlError("SELECT * cannot mix with GROUP BY — name "
@@ -1264,8 +1579,8 @@ def _select_core(p, tables, kwargs):
         lt = lt.aggregate(group_by, aggs, **_route(kwargs, _AGG_KNOBS))
         if having is not None:
             lt = lt.filter(having)
-        for how, colname, sub in having_joins:
-            lt = lt.join(sub, [colname], how=how)
+        for how, on, sub in having_joins:
+            lt = _apply_pending_join(lt, how, on, sub)
         for (part, order, desc), ops in win_groups.items():
             lt = lt.window(
                 ops,
@@ -1273,12 +1588,16 @@ def _select_core(p, tables, kwargs):
                 order_by=list(order) or None,
                 descending=list(desc) or None,
             )
+        full_lt = lt
         lt = lt.select(*out_names)
         if distinct:
             # GROUP BY on a superset of the selected keys can still yield
             # duplicate output rows; DISTINCT applies after aggregation
             lt = lt.distinct(subset=out_names,
                              **_route(kwargs, _DISTINCT_KNOBS))
+            p.order_full = None
+        else:
+            p.order_full = (full_lt, tuple(out_names))
     else:
         if having is not None or having_joins:
             raise SqlError("HAVING needs GROUP BY or aggregates")
@@ -1312,6 +1631,7 @@ def _select_core(p, tables, kwargs):
                 order_by=list(order) or None,
                 descending=list(desc) or None,
             )
+        full_lt = lt
         if not star:
             lt = lt.select(*names)
         elif pre:
@@ -1320,6 +1640,9 @@ def _select_core(p, tables, kwargs):
         if distinct:
             lt = lt.distinct(subset=None if star else names,
                              **_route(kwargs, _DISTINCT_KNOBS))
+            p.order_full = None
+        else:
+            p.order_full = (full_lt, tuple(lt.column_names))
 
     p.agg_sink, p.pre_sink = outer_sinks
     return lt

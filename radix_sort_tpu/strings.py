@@ -32,6 +32,11 @@ __all__ = [
     "unify",
     "lookup",
     "like_mask",
+    "DictColumn",
+    "revocab",
+    "STR_FNS",
+    "STR_NUM_FNS",
+    "STR_BOOL_FNS",
 ]
 
 NOT_FOUND = np.uint32(0xFFFFFFFF)
@@ -130,3 +135,116 @@ def lookup(vocab: np.ndarray, values):
     idx_c = np.minimum(idx, vocab.shape[0] - 1)
     codes = np.where(vocab[idx_c] == arr, idx_c, NOT_FOUND).astype(np.uint32)
     return codes[0] if scalar else codes
+
+
+class DictColumn:
+    """A computed dictionary-encoded column: device ``uint32`` codes plus
+    the host vocabulary they index (and an optional null mask). This is
+    what a string-valued expression (``UPPER(name)``, ``a || '-suffix'``)
+    evaluates to, so ``Table.with_columns`` can attach the output
+    dictionary instead of leaving bare codes behind."""
+
+    __slots__ = ("codes", "vocab", "mask")
+
+    def __init__(self, codes, vocab, mask=None):
+        self.codes = codes
+        self.vocab = np.asarray(vocab)
+        self.mask = mask
+
+
+def revocab(vals: np.ndarray):
+    """Re-dictionary positional per-code string values into a sorted
+    vocabulary: ``(vocab, mapping)`` with ``""`` forced at index 0 and
+    ``mapping[old_code] = new_code`` (``uint32``). The sort keeps the
+    order-preserving code invariant after a value transform (``UPPER``
+    etc. permutes and merges vocabulary entries arbitrarily)."""
+    vals = np.asarray(vals, dtype=np.str_)
+    vocab, inv = np.unique(vals, return_inverse=True)
+    if vocab.shape[0] == 0 or vocab[0] != "":
+        vocab = np.concatenate([np.array([""], dtype=vocab.dtype), vocab])
+        inv = inv + 1
+    return vocab, inv.astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# scalar string functions — host transforms over per-code values
+#
+# Each callable maps an np unicode array (one entry per dictionary code)
+# to the per-code RESULT; the device-side cost of any of these is a single
+# gather by code, independent of row count (same trick as like_mask).
+# SQL semantics: SUBSTR/STRPOS are 1-based; STRPOS returns 0 when absent;
+# LPAD/RPAD truncate to the target width.
+# ---------------------------------------------------------------------------
+
+
+def _substr(vals, start, length=None):
+    s = int(start)
+    if s < 1:
+        raise ValueError(f"SUBSTR start is 1-based, got {start}")
+    e = None if length is None else s - 1 + max(int(length), 0)
+    return np.array([v[s - 1:e] for v in vals], dtype=np.str_)
+
+
+def _left(vals, n):
+    # LEFT(v, n): first n chars; negative n drops the last |n| (SQL)
+    n = int(n)
+    return np.array(
+        [v[:n] if n >= 0 else v[:max(len(v) + n, 0)] for v in vals],
+        dtype=np.str_,
+    )
+
+
+def _right(vals, n):
+    # RIGHT(v, n): last n chars; negative n drops the first |n| (SQL)
+    n = int(n)
+    return np.array(
+        [v[max(len(v) - n, 0):] if n >= 0 else v[-n:] for v in vals],
+        dtype=np.str_,
+    )
+
+
+def _pad(vals, width, fill, left):
+    w, f = int(width), str(fill)
+    if not f:
+        raise ValueError("pad fill string must be non-empty")
+    out = []
+    for v in vals:
+        if len(v) >= w:
+            out.append(v[:w])
+        else:
+            pad = (f * w)[: w - len(v)]
+            out.append(pad + v if left else v + pad)
+    return np.array(out, dtype=np.str_)
+
+
+# string -> string (result feeds revocab)
+STR_FNS = {
+    "upper": lambda vals: np.char.upper(vals),
+    "lower": lambda vals: np.char.lower(vals),
+    "trim": lambda vals, chars=" ": np.char.strip(vals, chars),
+    "ltrim": lambda vals, chars=" ": np.char.lstrip(vals, chars),
+    "rtrim": lambda vals, chars=" ": np.char.rstrip(vals, chars),
+    "substr": _substr,
+    "replace": lambda vals, old, new: np.char.replace(
+        vals, str(old), str(new)),
+    "left": _left,
+    "right": _right,
+    "reverse": lambda vals: np.array([v[::-1] for v in vals],
+                                     dtype=np.str_),
+    "lpad": lambda vals, width, fill=" ": _pad(vals, width, fill, True),
+    "rpad": lambda vals, width, fill=" ": _pad(vals, width, fill, False),
+}
+
+# string -> int32
+STR_NUM_FNS = {
+    "length": lambda vals: np.char.str_len(vals).astype(np.int32),
+    "strpos": lambda vals, sub: (
+        np.char.find(vals, str(sub)) + 1).astype(np.int32),
+}
+
+# string -> bool
+STR_BOOL_FNS = {
+    "starts_with": lambda vals, pre: np.char.startswith(vals, str(pre)),
+    "ends_with": lambda vals, suf: np.char.endswith(vals, str(suf)),
+    "contains": lambda vals, sub: np.char.find(vals, str(sub)) >= 0,
+}

@@ -318,19 +318,25 @@ class Table:
         cols = dict(self._cols)
         dicts = dict(self._dicts)
         for n, c in named.items():
-            det = NL.detect(c)
             m = None
-            if det is not None:
-                c, m = det
-            if S.is_string_data(c):
-                codes, vocab = S.encode(c)
-                dicts[n] = vocab
-                c = codes
+            if isinstance(c, S.DictColumn):
+                # a computed string column (UPPER(x), a || '-sfx', ...):
+                # codes on device, output dictionary from the expression
+                dicts[n] = c.vocab
+                c, m = c.codes, c.mask
             else:
-                dicts.pop(n, None)  # replaced by a numeric column
+                det = NL.detect(c)
+                if det is not None:
+                    c, m = det
+                if S.is_string_data(c):
+                    codes, vocab = S.encode(c)
+                    dicts[n] = vocab
+                    c = codes
+                else:
+                    dicts.pop(n, None)  # replaced by a numeric column
             c = jnp.asarray(c)
-            if m is not None and c.ndim == 0:
-                c = jnp.broadcast_to(c, (self._n,))  # e.g. a NULL literal
+            if c.ndim == 0:
+                c = jnp.broadcast_to(c, (self._n,))  # NULL / str literal
             if c.shape[0] != self._n:
                 raise ValueError(
                     f"column {n!r} has length {c.shape[0]}, expected {self._n}"

@@ -754,3 +754,70 @@ class TestErrors:
         assert "aggregate" in text.lower() or "Aggregate" in text
         out = plan.collect().to_numpy()
         assert out["item"].size == 2
+
+
+class TestOrderByDeferredProjection:
+    """ORDER BY may reference base / group-key columns the SELECT
+    projection drops (standard SQL): the frontend sorts the stashed
+    pre-projection relation and re-projects after the (sort, limit)
+    tail. Not available under DISTINCT or set-op compounds."""
+
+    def test_base_column_not_selected(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid FROM orders ORDER BY qty DESC, oid LIMIT 7",
+            _tables(db),
+        ).collect()
+        ref = [o for q, o in sorted(zip(-orders["qty"],
+                                        orders["oid"]))][:7]
+        np.testing.assert_array_equal(out.to_numpy()["oid"], ref)
+        assert list(out.column_names) == ["oid"]  # qty not leaked
+
+    def test_expression_over_base_column(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT oid FROM orders ORDER BY qty % 5, oid LIMIT 9",
+            _tables(db),
+        ).collect()
+        ref = [o for k, o in sorted(zip(orders["qty"] % 5,
+                                        orders["oid"]))][:9]
+        np.testing.assert_array_equal(out.to_numpy()["oid"], ref)
+
+    def test_group_key_not_selected(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT SUM(qty) AS s FROM orders GROUP BY cust "
+            "ORDER BY cust DESC",
+            _tables(db),
+        ).collect()
+        sums = {}
+        for c, q in zip(orders["cust"], orders["qty"]):
+            sums[c] = sums.get(c, 0) + q
+        ref = [sums[c] for c in sorted(sums, reverse=True)]
+        np.testing.assert_array_equal(out.to_numpy()["s"], ref)
+        assert list(out.column_names) == ["s"]
+
+    def test_unknown_column_typed_error(self, db):
+        with pytest.raises(SqlError, match="ORDER BY column 'nope'"):
+            sql("SELECT oid FROM orders ORDER BY nope", _tables(db))
+
+    def test_distinct_restricts_to_output(self, db):
+        with pytest.raises(SqlError, match="ORDER BY column 'qty'"):
+            sql("SELECT DISTINCT item FROM orders ORDER BY qty",
+                _tables(db))
+
+    def test_compound_restricts_to_output(self, db):
+        with pytest.raises(SqlError, match="ORDER BY column 'qty'"):
+            sql("SELECT item FROM orders UNION ALL "
+                "SELECT item FROM orders ORDER BY qty", _tables(db))
+
+    def test_selected_columns_still_work_after_union(self, db):
+        out = sql(
+            "SELECT item FROM orders UNION SELECT item FROM orders "
+            "ORDER BY item",
+            _tables(db),
+        ).collect()
+        got = list(out.decode("item", out.to_numpy_codes("item"))
+                   if hasattr(out, "to_numpy_codes") else
+                   out.to_numpy()["item"])
+        assert got == sorted(got)
