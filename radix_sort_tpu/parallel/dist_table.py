@@ -267,9 +267,27 @@ class DistTable:
         )
 
     def with_columns(self, **named) -> "DistTable":
+        from radix_sort_tpu.expr import Expr
+
         cols = dict(self._cols)
         dicts = dict(self._dicts)
         for n, c in named.items():
+            if isinstance(c, Expr):
+                # evaluate eagerly against this relation (codes stay
+                # sharded; vocabularies are host-replicated). DistTable
+                # carries no null masks, so nullable results are
+                # rejected by the DictColumn / MaskedColumn checks below
+                sr = c.string_result(self)
+                if sr is not None:
+                    c = S.DictColumn(*sr)
+                else:
+                    v, em = c.evaluate_masked(self)
+                    if em is not None:
+                        raise ValueError(
+                            "DistTable.with_columns cannot carry a "
+                            "nullable expression result"
+                        )
+                    c = v
             if isinstance(c, S.DictColumn):
                 # a computed string column: sharded codes + host vocab
                 # (DistTable has no null masks; drop a None mask only)
@@ -299,12 +317,21 @@ class DistTable:
     # ---- row-shaped verbs (stay sharded) ---------------------------------
 
     def filter(self, mask) -> "DistTable":
-        """Rows where ``mask`` holds (a bool column or a callable taking
-        this DistTable), compacted to each shard's front in shard order —
-        the global filtered relation in original order."""
-        if callable(mask):
+        """Rows where ``mask`` holds (a bool column, an ``Expr``, or a
+        callable taking this DistTable), compacted to each shard's front
+        in shard order — the global filtered relation in original
+        order. A nullable predicate keeps only rows where it is known
+        TRUE (SQL WHERE semantics), matching ``Table.filter``."""
+        from radix_sort_tpu.expr import Expr
+
+        if isinstance(mask, Expr):
+            v, m = mask.evaluate_masked(self)
+            mask = v if m is None else (v & ~m)
+        elif callable(mask):
             mask = mask(self)
         mask = jnp.asarray(mask)
+        if mask.ndim == 0:
+            mask = jnp.broadcast_to(mask, (self._n,))
         if self._counts is not None:
             mask = mask & self.valid_mask()
         *out, counts = dist_query.distributed_filter(

@@ -315,9 +315,20 @@ class Table:
         )
 
     def with_columns(self, **named) -> "Table":
+        from radix_sort_tpu.expr import Expr
+
         cols = dict(self._cols)
         dicts = dict(self._dicts)
         for n, c in named.items():
+            if isinstance(c, Expr):
+                # evaluate eagerly against this table (the lazy planner
+                # routes here through plan._value the same way)
+                sr = c.string_result(self)
+                if sr is not None:
+                    c = S.DictColumn(*sr)
+                else:
+                    v, em = c.evaluate_masked(self)
+                    c = v if em is None else NL.MaskedColumn(v, em)
             m = None
             if isinstance(c, S.DictColumn):
                 # a computed string column (UPPER(x), a || '-sfx', ...):
