@@ -41,6 +41,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from radix_sort_tpu import keys as K
+from radix_sort_tpu import nulls as NL
 from radix_sort_tpu import strings as S
 from radix_sort_tpu.ops import query as Q
 from radix_sort_tpu.parallel import dist_asof, dist_query, dist_sort
@@ -689,6 +690,55 @@ class DistTable:
         cols.update(zip(names, outs))
         return Table(cols, cnt,
                      dictionaries={**self._subdicts(by), **out_dicts})
+
+    def aggregate_sets(self, sets, aggs, grouping=None, *,
+                       max_groups: int,
+                       exchange_capacity_factor: float = 2.0) -> Table:
+        """Distributed SQL GROUPING SETS / ROLLUP / CUBE: one
+        :meth:`aggregate` per grouping set (each a replicated
+        :class:`Table`), concatenated with group keys absent from a set
+        as typed NULL columns — same semantics as
+        :meth:`Table.aggregate_sets`, with ``max_groups`` bounding every
+        per-set, per-shard group count."""
+        sets = [list(_as_list(s)) if s else [] for s in sets]
+        if not sets:
+            raise ValueError("aggregate_sets needs at least one "
+                             "grouping set")
+        all_keys = list(dict.fromkeys(k for s in sets for k in s))
+        grouping = dict(grouping or {})
+        for gname, key in grouping.items():
+            if key not in all_keys:
+                raise ValueError(
+                    f"GROUPING({key!r}) must reference a column of some "
+                    f"grouping set (have {all_keys})"
+                )
+        order = [*all_keys, *aggs.keys(), *grouping.keys()]
+        out = None
+        for s in sets:
+            t = self.aggregate(
+                s or None, dict(aggs), max_groups=max_groups,
+                exchange_capacity_factor=exchange_capacity_factor,
+            )
+            add = {}
+            for k in all_keys:
+                if k in s:
+                    continue
+                src = self._cols[k]
+                zeros = jnp.zeros((t.num_rows,), src.dtype)
+                ones = jnp.ones((t.num_rows,), jnp.bool_)
+                if k in self._dicts:
+                    add[k] = S.DictColumn(zeros.astype(jnp.uint32),
+                                          self._dicts[k], ones)
+                else:
+                    add[k] = NL.MaskedColumn(zeros, ones)
+            for gname, key in grouping.items():
+                add[gname] = jnp.full((t.num_rows,),
+                                      0 if key in s else 1, jnp.int32)
+            if add:
+                t = t.with_columns(**add)
+            t = t.select(*order)
+            out = t if out is None else out.concat(t)
+        return out
 
     def top_k(self, k: int, by, largest: bool = True) -> Table:
         """The global ``k`` rows with extreme ``by`` keys (ORDER BY ...

@@ -179,6 +179,21 @@ class Aggregate(_Node):
 
 
 @dataclass(frozen=True)
+class AggregateSets(_Node):
+    """SQL GROUPING SETS / ROLLUP / CUBE: one aggregate per grouping
+    set, concatenated with rolled-up keys as typed NULLs (see
+    ``Table.aggregate_sets``)."""
+
+    child: _Node
+    sets: tuple  # tuple of tuples of key names
+    aggs: tuple  # ((out_name, (agg, value|None, *params)), ...)
+    grouping: tuple = ()  # ((out_name, key_name), ...)
+    kwargs: tuple = ()
+
+    label = "aggregate_sets"
+
+
+@dataclass(frozen=True)
 class Window(_Node):
     child: _Node
     ops: tuple  # ((out_name, spec), ...)
@@ -317,6 +332,10 @@ def _schema_of(node, memo):
                 else list(_schema(node.child, memo)))
     if isinstance(node, Aggregate):
         return list(node.by) + [n for n, _ in node.aggs]
+    if isinstance(node, AggregateSets):
+        all_keys = list(dict.fromkeys(k for s in node.sets for k in s))
+        return (all_keys + [n for n, _ in node.aggs]
+                + [n for n, _ in node.grouping])
     if isinstance(node, Window):
         out = list(_schema(node.child, memo))
         for n, _ in node.ops:
@@ -620,6 +639,22 @@ def _prune(node, required, memo):
             child=_prune(node.child, child_req, memo), aggs=tuple(keep)
         )
 
+    if isinstance(node, AggregateSets):
+        # conservative: every grouping-set key and aggregate input stays
+        # (the sets jointly reference them; per-set pruning isn't worth
+        # the asymmetry)
+        child_req = set(k for s in node.sets for k in s)
+        opaque = False
+        for _, spec in node.aggs:
+            val = spec[1] if len(spec) > 1 else None
+            if val is not None:
+                r, known = _refs(val)
+                child_req |= r
+                opaque |= not known
+        if opaque:
+            child_req = set(_schema(node.child, memo))
+        return node.replace(child=_prune(node.child, child_req, memo))
+
     if isinstance(node, Window):
         keep = [(n, s) for n, s in node.ops if n in required]
         child_req = set(req) - {n for n, _ in keep}
@@ -818,6 +853,21 @@ def _exec(node, flags):
                 aggs[name] = (agg, _materialize_col(val, t), *rest)
         return t.aggregate(list(node.by), aggs,
                            **_fit_kwargs(t.aggregate, dict(node.kwargs)))
+    if isinstance(node, AggregateSets):
+        t = _exec(node.child, flags)
+        aggs = {}
+        for name, spec in node.aggs:
+            agg, val, rest = spec[0], (spec[1] if len(spec) > 1 else None), \
+                spec[2:]
+            if val is None:
+                aggs[name] = agg
+            else:
+                aggs[name] = (agg, _materialize_col(val, t), *rest)
+        return t.aggregate_sets(
+            [list(s) for s in node.sets], aggs,
+            grouping=dict(node.grouping) or None,
+            **_fit_kwargs(t.aggregate_sets, dict(node.kwargs)),
+        )
     if isinstance(node, Window):
         t = _exec(node.child, flags)
         ops = {}
@@ -931,6 +981,10 @@ def _describe(node):
         parts = [f"{n}={s[0]}" for n, s in node.aggs]
         return (f"aggregate[by={', '.join(node.by)}; "
                 + ", ".join(parts) + "]")
+    if isinstance(node, AggregateSets):
+        parts = [f"{n}={s[0]}" for n, s in node.aggs]
+        sets = ", ".join("(" + ", ".join(s) + ")" for s in node.sets)
+        return f"aggregate_sets[{sets}; " + ", ".join(parts) + "]"
     if isinstance(node, Window):
         parts = [
             f"{n}={s if isinstance(s, str) else s[0]}" for n, s in node.ops
@@ -1040,6 +1094,21 @@ class LazyTable:
                 specs.append((name, tuple(spec)))
         return self._wrap(Aggregate(
             self._plan, tuple(_as_list(by)), tuple(specs),
+            tuple(kwargs.items()),
+        ))
+
+    def aggregate_sets(self, sets, aggs, grouping=None,
+                       **kwargs) -> "LazyTable":
+        specs = []
+        for name, spec in aggs.items():
+            if isinstance(spec, str):
+                specs.append((name, (spec, None)))
+            else:
+                specs.append((name, tuple(spec)))
+        return self._wrap(AggregateSets(
+            self._plan,
+            tuple(tuple(_as_list(s)) if s else () for s in sets),
+            tuple(specs), tuple((grouping or {}).items()),
             tuple(kwargs.items()),
         ))
 

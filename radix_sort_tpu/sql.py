@@ -25,8 +25,16 @@ Supported grammar::
               [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN source
                     (ON a.k1 = b.k2 [AND ...] | USING (k, ...)) ]*
                     -- differently-named ON keys rename the right side
-              [WHERE expr] [GROUP BY cols] [HAVING expr]
+              [WHERE expr] [GROUP BY factor [, ...]] [HAVING expr]
             | ( query )
+
+    factor := key | ROLLUP (key, ...) | CUBE (key, ...)
+            | GROUPING SETS ( (key, ...) | key | () [, ...] )
+             -- key is a column or expression; the query's grouping sets
+             are the cross product of the factors (standard SQL): one
+             aggregate per set, concatenated, with rolled-up keys as
+             typed NULLs. GROUPING(key) in SELECT -> 0 grouped / 1
+             rolled up
 
     source := name | ( query ) [[AS] alias]   -- derived-table subqueries;
              the planner namespace is flat, so the alias is decorative
@@ -697,6 +705,15 @@ class _Parser:
             m = {"STARTS_WITH": "starts_with", "ENDS_WITH": "ends_with",
                  "CONTAINS": "contains"}[fn]
             return getattr(e, m)(s)
+        if fn == "GROUPING":
+            # SQL GROUPING(key): 0 when this row's grouping set includes
+            # the key, 1 when the key is rolled up. Parsed as a marker
+            # node; _select_core routes it to aggregate_sets
+            e = self.parse_expr()
+            self.expect_op(")")
+            if e.kind != "col":
+                raise SqlError("GROUPING takes a single column name")
+            return Expr("grouping", (e.args[0],))
         if fn == "CONCAT":
             from radix_sort_tpu.expr import concat
             args = [self.parse_expr()]
@@ -1169,6 +1186,66 @@ class _Parser:
         return None
 
 
+def _gb_key(p):
+    g = p.parse_expr()
+    return g.args[0] if g.kind == "col" else g
+
+
+def _gb_keylist(p):
+    p.expect_op("(")
+    ks = [_gb_key(p)]
+    while p.eat_op(","):
+        ks.append(_gb_key(p))
+    p.expect_op(")")
+    return ks
+
+
+def _group_factor(p):
+    """One comma item of GROUP BY -> its list of grouping sets:
+    ``ROLLUP(a, b)`` -> [[a, b], [a], []]; ``CUBE(a, b)`` -> all
+    subsets; ``GROUPING SETS ((a, b), b, ())`` -> the literal list; a
+    plain key -> [[key]]."""
+    t = p.peek()
+    word = str(t[1]).upper() if t[0] == "id" else None
+    if word in ("ROLLUP", "CUBE") and p.peek(1) == ("op", "("):
+        p.next()
+        ks = _gb_keylist(p)
+        if word == "ROLLUP":
+            return [ks[:i] for i in range(len(ks), -1, -1)]
+        if len(ks) > 6:
+            raise SqlError(
+                f"CUBE over {len(ks)} columns would expand to "
+                f"{2 ** len(ks)} grouping sets; use GROUPING SETS to "
+                f"name the ones you want"
+            )
+        from itertools import combinations
+
+        return [list(c) for size in range(len(ks), -1, -1)
+                for c in combinations(ks, size)]
+    if (word == "GROUPING" and p.peek(1)[0] == "id"
+            and str(p.peek(1)[1]).upper() == "SETS"
+            and p.peek(2) == ("op", "(")):
+        p.next()
+        p.next()
+        p.expect_op("(")
+        sets = []
+        while True:
+            if p.at_op("("):
+                if p.peek(1) == ("op", ")"):  # the grand-total set ()
+                    p.next()
+                    p.next()
+                    sets.append([])
+                else:
+                    sets.append(_gb_keylist(p))
+            else:
+                sets.append([_gb_key(p)])
+            if not p.eat_op(","):
+                break
+        p.expect_op(")")
+        return sets
+    return [[_gb_key(p)]]
+
+
 def _conjuncts(e):
     """Flatten a predicate over top-level ANDs."""
     if isinstance(e, Expr) and e.kind == "bin" and e.args[0] == "and":
@@ -1462,18 +1539,40 @@ def _select_core(p, tables, kwargs):
             lt = _apply_pending_join(lt, how, on, sub)
         del p.pending_joins[base:]
 
-    group_by = []
+    group_by, group_sets = [], None
     if p.eat_kw("GROUP"):
         p.expect_kw("BY")
+        # each comma item is a FACTOR: a plain key contributes one
+        # single-key set; ROLLUP/CUBE/GROUPING SETS contribute several.
+        # The grouping sets are the cross product of the factors
+        # (standard SQL). A key is a full expression: a plain (qualified)
+        # column stays a name; anything else resolves against a
+        # structurally equal SELECT item (GROUP BY LOWER(w) with SELECT
+        # LOWER(w) AS k) or hoists into a synthetic key column
+        factors = []
         while True:
-            # a full expression key: a plain (qualified) column stays a
-            # name; anything else resolves against a structurally equal
-            # SELECT item (GROUP BY LOWER(w) with SELECT LOWER(w) AS k)
-            # or hoists into a synthetic pre-aggregation column
-            g = p.parse_expr()
-            group_by.append(g.args[0] if g.kind == "col" else g)
+            factors.append(_group_factor(p))
             if not p.eat_op(","):
                 break
+        if any(len(f) > 1 for f in factors):
+            from itertools import product
+
+            seen, group_sets = set(), []
+            for parts in product(*factors):
+                s = [k for part in parts for k in part]
+                sig = tuple(k if isinstance(k, str) else repr(k)
+                            for k in s)
+                if sig not in seen:
+                    seen.add(sig)
+                    group_sets.append(s)
+            for s in group_sets:  # flat unique key list, order of use
+                for k in s:
+                    sig = k if isinstance(k, str) else repr(k)
+                    if sig not in {g if isinstance(g, str) else repr(g)
+                                   for g in group_by}:
+                        group_by.append(k)
+        else:
+            group_by = [k for f in factors for k in f[0]]
 
     having = None
     having_joins = []
@@ -1491,7 +1590,7 @@ def _select_core(p, tables, kwargs):
 
     has_aggs = any(it[0] == "agg" for it in items) or p.agg_sink
     if has_aggs or group_by:
-        aggs, out_names = {}, []
+        aggs, out_names, grouping_out = {}, [], {}
         derived_keys = {}  # computed GROUP BY keys (SELECT expr AS g)
         win_groups = {}  # (partition, order, desc) -> {alias: spec}
         if any(not isinstance(g, str) for g in group_by):
@@ -1501,19 +1600,25 @@ def _select_core(p, tables, kwargs):
             sel = {repr(e): alias for tag, *rest in items
                    if tag == "expr"
                    for e, alias in [rest]}
-            resolved = []
+            resolved, key_names = [], {}
             for g in group_by:
                 if isinstance(g, str):
                     resolved.append(g)
+                    key_names[g] = g
                     continue
                 alias = sel.get(repr(g))
-                if alias is not None:
-                    resolved.append(alias)
-                    continue
-                name = f"__grp_{len(derived_keys)}"
-                derived_keys[name] = g
-                resolved.append(name)
+                if alias is None:
+                    alias = f"__grp_{len(derived_keys)}"
+                    derived_keys[alias] = g
+                resolved.append(alias)
+                key_names[repr(g)] = alias
             group_by = resolved
+            if group_sets is not None:
+                group_sets = [
+                    [key_names[k if isinstance(k, str) else repr(k)]
+                     for k in s]
+                    for s in group_sets
+                ]
         for it in items:
             if it[0] == "star":
                 raise SqlError("SELECT * cannot mix with GROUP BY — name "
@@ -1532,7 +1637,21 @@ def _select_core(p, tables, kwargs):
                 out_names.append(alias)
             else:
                 _, e, alias = it
-                if e.kind == "col" and e.args[0] in group_by:
+                if e.kind == "grouping":
+                    if group_sets is None:
+                        raise SqlError(
+                            "GROUPING() needs ROLLUP / CUBE / GROUPING "
+                            "SETS in the GROUP BY clause"
+                        )
+                    key = e.args[0]
+                    if key not in group_by:
+                        raise SqlError(
+                            f"GROUPING({key!r}) must name a grouping-set "
+                            f"column (have {group_by})"
+                        )
+                    grouping_out[alias] = key
+                    out_names.append(alias)
+                elif e.kind == "col" and e.args[0] in group_by:
                     if alias != e.args[0]:
                         raise SqlError(
                             "aliasing a group key in SELECT is not "
@@ -1576,7 +1695,13 @@ def _select_core(p, tables, kwargs):
             )
         if derived_keys:
             lt = lt.with_columns(**derived_keys)
-        lt = lt.aggregate(group_by, aggs, **_route(kwargs, _AGG_KNOBS))
+        if group_sets is not None:
+            lt = lt.aggregate_sets(group_sets, aggs,
+                                   grouping=grouping_out or None,
+                                   **_route(kwargs, _AGG_KNOBS))
+        else:
+            lt = lt.aggregate(group_by, aggs,
+                              **_route(kwargs, _AGG_KNOBS))
         if having is not None:
             lt = lt.filter(having)
         for how, on, sub in having_joins:
@@ -1615,6 +1740,11 @@ def _select_core(p, tables, kwargs):
                 names.append(alias)
                 continue
             _, e, alias = it
+            if e.kind == "grouping":
+                raise SqlError(
+                    "GROUPING() needs ROLLUP / CUBE / GROUPING SETS in "
+                    "the GROUP BY clause"
+                )
             if e.kind == "col" and e.args[0] == alias:
                 names.append(alias)
             else:

@@ -589,6 +589,57 @@ class Table:
         return Table(cols, cnt,
                      dictionaries={**self._subdicts(by), **out_dicts})
 
+    def aggregate_sets(self, sets, aggs, grouping=None) -> "Table":
+        """SQL GROUPING SETS (and its ROLLUP / CUBE shorthands): UNION
+        ALL of one :meth:`aggregate` per grouping set over the same
+        ``aggs``, with group keys absent from a set returned as typed
+        NULL columns (masked; string keys keep their dictionary, so the
+        rolled-up rows decode to ``""`` with the mask set). ``sets`` is
+        an iterable of name lists (``[]``/``None`` = the grand total).
+        ``grouping``: {out_name: key} adds the SQL ``GROUPING(key)``
+        indicator column (int32: 0 = grouped in this row's set, 1 =
+        rolled up). Each set aggregates independently, so holistic
+        aggregations (median/mode/...) stay exact at every level.
+
+        The reference crate is sort-only (src/radix_sort/mod.rs);
+        grouping sets belong to the north-star query-engine surface."""
+        sets = [list(_as_list(s)) if s else [] for s in sets]
+        if not sets:
+            raise ValueError("aggregate_sets needs at least one "
+                             "grouping set")
+        all_keys = list(dict.fromkeys(k for s in sets for k in s))
+        grouping = dict(grouping or {})
+        for gname, key in grouping.items():
+            if key not in all_keys:
+                raise ValueError(
+                    f"GROUPING({key!r}) must reference a column of some "
+                    f"grouping set (have {all_keys})"
+                )
+        order = [*all_keys, *aggs.keys(), *grouping.keys()]
+        out = None
+        for s in sets:
+            t = self.aggregate(s or None, dict(aggs))
+            add = {}
+            for k in all_keys:
+                if k in s:
+                    continue
+                src = self._cols[k]
+                zeros = jnp.zeros((t._n,), src.dtype)
+                ones = jnp.ones((t._n,), jnp.bool_)
+                if k in self._dicts:
+                    add[k] = S.DictColumn(zeros.astype(jnp.uint32),
+                                          self._dicts[k], ones)
+                else:
+                    add[k] = NL.MaskedColumn(zeros, ones)
+            for gname, key in grouping.items():
+                add[gname] = jnp.full((t._n,), 0 if key in s else 1,
+                                      jnp.int32)
+            if add:
+                t = t.with_columns(**add)
+            t = t.select(*order)
+            out = t if out is None else out.concat(t)
+        return out
+
     def join(self, other: "Table", on, *, capacity: int | None = None,
              how: str = "inner", suffix: str = "_r"):
         """Equi-join with ``other`` on the shared ``on`` column(s).

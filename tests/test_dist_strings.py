@@ -74,3 +74,21 @@ class TestDistStrings:
         a = _np(rst.sql(q, {"t": t}).collect())
         b = _np(rst.sql(q, {"t": dt}).collect())
         np.testing.assert_array_equal(a["v"], b["v"])
+
+
+class TestDistGroupingSets:
+    def test_rollup_matches_single_chip(self, cols):
+        t, dt = _pair(cols)
+        q = ("SELECT w, COUNT(*) AS n, SUM(v) AS s, GROUPING(w) AS g "
+             "FROM t GROUP BY ROLLUP(w) ORDER BY g, w")
+        a = _np(rst.sql(q, {"t": t}).collect())
+        b = _np(rst.sql(q, {"t": dt}, max_groups=16).collect())
+        for k in ("w", "n", "s", "g"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+    def test_facade_sets_match(self, cols):
+        t, dt = _pair(cols)
+        a = t.aggregate_sets([["w"], []], {"n": "count"})
+        b = dt.aggregate_sets([["w"], []], {"n": "count"}, max_groups=16)
+        np.testing.assert_array_equal(_np(a)["n"], _np(b)["n"])
+        np.testing.assert_array_equal(_np(a)["w"], _np(b)["w"])

@@ -821,3 +821,108 @@ class TestOrderByDeferredProjection:
                    if hasattr(out, "to_numpy_codes") else
                    out.to_numpy()["item"])
         assert got == sorted(got)
+
+
+class TestGroupingSets:
+    """ROLLUP / CUBE / GROUPING SETS: UNION ALL of one aggregate per
+    grouping set, rolled-up keys as typed NULLs, GROUPING() indicators
+    (vs a Python dict oracle)."""
+
+    def _oracle(self, db, sets):
+        orders, _ = db
+        rows = []
+        for s in sets:
+            groups = {}
+            for i in range(N):
+                key = tuple(orders[k][i] for k in s)
+                groups.setdefault(key, []).append(orders["qty"][i])
+            for key, qs in groups.items():
+                row = dict(zip(s, key))
+                rows.append((row, sum(qs), len(qs)))
+        return rows
+
+    def test_rollup_vs_oracle(self, db):
+        out = sql(
+            "SELECT cust, item, SUM(qty) AS s, COUNT(*) AS n, "
+            "GROUPING(item) AS gi FROM orders GROUP BY ROLLUP(cust, item)",
+            _tables(db),
+        ).collect()
+        d = out.to_numpy()
+        ref = self._oracle(db, [["cust", "item"], ["cust"], []])
+        assert len(d["s"]) == len(ref)
+        got = set()
+        mc, mi = out.to_numpy()["cust"], d["item"]
+        cust_mask = np.ma.getmaskarray(d["cust"]) \
+            if isinstance(d["cust"], np.ma.MaskedArray) else \
+            np.zeros(len(d["s"]), bool)
+        item_mask = np.ma.getmaskarray(d["item"]) \
+            if isinstance(d["item"], np.ma.MaskedArray) else \
+            np.zeros(len(d["s"]), bool)
+        for i in range(len(d["s"])):
+            c = None if cust_mask[i] else int(np.ma.getdata(d["cust"])[i])
+            it = None if item_mask[i] else str(np.ma.getdata(d["item"])[i])
+            got.add((c, it, int(d["s"][i]), int(d["n"][i]),
+                     int(d["gi"][i])))
+        want = set()
+        for row, s, n in ref:
+            want.add((row.get("cust"),
+                      str(row["item"]) if "item" in row else None,
+                      s, n, 0 if "item" in row else 1))
+        assert got == want
+
+    def test_cube_count(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT cust, item, COUNT(*) AS n FROM orders "
+            "GROUP BY CUBE(cust, item)",
+            _tables(db),
+        ).collect().to_numpy()
+        ref = self._oracle(db, [["cust", "item"], ["cust"], ["item"], []])
+        assert len(out["n"]) == len(ref)
+        assert sum(out["n"]) == sum(n for _, _, n in ref)
+
+    def test_grouping_sets_explicit(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT item, SUM(qty) AS s FROM orders "
+            "GROUP BY GROUPING SETS ((item), ())",
+            _tables(db),
+        ).collect().to_numpy()
+        per_item = {}
+        for it, q in zip(orders["item"], orders["qty"]):
+            per_item[it] = per_item.get(it, 0) + int(q)
+        assert len(out["s"]) == len(per_item) + 1
+        assert int(out["s"][-1]) == int(orders["qty"].sum()) \
+            or int(max(out["s"])) == int(orders["qty"].sum())
+
+    def test_factor_cross_product(self, db):
+        orders, _ = db
+        # GROUP BY a, ROLLUP(b) == GROUPING SETS ((a, b), (a))
+        a = sql("SELECT cust, item, COUNT(*) AS n FROM orders "
+                "GROUP BY cust, ROLLUP(item) ORDER BY cust, item",
+                _tables(db)).collect().to_numpy()
+        b = sql("SELECT cust, item, COUNT(*) AS n FROM orders "
+                "GROUP BY GROUPING SETS ((cust, item), (cust)) "
+                "ORDER BY cust, item",
+                _tables(db)).collect().to_numpy()
+        np.testing.assert_array_equal(a["n"], b["n"])
+        np.testing.assert_array_equal(a["cust"], b["cust"])
+
+    def test_grouping_without_sets_rejected(self, db):
+        with pytest.raises(SqlError, match="GROUPING"):
+            sql("SELECT GROUPING(item) AS g FROM orders GROUP BY item",
+                _tables(db))
+        with pytest.raises(SqlError, match="GROUPING"):
+            sql("SELECT GROUPING(item) AS g FROM orders", _tables(db))
+
+    def test_rollup_with_expression_key(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT qty % 3 AS m, COUNT(*) AS n FROM orders "
+            "GROUP BY ROLLUP(qty % 3) ORDER BY m",
+            _tables(db),
+        ).collect().to_numpy()
+        from collections import Counter
+        c = Counter(int(q) % 3 for q in orders["qty"])
+        assert sorted(out["n"])[-1] == N  # the grand total row
+        assert len(out["n"]) == len(c) + 1

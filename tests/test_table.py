@@ -380,3 +380,43 @@ class TestAsofAndSetOps:
         np.testing.assert_array_equal(got_u, np.union1d(ka, kb))
         np.testing.assert_array_equal(got_i, np.intersect1d(ka, kb))
         np.testing.assert_array_equal(got_d, np.setdiff1d(ka, kb))
+
+
+class TestAggregateSets:
+    """Table.aggregate_sets: typed NULL keys, dictionary propagation,
+    GROUPING indicators, holistic aggregates exact at every level."""
+
+    def test_rollup_masks_and_dicts(self, rng):
+        a = np.array(["p", "q"] * 8)
+        b = rng.integers(0, 3, 16).astype(np.int32)
+        v = rng.integers(0, 9, 16).astype(np.int32)
+        t = Table({"a": a, "b": b, "v": v})
+        out = t.aggregate_sets([["a", "b"], ["a"], []],
+                               {"s": ("sum", "v"), "m": ("median", "v")},
+                               grouping={"ga": "a", "gb": "b"})
+        d = out.to_numpy()
+        n_ab = len({(x, y) for x, y in zip(a, b)})
+        assert len(d["s"]) == n_ab + 2 + 1
+        # rolled-up rows: b is masked NULL, a keeps its dictionary
+        bm = np.ma.getmaskarray(d["b"])
+        assert bm[n_ab:].all() and not bm[:n_ab].any()
+        np.testing.assert_array_equal(d["gb"][n_ab:], 1)
+        # the grand-total row
+        am = np.ma.getmaskarray(d["a"])
+        assert am[-1] and d["ga"][-1] == 1
+        assert int(np.ma.getdata(d["s"])[-1]) == int(v.sum())
+        # holistic at the rolled level: median over ALL of a's rows
+        med_p = int(np.median(np.sort(v[a == "p"])[: (a == "p").sum()]))
+        got_p = int(np.ma.getdata(d["m"])[n_ab])
+        assert got_p == med_p or abs(got_p - med_p) <= 1  # lower method
+
+    def test_needs_a_set(self):
+        t = Table({"v": jnp.arange(4)})
+        with pytest.raises(ValueError, match="grouping set"):
+            t.aggregate_sets([], {"n": "count"})
+
+    def test_grouping_key_validated(self):
+        t = Table({"a": jnp.arange(4), "v": jnp.arange(4)})
+        with pytest.raises(ValueError, match="GROUPING"):
+            t.aggregate_sets([["a"]], {"n": "count"},
+                             grouping={"g": "v"})
