@@ -783,25 +783,40 @@ def _ev_str_chain(x, table):
         if not chains:  # all-literal concat (normally folded by
             s = "".join(parts)  # concat(); defensive)
             return jnp.uint32(0), np.array([s], dtype=np.str_), None
-        codes, _, m = chains[0]
-        for c2, v2, m2 in chains[1:]:
-            # several chains are fine iff they share one base code
-            # column (w || '-' || UPPER(w)): the transforms then combine
-            # positionally on the host values
-            if c2 is not codes:
-                raise TypeError(
-                    "CONCAT over DIFFERENT string columns would need a "
-                    "row-wise dictionary product; operands may share one "
-                    "base column (plus literals)"
-                )
-            m = _mor(m, m2)
-        out = None
+        # fold the parts left to right over a running (codes, vals,
+        # mask). Chains sharing the running base code array combine
+        # positionally on the host values (w || '-' || UPPER(w)); a
+        # DIFFERENT column combines via the dictionary CROSS PRODUCT —
+        # vals grows to |left| * |right| (every combination, realized or
+        # not) and codes become codes * |right| + codes2 with one extra
+        # device multiply-add, so the device cost stays one gather.
+        codes, vals, m = None, np.array([""], dtype=np.str_), None
         for s in parts:
-            piece = (chains[s][1] if isinstance(s, int)
-                     else np.broadcast_to(np.array(s, dtype=np.str_),
-                                          chains[0][1].shape))
-            out = piece if out is None else np.char.add(out, piece)
-        return codes, np.asarray(out, dtype=np.str_), m
+            if not isinstance(s, int):
+                vals = np.char.add(vals, s)
+                continue
+            c2, v2, m2 = chains[s]
+            v2 = np.asarray(v2, dtype=np.str_)
+            if codes is None:
+                codes = c2
+                vals = np.char.add(vals, v2)
+            elif c2 is codes:
+                vals = np.char.add(vals, v2)
+            else:
+                k1, k2 = vals.shape[0], v2.shape[0]
+                if k1 * k2 > (1 << 20):
+                    raise TypeError(
+                        f"CONCAT over different string columns builds "
+                        f"the dictionary cross product; {k1} x {k2} "
+                        f"distinct values exceeds the 2^20 bound — "
+                        f"reduce the vocabularies or concatenate after "
+                        f"aggregation"
+                    )
+                vals = np.char.add(np.repeat(vals, k2),
+                                   np.tile(v2, k1))
+                codes = codes * jnp.uint32(k2) + c2
+            m = _mor(m, m2)
+        return codes, vals, m
     if k == "lit" and isinstance(x.args[0], (str, bytes)):
         return jnp.uint32(0), np.array([_lit_str(x)], dtype=np.str_), None
     if k in ("where", "coalesce", "nulllit"):

@@ -188,11 +188,31 @@ class TestConcat:
         e = concat("a", "b", "c")
         assert e.kind == "lit" and e.args[0] == "abc"
 
-    def test_two_columns_rejected(self, t):
-        t2 = t.with_columns(w2=WORDS)
-        with pytest.raises(TypeError, match="DIFFERENT string columns"):
-            t2.lazy().with_columns(r=concat(col("w"),
-                                            col("w2"))).collect()
+    def test_two_columns_cross_product(self, t):
+        w2 = [w[::-1] for w in WORDS]
+        t2 = t.with_columns(w2=np.array(w2))
+        got = _apply(t2, concat(col("w"), "-", col("w2")))
+        assert got == [f"{a}-{b}" for a, b in zip(WORDS, w2)]
+        # the output dictionary holds every cross combination, sorted
+        out = t2.lazy().with_columns(r=concat(col("w"),
+                                              col("w2"))).collect()
+        vocab = out.dictionary("r")
+        assert list(vocab) == sorted(set(vocab)) and vocab[0] == ""
+
+    def test_three_way_cross_with_transform(self, t):
+        w2 = ["x", "y", "z", "x", "y", "z", "x", "y"]
+        t2 = t.with_columns(w2=np.array(w2))
+        got = _apply(t2, concat(col("w2").upper(), ":", col("w"), ":",
+                                col("w2")))
+        assert got == [f"{b.upper()}:{a}:{b}"
+                       for a, b in zip(WORDS, w2)]
+
+    def test_cross_product_bound(self, t):
+        big = [f"s{i}" for i in range(2048)]
+        t2 = rst.Table({"a": np.array(big), "b": np.array(big)})
+        with pytest.raises(TypeError, match="cross product"):
+            t2.lazy().with_columns(r=concat(col("a"),
+                                            col("b"))).collect()
 
     def test_non_string_operand_rejected(self, t):
         with pytest.raises(TypeError, match="string-valued or string"):
