@@ -155,6 +155,7 @@ class SortBy(_Node):
     child: _Node
     by: tuple  # str | Expr | array entries
     descending: tuple  # bools, same length
+    nulls_last: tuple = ()  # bool | None per key; () = all default
 
     label = "sort_by"
 
@@ -487,10 +488,13 @@ def _fuse_sorts(node):
         # outer keys must be row-wise (name/Expr) to move below the inner
         # sort; positional arrays are pinned to the inner sort's order
         if all(isinstance(b, (str, Expr)) for b in outer.by):
-            by, desc, seen = [], [], set()
-            for b, d in zip(
+            onl = list(outer.nulls_last) or [None] * len(outer.by)
+            inl = list(inner.nulls_last) or [None] * len(inner.by)
+            by, desc, nlast, seen = [], [], [], set()
+            for b, d, nl in zip(
                 list(outer.by) + list(inner.by),
                 list(outer.descending) + list(inner.descending),
+                onl + inl,
             ):
                 if isinstance(b, str):
                     if b in seen:
@@ -498,9 +502,12 @@ def _fuse_sorts(node):
                     seen.add(b)
                 by.append(b)
                 desc.append(d)
-            return _fuse_sorts(
-                SortBy(inner.child, tuple(by), tuple(desc))
-            )
+                nlast.append(nl)
+            return _fuse_sorts(SortBy(
+                inner.child, tuple(by), tuple(desc),
+                tuple(nlast) if any(x is not None for x in nlast)
+                else (),
+            ))
     return node
 
 
@@ -538,7 +545,7 @@ def _sort_limit_to_topk(node):
         descs = set(s.descending)
         if len(descs) == 1 and all(
             isinstance(b, str) for b in s.by
-        ):
+        ) and not any(x is not None for x in s.nulls_last):
             top = TopK(s.child, node.k + node.offset, s.by,
                        largest=descs.pop())
             # top_k emits rows in key order, so OFFSET is a head slice of it
@@ -833,9 +840,12 @@ def _exec(node, flags):
         return t.filter(p)
     if isinstance(node, SortBy):
         t = _exec(node.child, flags)
+        kw = {}
+        if any(x is not None for x in node.nulls_last):
+            kw["nulls_last"] = list(node.nulls_last)
         return t.sort_by(
             [_sort_key(b, t) for b in node.by],
-            descending=list(node.descending),
+            descending=list(node.descending), **kw,
         )
     if isinstance(node, Distinct):
         t = _exec(node.child, flags)
@@ -1069,15 +1079,26 @@ class LazyTable:
     def filter(self, pred) -> "LazyTable":
         return self._wrap(Filter(self._plan, pred))
 
-    def sort_by(self, by, descending=False) -> "LazyTable":
+    def sort_by(self, by, descending=False,
+                nulls_last=None) -> "LazyTable":
         by = _as_list(by)
         desc = ([descending] * len(by)
                 if isinstance(descending, bool) else list(descending))
         if len(desc) != len(by):
             raise ValueError("descending list must match the by list")
-        return self._wrap(
-            SortBy(self._plan, tuple(by), tuple(bool(d) for d in desc))
-        )
+        nlast = ()
+        if isinstance(nulls_last, bool):
+            nlast = (nulls_last,) * len(by)
+        elif nulls_last is not None:
+            nlast = tuple(nulls_last)
+            if len(nlast) != len(by):
+                raise ValueError(
+                    "nulls_last list must match the by list")
+            if all(x is None for x in nlast):
+                nlast = ()
+        return self._wrap(SortBy(
+            self._plan, tuple(by), tuple(bool(d) for d in desc), nlast
+        ))
 
     def distinct(self, subset=None, **kwargs) -> "LazyTable":
         s = tuple(_as_list(subset)) or None

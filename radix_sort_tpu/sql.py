@@ -12,7 +12,8 @@ Supported grammar::
 
     query := [WITH name AS ( query ) [, ...]]
              select [ (UNION [ALL] | INTERSECT | EXCEPT) select ]*
-             [ORDER BY key [ASC|DESC], ...] [LIMIT n [OFFSET m]]
+             [ORDER BY key [ASC|DESC] [NULLS FIRST|LAST], ...]
+             [LIMIT n [OFFSET m]]
              (INTERSECT binds tighter; engine set-op semantics: distinct
              rows matched by column NAME — both sides must expose the
              same column names; UNION ALL = concat. An ORDER BY key is a
@@ -1332,7 +1333,7 @@ def _query(p, tables, kwargs):
     reproject = None
     if p.eat_kw("ORDER"):
         p.expect_kw("BY")
-        order_by, order_desc, hoisted = [], [], {}
+        order_by, order_desc, order_nulls, hoisted = [], [], [], {}
         while True:
             # expression keys (ORDER BY UPPER(w), v % 10, ...) hoist into
             # synthetic columns dropped after the (sort, limit) tail
@@ -1345,6 +1346,19 @@ def _query(p, tables, kwargs):
                 order_by.append(name)
             d = p.eat_kw("ASC", "DESC")
             order_desc.append(d == "DESC")
+            nl_ = None
+            t = p.peek()
+            if t[0] == "id" and str(t[1]).upper() == "NULLS":
+                p.next()
+                w = p.next()
+                word = str(w[1]).upper() if w[0] in ("id", "kw") else ""
+                if word not in ("FIRST", "LAST"):
+                    raise SqlError(
+                        f"expected FIRST or LAST after NULLS, got "
+                        f"{w[1]!r}"
+                    )
+                nl_ = word == "LAST"
+            order_nulls.append(nl_)
             if not p.eat_op(","):
                 break
         # keys (and hoisted expressions) may reference columns the SELECT
@@ -1369,7 +1383,11 @@ def _query(p, tables, kwargs):
         if hoisted:
             lt = lt.with_columns(**hoisted)
             drop_after = tuple(hoisted)
-        lt = lt.sort_by(order_by, descending=order_desc)
+        lt = lt.sort_by(order_by, descending=order_desc,
+                        nulls_last=(order_nulls
+                                    if any(x is not None
+                                           for x in order_nulls)
+                                    else None))
     if p.eat_kw("LIMIT"):
         t = p.next()
         if t[0] != "num" or not isinstance(t[1], int):

@@ -387,20 +387,31 @@ class Table:
         return Table(dict(zip(self._cols, out)), cnt,
                      dictionaries=self._dicts)
 
-    def sort_by(self, by, descending=False) -> "Table":
+    def sort_by(self, by, descending=False, nulls_last=None) -> "Table":
         """Stable sort of the valid rows by one or more columns (every
         other column rides the one variadic sort; padding stays last).
-        ``descending`` is a bool or a per-column list. NULL keys sort as
-        +infinity: last ascending, first descending (PostgreSQL)."""
+        ``descending`` is a bool or a per-column list. NULL keys default
+        to +infinity — last ascending, first descending (PostgreSQL);
+        ``nulls_last`` (bool / per-column list of bool-or-None) overrides
+        per key by complementing only the null-mask word."""
         by = _as_list(by)
         desc = ([descending] * len(by)
                 if isinstance(descending, bool) else list(descending))
         if len(desc) != len(by):
             raise ValueError("descending list must match the by list")
+        nlast = ([nulls_last] * len(by)
+                 if nulls_last is None or isinstance(nulls_last, bool)
+                 else list(nulls_last))
+        if len(nlast) != len(by):
+            raise ValueError("nulls_last list must match the by list")
         key_cols, by = self._resolve_masked(by)
         limbs = []
-        for c, d, name in zip(key_cols, desc, by):
-            words, _ = self._key_words(name, c)
+        for c, d, nl_, name in zip(key_cols, desc, nlast, by):
+            words, has_mask = self._key_words(name, c)
+            if has_mask:
+                eff_last = (not d) if nl_ is None else bool(nl_)
+                limbs.append(words[0] if eff_last else ~words[0])
+                words = words[1:]
             limbs.extend(~w if d else w for w in words)
         flag = self._flag()
         if flag is not None:

@@ -926,3 +926,38 @@ class TestGroupingSets:
         c = Counter(int(q) % 3 for q in orders["qty"])
         assert sorted(out["n"])[-1] == N  # the grand total row
         assert len(out["n"]) == len(c) + 1
+
+
+class TestNullsFirstLast:
+    @pytest.fixture
+    def nt(self):
+        return {"t": Table({
+            "k": np.ma.MaskedArray([3, 1, 2, 9, 5],
+                                   [False, True, False, True, False]),
+            "v": np.arange(5, dtype=np.int32)})}
+
+    @pytest.mark.parametrize("q,want", [
+        ("SELECT v FROM t ORDER BY k", [2, 0, 4, 1, 3]),
+        ("SELECT v FROM t ORDER BY k NULLS FIRST", [1, 3, 2, 0, 4]),
+        ("SELECT v FROM t ORDER BY k NULLS LAST", [2, 0, 4, 1, 3]),
+        ("SELECT v FROM t ORDER BY k DESC", [1, 3, 4, 0, 2]),
+        ("SELECT v FROM t ORDER BY k DESC NULLS LAST", [4, 0, 2, 1, 3]),
+    ])
+    def test_orders(self, nt, q, want):
+        out = sql(q, nt).collect().to_numpy()
+        np.testing.assert_array_equal(out["v"], want)
+
+    def test_mixed_with_limit(self, nt):
+        # an override blocks the top_k rewrite; semantics must hold
+        plan = sql("SELECT v FROM t ORDER BY k NULLS FIRST LIMIT 3", nt)
+        assert "top_k" not in plan.explain()
+        np.testing.assert_array_equal(
+            plan.collect().to_numpy()["v"], [1, 3, 2])
+
+    def test_default_still_converts_to_topk(self, nt):
+        plan = sql("SELECT v FROM t ORDER BY k LIMIT 2", nt)
+        assert "top_k" in plan.explain()
+
+    def test_bad_word_after_nulls(self, nt):
+        with pytest.raises(SqlError, match="FIRST or LAST"):
+            sql("SELECT v FROM t ORDER BY k NULLS MAYBE", nt)
