@@ -1463,6 +1463,9 @@ def _from_target(p, tables, kwargs):
         raise SqlError(f"unknown table {name!r} (registered: "
                        f"{sorted(tables)})")
     t = tables[name]
+    p._alias()  # optional [AS] alias (flat namespace: self-joins name
+    # the same table twice; qualified refs resolve by bare column name,
+    # the join's suffix renames right-side collisions)
     return t if hasattr(t, "collect") else t.lazy()
 
 

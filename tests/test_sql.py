@@ -961,3 +961,21 @@ class TestNullsFirstLast:
     def test_bad_word_after_nulls(self, nt):
         with pytest.raises(SqlError, match="FIRST or LAST"):
             sql("SELECT v FROM t ORDER BY k NULLS MAYBE", nt)
+
+
+class TestSelfJoin:
+    def test_alias_on_plain_table(self, db):
+        orders, _ = db
+        # employee->manager style self-join: alias the same table twice;
+        # the flat namespace resolves e.cust/m.oid to bare columns and
+        # the join suffix renames right-side collisions
+        t = Table({"id": np.arange(8, dtype=np.int32),
+                   "par": np.array([0, 0, 1, 1, 2, 2, 3, 3], np.int32),
+                   "v": np.arange(8, dtype=np.int32) * 10})
+        out = sql(
+            "SELECT id, par, v, v_r FROM t c JOIN t p ON c.par = p.id "
+            "ORDER BY id",
+            {"t": t}, capacity=16,
+        ).collect().to_numpy()
+        np.testing.assert_array_equal(out["v_r"], out["par"] * 10)
+        np.testing.assert_array_equal(out["id"], np.arange(8))
