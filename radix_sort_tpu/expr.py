@@ -214,6 +214,27 @@ class Expr:
             if k == "strbool" and m is not None:
                 v = v & ~m
             return v, m
+        if k == "datefn":
+            from radix_sort_tpu import dates as D
+
+            fname, child, params = self.args
+            if _is_string_valued(child, table):
+                raise TypeError(
+                    f"{fname.upper()} needs an epoch-days integer "
+                    f"column, got a string column"
+                )
+            av, am = _ev_masked(child, table)
+            av = jnp.asarray(av)
+            if av.dtype == jnp.int64:
+                # an epoch-microseconds timestamp: floor to civil days
+                av = jnp.floor_divide(av, D.US_PER_DAY).astype(jnp.int32)
+            if fname == "trunc":
+                v = D.trunc_days(params[0], av)
+            elif fname == "add_months":
+                v = D.add_months(av, params[0])
+            else:
+                v = D.DATE_NUM_FNS[fname](av)
+            return v, am
         if k == "where":
             c, a, b = self.args
             if _is_string_valued(a, table) or _is_string_valued(b, table):
@@ -589,6 +610,44 @@ class Expr:
         ``others`` (string expressions or literals)."""
         return concat(self, *others)
 
+    # -- date functions (operand = int32 epoch days; dates.py) ------------
+
+    def _datefn(self, fname, *params) -> "Expr":
+        return Expr("datefn", (fname, self, tuple(params)))
+
+    def year(self) -> "Expr":
+        """Civil year of an epoch-days value (int32)."""
+        return self._datefn("year")
+
+    def month(self) -> "Expr":
+        return self._datefn("month")
+
+    def day(self) -> "Expr":
+        return self._datefn("day")
+
+    def day_of_week(self) -> "Expr":
+        """ISO day of week: 1 = Monday ... 7 = Sunday."""
+        return self._datefn("dow")
+
+    def day_of_year(self) -> "Expr":
+        return self._datefn("doy")
+
+    def week(self) -> "Expr":
+        """ISO-8601 week number."""
+        return self._datefn("week")
+
+    def quarter(self) -> "Expr":
+        return self._datefn("quarter")
+
+    def date_trunc(self, unit: str) -> "Expr":
+        """Start of ``unit`` (year/quarter/month/week/day) as epoch
+        days."""
+        return self._datefn("trunc", str(unit).lower())
+
+    def add_months(self, n: int) -> "Expr":
+        """SQL INTERVAL MONTH arithmetic (day clamped to month end)."""
+        return self._datefn("add_months", int(n))
+
     def isin(self, values) -> "Expr":
         """Membership in a small static value list (ORed equalities)."""
         vals = list(values)
@@ -649,7 +708,7 @@ class Expr:
             return f"nullif({self.args[0]!r}, {self.args[1]!r})"
         if k == "nulllit":
             return "NULL"
-        if k in ("strfn", "strnum", "strbool"):
+        if k in ("strfn", "strnum", "strbool", "datefn"):
             fname, a, params = self.args
             ps = "".join(f", {p!r}" for p in params)
             return f"{a!r}.{fname}({ps[2:] if ps else ''})"

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from radix_sort_tpu import dates as DT
 from radix_sort_tpu import keys as K
 from radix_sort_tpu import nulls as NL
 from radix_sort_tpu import strings as S
@@ -75,6 +76,15 @@ class DistTable:
                 codes, vocab = S.encode(c)
                 dicts[name] = vocab
                 c = codes
+            elif DT.is_datetime_data(c):
+                # Arrow storage: date32 epoch days / int64 epoch us
+                c, unit = DT.encode_datetime64(c)
+                if unit == "us" and not jax.config.jax_enable_x64:
+                    raise TypeError(
+                        f"column {name!r}: sub-day datetime64 needs "
+                        f"int64 microseconds — enable jax_enable_x64, "
+                        f"or pass day-resolution datetime64[D] data"
+                    )
             c = jnp.asarray(c)
             if c.ndim != 1:
                 raise ValueError(f"column {name!r} must be 1-D, got {c.shape}")

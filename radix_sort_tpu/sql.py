@@ -77,6 +77,13 @@ Supported grammar::
              scalar math: ABS FLOOR CEIL[ING] ROUND(x[, d]) SIGN SQRT EXP
              LN LOG LOG10 LOG2 POWER/POW(a, b) MOD(a, b)
              LEAST(a, b, ...) GREATEST(a, b, ...),
+             dates (epoch-days int32 / epoch-us int64 storage, Arrow
+             convention; datetime64 columns auto-encode): DATE 'Y-m-d'
+             and TIMESTAMP literals, YEAR MONTH DAY DAYOFWEEK DAYOFYEAR
+             WEEK QUARTER, EXTRACT(field FROM x),
+             DATE_TRUNC('year|quarter|month|week|day', x),
+             x +/- INTERVAL n DAY|WEEK|MONTH|YEAR (calendar-exact,
+             month-end clamped), ADD_MONTHS(x, n), MAKE_DATE(y, m, d),
              CASE WHEN c THEN a [WHEN ...] [ELSE b] END
              (missing ELSE is NULL, per the standard),
              NULL handling (nulls.py masks; full three-valued logic):
@@ -155,6 +162,19 @@ _CAST_TYPES = {
     "UINTEGER": "uint32", "UBIGINT": "uint64",
     "FLOAT": "float32", "REAL": "float32", "DOUBLE": "float64",
     "BOOLEAN": "bool", "BOOL": "bool",
+}
+
+# date functions (operands are epoch-days ints; dates.py civil math)
+_DATE_FNS = {
+    "YEAR": "year", "MONTH": "month", "DAY": "day",
+    "DAYOFWEEK": "dow", "DAYOFYEAR": "doy", "WEEK": "week",
+    "QUARTER": "quarter",
+}
+
+# INTERVAL units -> days multiplier (None = calendar months path)
+_INTERVAL_UNITS = {
+    "DAY": 1, "DAYS": 1, "WEEK": 7, "WEEKS": 7,
+    "MONTH": None, "MONTHS": None, "YEAR": None, "YEARS": None,
 }
 
 # verb-specific capacity knobs routed from sql(**kwargs)
@@ -488,6 +508,36 @@ class _Parser:
                            f"{t[1]!r}")
         return -t[1] if neg else t[1]
 
+    def _interval(self, what):
+        """``INTERVAL n unit`` / ``INTERVAL 'n' unit`` after +/- ->
+        ``(days, months)`` with exactly one non-zero."""
+        self.next()  # INTERVAL
+        t = self.next()
+        if t[0] == "num" and isinstance(t[1], int):
+            n = t[1]
+        elif t[0] == "str":
+            try:
+                n = int(t[1])
+            except ValueError:
+                raise SqlError(
+                    f"INTERVAL quantity must be an integer, got "
+                    f"{t[1]!r}") from None
+        else:
+            raise SqlError(
+                f"INTERVAL quantity must be an integer, got {t[1]!r}")
+        u = self.next()
+        unit = str(u[1]).upper() if u[0] in ("id", "kw") else ""
+        if unit not in _INTERVAL_UNITS:
+            raise SqlError(
+                f"unknown INTERVAL unit {u[1]!r} (supported: "
+                f"{', '.join(sorted(set(_INTERVAL_UNITS)))})"
+            )
+        mult = _INTERVAL_UNITS[unit]
+        if mult is None:
+            months = n * (12 if unit.startswith("YEAR") else 1)
+            return 0, months
+        return n * mult, 0
+
     def _add(self):
         e = self._mul()
         while True:
@@ -497,6 +547,12 @@ class _Parser:
             if op == "||":
                 from radix_sort_tpu.expr import concat
                 e = concat(e, self._mul())
+            elif (self.peek()[0] == "id"
+                  and str(self.peek()[1]).upper() == "INTERVAL"):
+                days, months = self._interval(op)
+                sign = 1 if op == "+" else -1
+                e = (e + sign * days if months == 0
+                     else e.add_months(sign * months))
             else:
                 e = e + self._mul() if op == "+" else e - self._mul()
 
@@ -561,6 +617,20 @@ class _Parser:
             # string functions
             self.next()
             return self._call(t[1])
+        if (t[0] == "id" and str(t[1]).upper() in ("DATE", "TIMESTAMP")
+                and self.peek(1)[0] == "str"):
+            # DATE '2026-08-20' -> epoch days (int32); TIMESTAMP
+            # 'Y-m-d H:M:S[.f]' -> epoch microseconds (int64; x64)
+            from radix_sort_tpu import dates as D
+
+            kindw = str(self.next()[1]).upper()
+            s = self.next()[1]
+            try:
+                return lit(D.parse_date(s) if kindw == "DATE"
+                           else D.parse_timestamp(s))
+            except ValueError as err:
+                raise SqlError(f"bad {kindw} literal {s!r}: "
+                               f"{err}") from None
         if t[0] == "id":
             name = self.ident()
             if self.at_op("."):
@@ -706,6 +776,57 @@ class _Parser:
             m = {"STARTS_WITH": "starts_with", "ENDS_WITH": "ends_with",
                  "CONTAINS": "contains"}[fn]
             return getattr(e, m)(s)
+        if fn == "EXTRACT":
+            # EXTRACT(field FROM expr) over epoch-days date columns
+            from radix_sort_tpu import dates as D
+
+            t = self.next()
+            field = str(t[1]).upper() if t[0] in ("id", "kw") else ""
+            if field not in D.EXTRACT_FIELDS:
+                raise SqlError(
+                    f"unknown EXTRACT field {t[1]!r} (supported: "
+                    f"{', '.join(sorted(D.EXTRACT_FIELDS))})"
+                )
+            self.expect_kw("FROM")
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e._datefn(D.EXTRACT_FIELDS[field])
+        if fn in _DATE_FNS:
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e._datefn(_DATE_FNS[fn])
+        if fn == "DATE_TRUNC":
+            from radix_sort_tpu import dates as D
+
+            unit = self._str_param("DATE_TRUNC unit").lower()
+            if unit not in D.TRUNC_UNITS:
+                raise SqlError(
+                    f"unknown DATE_TRUNC unit {unit!r} (supported: "
+                    f"{', '.join(D.TRUNC_UNITS)})"
+                )
+            self.expect_op(",")
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e.date_trunc(unit)
+        if fn == "ADD_MONTHS":
+            e = self.parse_expr()
+            self.expect_op(",")
+            n = self._int_param("ADD_MONTHS count")
+            self.expect_op(")")
+            return e.add_months(n)
+        if fn == "MAKE_DATE":
+            from radix_sort_tpu import dates as D
+
+            y = self._int_param("MAKE_DATE year")
+            self.expect_op(",")
+            m = self._int_param("MAKE_DATE month")
+            self.expect_op(",")
+            d = self._int_param("MAKE_DATE day")
+            self.expect_op(")")
+            try:
+                return lit(D.parse_date(f"{y:04d}-{m:02d}-{d:02d}"))
+            except ValueError as err:
+                raise SqlError(f"MAKE_DATE: {err}") from None
         if fn == "GROUPING":
             # SQL GROUPING(key): 0 when this row's grouping set includes
             # the key, 1 when the key is rolled up. Parsed as a marker

@@ -38,10 +38,12 @@ part of the north-star query-engine surface (BASELINE.json).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 import radix_sort_tpu as rst
+from radix_sort_tpu import dates as DT
 from radix_sort_tpu import keys as K
 from radix_sort_tpu import nulls as NL
 from radix_sort_tpu import strings as S
@@ -96,6 +98,17 @@ class Table:
                 codes, vocab = S.encode(c)
                 dicts[name] = vocab
                 c = codes
+            elif DT.is_datetime_data(c):
+                # Arrow storage convention: date32 epoch days / int64
+                # epoch microseconds (dates.py); decode via
+                # dates.decode_days / decode_us
+                c, unit = DT.encode_datetime64(c)
+                if unit == "us" and not jax.config.jax_enable_x64:
+                    raise TypeError(
+                        f"column {name!r}: sub-day datetime64 needs "
+                        f"int64 microseconds — enable jax_enable_x64, "
+                        f"or pass day-resolution datetime64[D] data"
+                    )
             c = jnp.asarray(c)
             if c.ndim != 1:
                 raise ValueError(f"column {name!r} must be 1-D, got {c.shape}")
