@@ -147,12 +147,16 @@ def _queries_suite(args):
     as_f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     as_i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
 
+    from radix_sort_tpu.dates import parse_date
+
+    d_lo, d_hi = parse_date("2024-01-01"), parse_date("2027-01-01")
     line = jnp.asarray(np.stack([
         rng.integers(0, 8, n).astype(np.uint32),           # status
         rng.integers(1, 51, n).astype(np.uint32),          # qty
         (rng.random(n) * 1000).astype(np.float32).view(np.uint32),
         (rng.random(n) * 0.1).astype(np.float32).view(np.uint32),
         rng.integers(0, n_c, n).astype(np.uint32),         # custkey
+        rng.integers(d_lo, d_hi, n).astype(np.uint32),     # shipdate
     ]))
     cust = jnp.asarray(np.stack([
         np.arange(n_c, dtype=np.uint32),                   # custkey
@@ -233,6 +237,58 @@ def _queries_suite(args):
         return out["custkey"]
 
     report("IN-subquery semi join (filter+semi)", n, timed(qsub, line, cust))
+
+    @jax.jit
+    def qdate(p):
+        t = Table({"d": as_i32(p[5]), "price": as_f32(p[2])})
+        out = sql(
+            "SELECT DATE_TRUNC('month', d) AS mo, COUNT(*) AS cnt, "
+            "SUM(price) AS rev FROM l "
+            "WHERE d >= DATE '2025-01-01' AND d < DATE '2026-01-01' "
+            "GROUP BY DATE_TRUNC('month', d) ORDER BY mo",
+            {"l": t}, max_groups=16,
+        ).collect()
+        return jnp.stack([as_u32(out["mo"]),
+                          as_u32(out["cnt"].astype(jnp.int32)),
+                          as_u32(out["rev"].astype(jnp.float32))])
+
+    report("date filter + DATE_TRUNC month group", n, timed(qdate, line))
+
+    @jax.jit
+    def qrollup(p):
+        t = Table({"status": p[0], "qty": as_i32(p[1]),
+                   "d": as_i32(p[5])})
+        out = sql(
+            "SELECT status, COUNT(*) AS cnt, SUM(qty) AS s FROM l "
+            "GROUP BY ROLLUP(status, YEAR(d))",
+            {"l": t}, max_groups=64,
+        ).collect()
+        return jnp.stack([out["status"],
+                          as_u32(out["cnt"].astype(jnp.int32)),
+                          as_u32(out["s"].astype(jnp.int32))])
+
+    report("ROLLUP(status, YEAR(d)) 3-level aggregate", n,
+           timed(qrollup, line))
+
+    n_w = 1024
+    wvocab = np.sort(np.array(
+        [f"w{i:04d}" for i in rng.permutation(n_w)], dtype=np.str_))
+    wcodes = jnp.asarray(rng.integers(1, n_w, n).astype(np.uint32))
+
+    @jax.jit
+    def qstr(codes, p):
+        t = Table({"w": codes, "qty": as_i32(p[1])},
+                  dictionaries={"w": wvocab})
+        out = sql(
+            "SELECT UPPER(w) AS u, COUNT(*) AS cnt FROM l "
+            "WHERE w LIKE 'w0%' AND CONTAINS(w, '1') "
+            "GROUP BY UPPER(w) ORDER BY cnt DESC LIMIT 20",
+            {"l": t}, max_groups=2 * n_w,
+        ).collect()
+        return jnp.stack([out["u"], as_u32(out["cnt"].astype(jnp.int32))])
+
+    report("string fns: LIKE+CONTAINS filter, UPPER group", n,
+           timed(qstr, wcodes, line))
 
 
 def _ops_suite(args):

@@ -55,12 +55,16 @@ AGGREGATIONS = (
 # "quantile:<q>" (0 <= q <= 1) is also accepted anywhere an aggregation
 # name is: the group's lower order statistic at rank floor(q*(len-1)) —
 # PERCENTILE_DISC semantics; "quantile:0.5" == "median". Parsed by
-# quantile_q().
+# quantile_q(). "quantile_cont:<q>" is the interpolated variant
+# (PERCENTILE_CONT: linear between the two bracketing order statistics,
+# float32 output).
 
 
 def quantile_q(agg):
-    """The q of a ``"quantile:<q>"`` aggregation name, else None."""
-    if isinstance(agg, str) and agg.startswith("quantile:"):
+    """The q of a ``"quantile:<q>"`` / ``"quantile_cont:<q>"``
+    aggregation name, else None."""
+    if isinstance(agg, str) and (agg.startswith("quantile:")
+                                 or agg.startswith("quantile_cont:")):
         try:
             q = float(agg.split(":", 1)[1])
         except ValueError:
@@ -68,6 +72,10 @@ def quantile_q(agg):
         if 0.0 <= q <= 1.0:
             return q
     return None
+
+
+def quantile_is_cont(agg):
+    return isinstance(agg, str) and agg.startswith("quantile_cont:")
 
 
 def valid_agg(agg):
@@ -402,6 +410,19 @@ def hash_aggregate(keys, values, agg: str = "sum", *, _positions=None):
         *out_keys, ends_c, count = filter(last, *uk_cols, pos)
         starts_c = jnp.roll(ends_c, 1).at[0].set(-1) + 1
         span = ends_c - starts_c
+        if quantile_is_cont(agg):
+            # PERCENTILE_CONT: rank r = q*(len-1) interpolates linearly
+            # between the bracketing order statistics (float32 output)
+            r = span.astype(jnp.float32) * q
+            lo = jnp.floor(r + 1e-6).astype(jnp.int32)
+            lo = jnp.clip(lo, 0, span)
+            hi = jnp.minimum(lo + 1, span)
+            frac = (r - lo.astype(jnp.float32)).clip(0.0, 1.0)
+            vlo = sv[jnp.clip(starts_c + lo, 0, n - 1)].astype(
+                jnp.float32)
+            vhi = sv[jnp.clip(starts_c + hi, 0, n - 1)].astype(
+                jnp.float32)
+            return _pack(out_keys), vlo + frac * (vhi - vlo), count
         if agg == "median":
             off = span // 2
         else:

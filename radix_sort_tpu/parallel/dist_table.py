@@ -676,7 +676,8 @@ class DistTable:
                         f"{out_name!r}: {agg!r} needs a value column"
                     )
                 col = keys_arg[-1]
-            if agg in _NUMERIC_ONLY_AGGS:
+            if agg in _NUMERIC_ONLY_AGGS or \
+                    agg.startswith("quantile_cont:"):
                 self._no_string(col, f"{out_name!r}: {agg}")
             elif (isinstance(col, str) and col in self._dicts
                   and (agg in ("min", "max", "first", "last", "mode",

@@ -45,9 +45,11 @@ Supported grammar::
              [ASC|DESC], ...] [ROWS frame]) [[AS] alias]
     agg   := SUM COUNT AVG MEAN MIN MAX MEDIAN MODE VAR VARIANCE STD
              STDDEV FIRST LAST ARGMIN ARGMAX BOOL_AND BOOL_OR
-             COUNT(*) COUNT(DISTINCT x)
+             COUNT(*) COUNT(DISTINCT x_or_expr)
              QUANTILE(x, q) / PERCENTILE_DISC(x, q): the group value at
-             rank floor(q*(len-1)) — exact order statistic
+             rank floor(q*(len-1)) — exact order statistic;
+             PERCENTILE_CONT(x, q): linear interpolation between the
+             bracketing order statistics (float32)
     winfn := ROW_NUMBER RANK DENSE_RANK PERCENT_RANK CUME_DIST NTILE(n)
              FIRST_VALUE(x) LAST_VALUE(x) NTH_VALUE(x, k)
              LAG(x[, off[, default]]) LEAD(x[, off[, default]])
@@ -84,8 +86,10 @@ Supported grammar::
              DATE_TRUNC('year|quarter|month|week|day', x),
              x +/- INTERVAL n DAY|WEEK|MONTH|YEAR (calendar-exact,
              month-end clamped), ADD_MONTHS(x, n), MAKE_DATE(y, m, d),
-             CASE WHEN c THEN a [WHEN ...] [ELSE b] END
+             CASE WHEN c THEN a [WHEN ...] [ELSE b] END and the simple
+             form CASE x WHEN v THEN a ... END
              (missing ELSE is NULL, per the standard),
+             a IS [NOT] DISTINCT FROM b (null-safe equality),
              NULL handling (nulls.py masks; full three-valued logic):
              the NULL literal, x IS [NOT] NULL, COALESCE(a, b, ...),
              IFNULL(a, b), NULLIF(a, b); WHERE keeps known-TRUE rows;
@@ -144,7 +148,7 @@ _AGG_FNS = {
 }
 # parameterized aggregates: QUANTILE(x, q) -> the engine's "quantile:<q>"
 # (PERCENTILE_DISC semantics: the group value at rank floor(q*(len-1)))
-_PARAM_AGG_FNS = {"QUANTILE", "PERCENTILE_DISC"}
+_PARAM_AGG_FNS = {"QUANTILE", "PERCENTILE_DISC", "PERCENTILE_CONT"}
 
 # single-argument scalar functions -> the Expr method computing them
 _SCALAR_FNS = {
@@ -462,6 +466,14 @@ class _Parser:
             return ~out if neg else out
         if self.eat_kw("IS"):
             not_ = self.eat_kw("NOT")
+            if self.eat_kw("DISTINCT"):
+                # null-safe equality: never NULL — NULLs compare equal
+                self.expect_kw("FROM")
+                b = self._add()
+                an, bn = e.is_null(), b.is_null()
+                same = where(an | bn, an & bn, e == b)
+                out = same if not_ else ~same
+                return ~out if neg else out
             self.expect_kw("NULL")
             out = e.is_not_null() if not_ else e.is_null()
             return ~out if neg else out
@@ -878,7 +890,9 @@ class _Parser:
                 )
             self.expect_op(")")
             name = e.args[0] if e.kind == "col" else self._pre(e)
-            return f"quantile:{float(q[1])}", name
+            pre = ("quantile_cont" if fname == "PERCENTILE_CONT"
+                   else "quantile")
+            return f"{pre}:{float(q[1])}", name
         agg = _AGG_FNS[fname]
         if self.eat_op("*"):
             if fname != "COUNT":
@@ -888,8 +902,14 @@ class _Parser:
         if self.eat_kw("DISTINCT"):
             if fname != "COUNT":
                 raise SqlError("DISTINCT only inside COUNT(...)")
-            name = self._qualified_ident("column")
+            saved = (self.allow_aggs, self.subq_ok)
+            self.allow_aggs = self.subq_ok = False
+            try:
+                e = self.parse_expr()
+            finally:
+                self.allow_aggs, self.subq_ok = saved
             self.expect_op(")")
+            name = e.args[0] if e.kind == "col" else self._pre(e)
             return "count_distinct", name
         saved = (self.allow_aggs, self.subq_ok)  # no nested aggs/subqueries
         self.allow_aggs = self.subq_ok = False
@@ -926,9 +946,16 @@ class _Parser:
 
     def _case_inner(self) -> Expr:
         self.expect_kw("CASE")
+        operand = None
+        if not self.at_kw("WHEN"):
+            # simple CASE: CASE x WHEN v THEN r ... — each arm compares
+            # the operand for equality
+            operand = self.parse_expr()
         arms = []
         while self.eat_kw("WHEN"):
             c = self.parse_expr()
+            if operand is not None:
+                c = operand == c
             self.expect_kw("THEN")
             v = self.parse_expr()
             arms.append((c, v))
@@ -1044,7 +1071,9 @@ class _Parser:
                 raise SqlError(
                     f"{fname} takes (column_or_expr, q) with q in [0, 1]"
                 )
-            agg = f"quantile:{float(args[1][1])}"
+            pre = ("quantile_cont" if fname == "PERCENTILE_CONT"
+                   else "quantile")
+            agg = f"{pre}:{float(args[1][1])}"
             if args[0][0] == "expr":
                 argname, expr_arg = self._pre(args[0][1]), True
             else:
@@ -1074,10 +1103,6 @@ class _Parser:
                     f"expression argument"
                 )
             if args[0][0] == "expr":
-                if distinct_arg:
-                    raise SqlError(
-                        "COUNT(DISTINCT ...) takes a plain column"
-                    )
                 argname = self._pre(args[0][1])
                 expr_arg = True
             else:

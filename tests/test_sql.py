@@ -979,3 +979,61 @@ class TestSelfJoin:
         ).collect().to_numpy()
         np.testing.assert_array_equal(out["v_r"], out["par"] * 10)
         np.testing.assert_array_equal(out["id"], np.arange(8))
+
+
+class TestSqlCompleteness:
+    """Simple CASE, COUNT(DISTINCT expr), IS [NOT] DISTINCT FROM,
+    PERCENTILE_CONT."""
+
+    @pytest.fixture
+    def t5(self):
+        return {"t": Table({
+            "k": np.array([1, 2, 3, 2, 1], np.int32),
+            "v": np.array([10., 20., 30., 40., 50.], np.float32)})}
+
+    def test_simple_case(self, t5):
+        out = sql("SELECT CASE k WHEN 1 THEN 10 WHEN 2 THEN 20 "
+                  "ELSE 0 END AS c FROM t", t5).collect().to_numpy()
+        np.testing.assert_array_equal(out["c"], [10, 20, 0, 20, 10])
+
+    def test_count_distinct_expr(self, t5):
+        out = sql("SELECT COUNT(DISTINCT k % 2) AS n FROM t",
+                  t5).collect().to_numpy()
+        np.testing.assert_array_equal(out["n"], [2])
+
+    def test_is_distinct_from(self, t5):
+        out = sql("SELECT v FROM t WHERE k IS DISTINCT FROM 2",
+                  t5).collect().to_numpy()
+        np.testing.assert_array_equal(out["v"], [10., 30., 50.])
+
+    def test_is_not_distinct_from_nulls(self):
+        tn = {"tn": Table({
+            "a": np.ma.MaskedArray([1, 2, 3], [True, False, False]),
+            "b": np.ma.MaskedArray([9, 2, 9], [True, False, True]),
+            "v": np.arange(3, dtype=np.int32)})}
+        out = sql("SELECT v FROM tn WHERE a IS NOT DISTINCT FROM b",
+                  tn).collect().to_numpy()
+        np.testing.assert_array_equal(out["v"], [0, 1])  # NULL==NULL
+        out2 = sql("SELECT v FROM tn WHERE a IS DISTINCT FROM b",
+                   tn).collect().to_numpy()
+        np.testing.assert_array_equal(out2["v"], [2])
+
+    def test_percentile_cont(self, t5):
+        out = sql("SELECT k, PERCENTILE_CONT(v, 0.25) AS p, "
+                  "PERCENTILE_DISC(v, 0.25) AS d FROM t "
+                  "GROUP BY k ORDER BY k", t5).collect().to_numpy()
+        np.testing.assert_allclose(out["p"], [20., 25., 30.])
+        np.testing.assert_allclose(out["d"], [10., 20., 30.])
+
+    def test_percentile_cont_ungrouped_oracle(self, db):
+        orders, _ = db
+        out = sql("SELECT PERCENTILE_CONT(price, 0.7) AS p FROM orders",
+                  _tables(db)).collect().to_numpy()
+        want = np.quantile(orders["price"].astype(np.float64), 0.7,
+                           method="linear")
+        np.testing.assert_allclose(out["p"][0], want, rtol=2e-5)
+
+    def test_percentile_cont_string_rejected(self, db):
+        with pytest.raises(TypeError, match="string"):
+            sql("SELECT PERCENTILE_CONT(item, 0.5) AS p FROM orders",
+                _tables(db)).collect()
