@@ -53,7 +53,12 @@ _ROLLING_OPS = (
     "rolling_sum", "rolling_min", "rolling_max", "rolling_mean",
     "rolling_count",
 )
-WINDOW_OPS = _RANK_OPS + _PARAM_OPS + _VALUE_OPS
+# value-based sliding frames (SQL RANGE BETWEEN v PRECEDING AND w
+# FOLLOWING over ONE ascending numeric order column; None = UNBOUNDED)
+_RANGE_OPS = (
+    "range_sum", "range_min", "range_max", "range_mean", "range_count",
+)
+WINDOW_OPS = _RANK_OPS + _PARAM_OPS + _VALUE_OPS + _RANGE_OPS
 
 
 def _normalize_spec(spec):
@@ -96,6 +101,16 @@ def _normalize_spec(spec):
         if p < 0 or f < 0:
             raise ValueError(f"{name!r} frame bounds must be >= 0")
         return name, None, p, f, None
+    if name == "range_count":
+        if not 1 <= len(rest) <= 2:
+            raise ValueError(
+                "range_count takes a frame: "
+                "('range_count', preceding[, following])"
+            )
+        p = rest[0]
+        f = rest[1] if len(rest) > 1 else 0
+        _check_range_bounds(name, p, f)
+        return name, None, p, f, None
     if not rest:
         raise ValueError(f"{name!r} needs a value column: ({name!r}, values)")
     values, rest = rest[0], rest[1:]
@@ -118,9 +133,31 @@ def _normalize_spec(spec):
             p2, rest = int(rest[0]), rest[1:]
         if p1 < 0 or p2 < 0:
             raise ValueError(f"{name!r} frame bounds must be >= 0")
+    elif name in _RANGE_OPS:
+        if not rest:
+            raise ValueError(
+                f"{name!r} takes a frame: ({name!r}, values, "
+                "preceding[, following]) — value deltas, None=UNBOUNDED"
+            )
+        p1, rest = rest[0], rest[1:]
+        p2 = 0
+        if rest:
+            p2, rest = rest[0], rest[1:]
+        _check_range_bounds(name, p1, p2)
     if rest:
         raise ValueError(f"too many arguments for {name!r}: {spec!r}")
     return name, values, p1, p2, fill
+
+
+def _check_range_bounds(name, p, f):
+    for b in (p, f):
+        if b is None:
+            continue
+        if not isinstance(b, (int, float)) or b < 0:
+            raise ValueError(
+                f"{name!r} frame bounds are numeric value deltas >= 0 "
+                f"(or None for UNBOUNDED), got {b!r}"
+            )
 
 
 def _cols_to_limbs(cols):
@@ -238,6 +275,19 @@ def _binary_decomp_sum(tables, ws, we, zero):
     return acc
 
 
+def _range_delta(ov, d):
+    """A frame bound delta in the order column's dtype (ints reject
+    fractional deltas instead of silently truncating)."""
+    if jnp.issubdtype(ov.dtype, jnp.floating):
+        return ov.dtype.type(d)
+    if isinstance(d, float) and not d.is_integer():
+        raise ValueError(
+            f"RANGE bound {d!r} is fractional but the order column is "
+            f"{ov.dtype}"
+        )
+    return ov.dtype.type(int(d))
+
+
 def _mean_dt(dt):
     return jnp.float64 if dt == jnp.float64 else jnp.float32
 
@@ -333,6 +383,17 @@ def window(ops, *, partition_by=None, order_by=None, descending=None):
     o_limbs = _order_limbs(o_cols, _norm_descending(descending,
                                                     len(o_cols)))
 
+    has_range = any(nm in _RANGE_OPS for nm, *_ in specs)
+    if has_range:
+        if len(o_cols) != 1:
+            raise ValueError(
+                "RANGE frames need exactly one order_by column"
+            )
+        if _norm_descending(descending, 1)[0]:
+            raise ValueError(
+                "RANGE frames need an ascending order_by column"
+            )
+
     # one stable sort by (partition, order); position + value columns ride
     pos = jnp.arange(n, dtype=jnp.int32)
     val_ids, val_arrays = {}, []
@@ -340,6 +401,11 @@ def window(ops, *, partition_by=None, order_by=None, descending=None):
         if v is not None and id(v) not in val_ids:
             val_ids[id(v)] = len(val_arrays)
             val_arrays.append(v)
+    if has_range and id(o_cols[0]) not in val_ids:
+        # the raw order values ride the sort: RANGE bounds are value
+        # deltas against them
+        val_ids[id(o_cols[0])] = len(val_arrays)
+        val_arrays.append(o_cols[0])
     nk = len(p_limbs) + len(o_limbs)
     if nk:
         out = jax.lax.sort(
@@ -367,6 +433,48 @@ def window(ops, *, partition_by=None, order_by=None, descending=None):
 
     def _sv(spec_v):
         return vals_s[val_ids[id(spec_v)]]
+
+    range_bounds_cache = {}
+
+    def _range_bounds(p1, p2):
+        """Frame row bounds [ws, we] for a RANGE frame: the rows of the
+        current partition whose order value lies in
+        [ov - p1, ov + p2] (None = unbounded side). Computed by the
+        engine's merge-rank searchsorted over the already-sorted
+        (partition, order) keys — two extra union sorts per distinct
+        frame, no per-row binary search."""
+        key = (p1, p2)
+        if key in range_bounds_cache:
+            return range_bounds_cache[key]
+        from radix_sort_tpu.ops import query as Q
+
+        ov = vals_s[val_ids[id(o_cols[0])]]
+        data = [*sp, *so]
+        unsigned = jnp.issubdtype(ov.dtype, jnp.unsignedinteger)
+        if p1 is None:
+            ws = start
+        else:
+            d = _range_delta(ov, p1)
+            lo_v = ov - (jnp.minimum(ov, d) if unsigned else d)
+            ws = jnp.clip(
+                Q.merge_rank(data, [*sp, *K.encode_limbs(lo_v)],
+                             side="left"), start, pend
+            )
+        if p2 is None:
+            we = pend
+        else:
+            d = _range_delta(ov, p2)
+            if unsigned:
+                room = jnp.array(jnp.iinfo(ov.dtype).max, ov.dtype) - ov
+                d = jnp.minimum(room, d)
+            hi_v = ov + d
+            we = jnp.clip(
+                Q.merge_rank(data, [*sp, *K.encode_limbs(hi_v)],
+                             side="right") - 1,
+                start, pend,
+            )
+        range_bounds_cache[key] = (ws, we)
+        return ws, we
 
     results = []
     for name, v, p1, p2, fill in specs:
@@ -421,6 +529,41 @@ def window(ops, *, partition_by=None, order_by=None, descending=None):
             ws = jnp.maximum(start, i - p1)
             we = jnp.minimum(pend, i + p2)
             results.append((we - ws + 1).astype(jnp.int32))
+        elif name in _RANGE_OPS:
+            ws, we = _range_bounds(p1, p2)
+            if name == "range_count":
+                results.append((we - ws + 1).astype(jnp.int32))
+                continue
+            sv = _sv(v)
+            if name in ("range_min", "range_max"):
+                w = K.encode(sv)
+                if name == "range_min":
+                    ident = jnp.array(jnp.iinfo(w.dtype).max, w.dtype)
+                    comb = jnp.minimum
+                else:
+                    ident = jnp.array(0, w.dtype)
+                    comb = jnp.maximum
+                # frame lengths are data-dependent (up to the partition
+                # size): full log2(n)-level sparse table, O(n log n)
+                tables = _pow2_tables(w, n, comb, ident)
+                a, b = _rolling_two_windows(tables, ws, we)
+                results.append(K.decode(comb(a, b), sv.dtype))
+            else:  # range_sum / range_mean
+                if jnp.issubdtype(sv.dtype, jnp.floating):
+                    tables = _pow2_tables(sv, n, jnp.add,
+                                          sv.dtype.type(0))
+                    s = _binary_decomp_sum(tables, ws, we,
+                                           sv.dtype.type(0))
+                else:
+                    csum = jnp.cumsum(sv)
+                    prev = jnp.where(
+                        ws > 0, csum[jnp.maximum(ws - 1, 0)], 0
+                    )
+                    s = csum[we] - prev  # exact under modular arithmetic
+                if name == "range_mean":
+                    mdt = _mean_dt(sv.dtype)
+                    s = s.astype(mdt) / (we - ws + 1).astype(mdt)
+                results.append(s)
         elif name in _ROLLING_OPS:
             sv = _sv(v)
             ws = jnp.maximum(start, i - p1)

@@ -530,7 +530,8 @@ class DistTable:
                 specs.append(spec)
             else:
                 spec = list(spec)
-                if spec[0] not in ("ntile", "rolling_count"):
+                if spec[0] not in ("ntile", "rolling_count",
+                                   "range_count"):
                     if (isinstance(spec[1], str) and spec[1] in self._dicts):
                         if spec[0] in _VALUE_PRESERVING_WINDOW:
                             out_dicts[out_name] = self._dicts[spec[1]]

@@ -139,6 +139,19 @@ def distributed_window(
     ]
     if not specs:
         raise ValueError("ops must contain at least one window op")
+    single_out = single
+    if any(sp[0] in W._RANGE_OPS for sp in specs):
+        # RANGE frames are value-based and may span arbitrarily many
+        # shards (a frame can cover a whole partition), so the halo
+        # exchange cannot bound them; take the exact replicated path —
+        # the same evaluation the overflow fallback runs. XLA inserts
+        # the collectives for the sharded operands.
+        fres = W.window(
+            [_respec(sp) for sp in specs],
+            partition_by=partition_by, order_by=order_by,
+            descending=descending,
+        )
+        return fres[0] if single_out else fres
 
     p_cols = ([] if partition_by is None else
               list(partition_by) if isinstance(partition_by, (list, tuple))
@@ -249,11 +262,11 @@ def _respec(spec):
     name, values, p1, p2, fill = spec
     if name == "ntile":
         return (name, p1)
-    if name == "rolling_count":
+    if name in ("rolling_count", "range_count"):
         return (name, p1, p2)
     if values is None:
         return name
-    if name in W._ROLLING_OPS:
+    if name in W._ROLLING_OPS or name in W._RANGE_OPS:
         return (name, values, p1, p2)
     if name in ("lag", "lead", "nth_value"):
         return (name, values, p1, 0 if fill is None else fill)

@@ -54,11 +54,16 @@ Supported grammar::
              FIRST_VALUE(x) LAST_VALUE(x) NTH_VALUE(x, k)
              LAG(x[, off[, default]]) LEAD(x[, off[, default]])
              SUM MIN MAX AVG COUNT over partition/running/ROWS frames
-    frame := BETWEEN bound AND bound | bound   (ROWS semantics: ties
-             break by input order; bound := UNBOUNDED PRECEDING |
+    frame := [ROWS | RANGE] BETWEEN bound AND bound | bound (ROWS:
+             ties break by input order; bound := UNBOUNDED PRECEDING |
              n PRECEDING | CURRENT ROW | n FOLLOWING | UNBOUNDED
-             FOLLOWING). Agg OVER with ORDER BY and no frame = running;
-             without ORDER BY = whole partition. LAST_VALUE is always
+             FOLLOWING. RANGE: bounds are ORDER BY value deltas — a
+             number or a fixed-width INTERVAL n DAY|WEEK — over ONE
+             ascending numeric/date order column; frame = rows with
+             value in [cur-p, cur+f], peers included, for
+             SUM/MIN/MAX/AVG/COUNT). Agg OVER with ORDER BY and no
+             frame = running; without ORDER BY = whole partition.
+             LAST_VALUE is always
              partition-wide (the useless SQL default running frame is
              deliberately not reproduced).
 
@@ -1164,7 +1169,13 @@ class _Parser:
                 desc.append(d == "DESC")
                 if not self.eat_op(","):
                     break
-        frame = self._parse_frame() if self.eat_kw("ROWS") else None
+        frame = None
+        if self.eat_kw("ROWS"):
+            frame = self._parse_frame()
+        elif (self.peek()[0] == "id"
+                and str(self.peek()[1]).upper() == "RANGE"):
+            self.next()
+            frame = self._parse_range_frame()
         self.expect_op(")")
         spec = self._window_spec(fname, star, args, bool(order), frame)
         if self.at_op("+", "-", "*", "/", "%",
@@ -1205,6 +1216,69 @@ class _Parser:
                 f"expected PRECEDING or FOLLOWING after {t[1]} in ROWS frame"
             )
         return (t[1], which)
+
+    def _range_bound(self):
+        """A RANGE frame bound: numeric value delta, INTERVAL (days),
+        CURRENT ROW, or UNBOUNDED."""
+        if self.eat_kw("UNBOUNDED"):
+            which = self.eat_kw("PRECEDING", "FOLLOWING")
+            if which is None:
+                raise SqlError(
+                    "expected PRECEDING or FOLLOWING after UNBOUNDED"
+                )
+            return ("unbounded", which)
+        if self.eat_kw("CURRENT"):
+            self.expect_kw("ROW")
+            return (0, "CURRENT")
+        if (self.peek()[0] == "id"
+                and str(self.peek()[1]).upper() == "INTERVAL"):
+            days, months = self._interval("RANGE bound")
+            if months:
+                raise SqlError(
+                    "RANGE frames take fixed-width intervals (DAY/WEEK); "
+                    "MONTH/YEAR vary by calendar position"
+                )
+            v = days
+        else:
+            t = self.next()
+            if t[0] != "num":
+                raise SqlError(
+                    f"a RANGE frame bound needs a number or INTERVAL, "
+                    f"got {t[1]!r}"
+                )
+            v = t[1]
+        if v < 0:
+            raise SqlError("RANGE frame bounds must be >= 0")
+        which = self.eat_kw("PRECEDING", "FOLLOWING")
+        if which is None:
+            raise SqlError(
+                f"expected PRECEDING or FOLLOWING after {v} in RANGE "
+                f"frame"
+            )
+        return (v, which)
+
+    def _parse_range_frame(self):
+        """After RANGE: same shapes as ROWS but bounds are ORDER BY
+        value deltas. Returns ("range", preceding, following) with
+        "unbounded" markers."""
+        if self.eat_kw("BETWEEN"):
+            start = self._range_bound()
+            self.expect_kw("AND")
+            end = self._range_bound()
+        else:
+            start = self._range_bound()
+            end = (0, "CURRENT")
+        sv, sw = start
+        if sw == "FOLLOWING":
+            raise SqlError("a RANGE frame cannot start at FOLLOWING")
+        ev, ew = end
+        if ew == "PRECEDING" and ev not in ("unbounded", 0):
+            raise SqlError("a RANGE frame cannot end at n PRECEDING")
+        if ew == "PRECEDING" and ev == "unbounded":
+            raise SqlError(
+                "a RANGE frame cannot end at UNBOUNDED PRECEDING"
+            )
+        return ("range", sv, ev)
 
     def _parse_frame(self):
         """After ROWS: ``BETWEEN <bound> AND <bound>`` or a lone start
@@ -1251,11 +1325,13 @@ class _Parser:
                 raise SqlError(f"{fname}'s {what} must be an integer")
             return args[i][1]
 
+        is_range = isinstance(frame, tuple) and len(frame) == 3 \
+            and frame[0] == "range"
         if fname in _WIN_RANK_FNS:
             if star or args:
                 raise SqlError(f"{fname}() takes no arguments")
             if frame is not None:
-                raise SqlError(f"{fname} does not take a ROWS frame")
+                raise SqlError(f"{fname} does not take a frame")
             return _WIN_RANK_FNS[fname]
         if fname == "NTILE":
             if star or len(args) != 1:
@@ -1267,6 +1343,10 @@ class _Parser:
             # evaluates over the whole partition (SQL's default running
             # frame for LAST_VALUE is a well-known footgun; an explicit
             # full frame is accepted and means the same thing)
+            if is_range:
+                raise SqlError(
+                    f"{fname} does not take a RANGE frame"
+                )
             if frame is not None and frame != ("unbounded", "unbounded"):
                 raise SqlError(
                     f"{fname} supports only the full-partition frame "
@@ -1292,6 +1372,12 @@ class _Parser:
         # aggregate OVER: pick partition-wide / running / rolling by the
         # ORDER BY + frame, per SQL ROWS semantics (ties break by input
         # order — ROWS, not RANGE)
+        if fname not in _WIN_AGG_FNS:
+            raise SqlError(
+                f"{fname} is not supported as a window function "
+                f"(supported aggregates OVER: "
+                f"{', '.join(sorted(_WIN_AGG_FNS))})"
+            )
         part_op, run_op, roll_op = _WIN_AGG_FNS[fname]
         if fname == "COUNT":
             c = None if star or not args else one_col()
@@ -1311,6 +1397,23 @@ class _Parser:
 
         if frame is None:
             return mk(run_op) if has_order else mk(part_op)
+        if is_range:
+            # value-based frames -> the engine's range_* ops (one
+            # ascending numeric ORDER BY column; UNBOUNDED -> None)
+            if not has_order:
+                raise SqlError("a RANGE frame needs ORDER BY")
+            rp = None if frame[1] == "unbounded" else frame[1]
+            rf = None if frame[2] == "unbounded" else frame[2]
+            rop = {"SUM": "range_sum", "MIN": "range_min",
+                   "MAX": "range_max", "AVG": "range_mean",
+                   "MEAN": "range_mean", "COUNT": "range_count"}
+            if fname not in rop:
+                raise SqlError(
+                    f"{fname} does not support RANGE frames"
+                )
+            if fname == "COUNT":
+                return ("range_count", rp, rf)
+            return (rop[fname], c, rp, rf)
         p, f = frame
         if p == "unbounded" and f == "unbounded":
             return mk(part_op)

@@ -60,6 +60,7 @@ _NUMERIC_ONLY_AGGS = ("sum", "mean", "var", "std", "any", "all")
 _VALUE_PRESERVING_WINDOW = (
     "lag", "lead", "first_value", "last_value", "nth_value",
     "min", "max", "cummin", "cummax", "rolling_min", "rolling_max",
+    "range_min", "range_max",
 )
 
 
@@ -967,7 +968,8 @@ class Table:
                 spec = list(spec)
                 # value-less parameterized ops (ntile, rolling_count) carry
                 # ints after the name, not a value column
-                if spec[0] not in ("ntile", "rolling_count"):
+                if spec[0] not in ("ntile", "rolling_count",
+                                   "range_count"):
                     if (isinstance(spec[1], str) and spec[1] in self._dicts):
                         if spec[0] in _VALUE_PRESERVING_WINDOW:
                             out_dicts[out_name] = self._dicts[spec[1]]

@@ -1037,3 +1037,47 @@ class TestSqlCompleteness:
         with pytest.raises(TypeError, match="string"):
             sql("SELECT PERCENTILE_CONT(item, 0.5) AS p FROM orders",
                 _tables(db)).collect()
+
+
+class TestSqlRangeFrames:
+    def test_range_frame_vs_oracle(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT cust, qty, "
+            "SUM(qty) OVER (PARTITION BY cust ORDER BY qty "
+            "RANGE BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS rs, "
+            "COUNT(*) OVER (PARTITION BY cust ORDER BY qty "
+            "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS rc "
+            "FROM orders",
+            _tables(db),
+        ).collect().to_numpy()
+        C, Q = out["cust"], out["qty"]
+        for i in range(0, N, 17):
+            m = (C == C[i]) & (Q >= Q[i] - 3) & (Q <= Q[i] + 2)
+            assert out["rs"][i] == Q[m].sum()
+            m2 = (C == C[i]) & (Q >= Q[i] - 3) & (Q <= Q[i])
+            assert out["rc"][i] == m2.sum()
+
+    def test_range_interval_over_dates(self):
+        d = np.array(["2026-01-01", "2026-01-03", "2026-01-04",
+                      "2026-01-10"], "datetime64[D]")
+        t = {"t": Table({"d": d, "v": np.array([1, 2, 4, 8], np.int32)})}
+        out = sql(
+            "SELECT SUM(v) OVER (ORDER BY d RANGE BETWEEN "
+            "INTERVAL 2 DAY PRECEDING AND CURRENT ROW) AS s FROM t",
+            t,
+        ).collect().to_numpy()
+        np.testing.assert_array_equal(out["s"], [1, 3, 6, 8])
+
+    def test_range_errors(self, db):
+        with pytest.raises(SqlError, match="RANGE frame needs ORDER BY"):
+            sql("SELECT SUM(qty) OVER (RANGE BETWEEN 1 PRECEDING AND "
+                "CURRENT ROW) AS s FROM orders", _tables(db))
+        with pytest.raises(SqlError, match="MONTH/YEAR"):
+            sql("SELECT SUM(qty) OVER (ORDER BY qty RANGE BETWEEN "
+                "INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS s "
+                "FROM orders", _tables(db))
+        with pytest.raises(SqlError, match="not supported as a window"):
+            sql("SELECT VAR(qty) OVER (ORDER BY qty RANGE BETWEEN 1 "
+                "PRECEDING AND CURRENT ROW) AS s FROM orders",
+                _tables(db))

@@ -393,3 +393,69 @@ class TestDescending:
         with pytest.raises(ValueError, match="descending"):
             rst.window("row_number", partition_by=z, order_by=z,
                        descending=[True, False])
+
+
+class TestRangeFrames:
+    """Value-based (SQL RANGE) sliding frames vs a brute-force oracle:
+    frame = partition rows with order value in [cur-p, cur+f]."""
+
+    @pytest.fixture
+    def data(self, rng):
+        n = 512
+        return (rng.integers(0, 6, n).astype(np.int32),
+                rng.integers(0, 90, n).astype(np.int32),
+                rng.integers(-50, 50, n).astype(np.int32))
+
+    def _mask(self, part, ov, i, p, f):
+        m = part == part[i]
+        if p is not None:
+            m &= ov >= ov[i] - p
+        if f is not None:
+            m &= ov <= ov[i] + f
+        return m
+
+    def test_sum_min_max_count_vs_oracle(self, data):
+        part, ov, val = data
+        outs = rst.window(
+            [("range_sum", val, 7, 3), ("range_min", val, 7, 3),
+             ("range_max", val, 7, 3), ("range_count", 7, 3)],
+            partition_by=part, order_by=ov)
+        for i in range(len(part)):
+            m = self._mask(part, ov, i, 7, 3)
+            assert outs[0][i] == val[m].sum()
+            assert outs[1][i] == val[m].min()
+            assert outs[2][i] == val[m].max()
+            assert outs[3][i] == m.sum()
+
+    def test_unbounded_sides_and_peers(self, data):
+        part, ov, val = data
+        s, m = rst.window(
+            [("range_sum", val, None, 0), ("range_mean", val, 0, None)],
+            partition_by=part, order_by=ov)
+        for i in range(0, len(part), 7):
+            mm = self._mask(part, ov, i, None, 0)
+            assert s[i] == val[mm].sum()  # running incl. PEERS (SQL)
+            mh = self._mask(part, ov, i, 0, None)
+            np.testing.assert_allclose(m[i], val[mh].mean(), rtol=1e-6)
+
+    def test_float_values(self, data, rng):
+        part, ov, _ = data
+        fv = rng.standard_normal(len(part)).astype(np.float32)
+        out = rst.window(("range_sum", fv, 10, 10),
+                         partition_by=part, order_by=ov)
+        for i in range(0, len(part), 13):
+            m = self._mask(part, ov, i, 10, 10)
+            np.testing.assert_allclose(out[i], fv[m].sum(),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_validation(self, data):
+        part, ov, val = data
+        with pytest.raises(ValueError, match="exactly one order_by"):
+            rst.window(("range_sum", val, 1, 0), partition_by=part,
+                       order_by=[ov, ov])
+        with pytest.raises(ValueError, match="ascending"):
+            rst.window(("range_sum", val, 1, 0), partition_by=part,
+                       order_by=ov, descending=True)
+        with pytest.raises(ValueError, match="numeric value deltas"):
+            rst.window(("range_sum", val, -1, 0), partition_by=part,
+                       order_by=ov)
