@@ -214,6 +214,67 @@ def add_months(z, n: int):
     return days_from_civil(ty, tm, td)
 
 
+# ---------------------------------------------------------------------------
+# timestamp (int64 epoch microseconds) helpers
+# ---------------------------------------------------------------------------
+
+US_PER_SECOND = 1_000_000
+US_PER_MINUTE = 60 * US_PER_SECOND
+US_PER_HOUR = 3600 * US_PER_SECOND
+
+
+def ts_days(ts):
+    """Epoch microseconds -> epoch days (int32), floored (correct for
+    pre-1970 values)."""
+    return jnp.floor_divide(jnp.asarray(ts), US_PER_DAY).astype(jnp.int32)
+
+
+def _ts_field(ts, unit_us, modulus):
+    ts = jnp.asarray(ts)
+    return (jnp.floor_divide(ts, unit_us)
+            - jnp.floor_divide(ts, unit_us * modulus) * modulus
+            ).astype(jnp.int32)
+
+
+def ts_hour(ts):
+    return _ts_field(ts, US_PER_HOUR, 24)
+
+
+def ts_minute(ts):
+    return _ts_field(ts, US_PER_MINUTE, 60)
+
+
+def ts_second(ts):
+    return _ts_field(ts, US_PER_SECOND, 60)
+
+
+def ts_millisecond(ts):
+    return _ts_field(ts, 1_000, 1_000)
+
+
+def ts_microsecond(ts):
+    return _ts_field(ts, 1, 1_000_000)
+
+
+def ts_epoch_seconds(ts):
+    """EXTRACT(EPOCH): whole seconds since 1970 (int64, floored)."""
+    return jnp.floor_divide(jnp.asarray(ts), US_PER_SECOND)
+
+
+def trunc_us(unit: str, ts):
+    """Truncate epoch microseconds to the start of ``unit`` in
+    ``{"year", "quarter", "month", "week", "day", "hour", "minute",
+    "second"}``; returns epoch microseconds."""
+    ts = jnp.asarray(ts)
+    fixed = {"day": US_PER_DAY, "hour": US_PER_HOUR,
+             "minute": US_PER_MINUTE, "second": US_PER_SECOND}
+    if unit in fixed:
+        u = fixed[unit]
+        return jnp.floor_divide(ts, u) * u
+    days = trunc_days(unit, ts_days(ts))  # validates the unit
+    return days.astype(jnp.int64) * US_PER_DAY
+
+
 # name -> device fn over an epoch-days int array (the SQL surface)
 DATE_NUM_FNS = {
     "year": year,
@@ -225,11 +286,26 @@ DATE_NUM_FNS = {
     "quarter": quarter,
 }
 
+# name -> device fn over an int64 epoch-microseconds array (timestamp
+# fields; date fields apply to timestamps via ts_days)
+TS_NUM_FNS = {
+    "hour": ts_hour,
+    "minute": ts_minute,
+    "second": ts_second,
+    "ms": ts_millisecond,
+    "us": ts_microsecond,
+    "epoch": ts_epoch_seconds,
+}
+
 EXTRACT_FIELDS = {
     "YEAR": "year", "MONTH": "month", "DAY": "day",
     "DOW": "dow", "DAYOFWEEK": "dow", "ISODOW": "dow",
     "DOY": "doy", "DAYOFYEAR": "doy",
     "WEEK": "week", "QUARTER": "quarter",
+    "HOUR": "hour", "MINUTE": "minute", "SECOND": "second",
+    "MILLISECOND": "ms", "MILLISECONDS": "ms",
+    "MICROSECOND": "us", "MICROSECONDS": "us", "EPOCH": "epoch",
 }
 
-TRUNC_UNITS = ("year", "quarter", "month", "week", "day")
+TRUNC_UNITS = ("year", "quarter", "month", "week", "day",
+               "hour", "minute", "second")

@@ -225,15 +225,40 @@ class Expr:
                 )
             av, am = _ev_masked(child, table)
             av = jnp.asarray(av)
-            if av.dtype == jnp.int64:
-                # an epoch-microseconds timestamp: floor to civil days
-                av = jnp.floor_divide(av, D.US_PER_DAY).astype(jnp.int32)
+            is_ts = av.dtype == jnp.int64  # epoch-us timestamp column
+            if fname == "add_time":
+                days, us = params
+                if av.dtype == jnp.int64:
+                    return av + (days * D.US_PER_DAY + us), am
+                if us:
+                    raise TypeError(
+                        "a sub-day INTERVAL needs an int64 "
+                        "epoch-microseconds timestamp column (a DATE "
+                        "has no time of day)"
+                    )
+                return av + days, am
+            if fname in D.TS_NUM_FNS:
+                if not is_ts:
+                    raise TypeError(
+                        f"{fname.upper()} needs an int64 "
+                        f"epoch-microseconds timestamp column, got "
+                        f"{av.dtype} (a DATE has no time of day)"
+                    )
+                return D.TS_NUM_FNS[fname](av), am
             if fname == "trunc":
-                v = D.trunc_days(params[0], av)
+                v = (D.trunc_us(params[0], av) if is_ts
+                     else D.trunc_days(params[0], av))
             elif fname == "add_months":
-                v = D.add_months(av, params[0])
+                if is_ts:
+                    days = D.ts_days(av)
+                    tod = av - days.astype(jnp.int64) * D.US_PER_DAY
+                    v = (D.add_months(days, params[0]).astype(jnp.int64)
+                         * D.US_PER_DAY + tod)
+                else:
+                    v = D.add_months(av, params[0])
             else:
-                v = D.DATE_NUM_FNS[fname](av)
+                v = D.DATE_NUM_FNS[fname](
+                    D.ts_days(av) if is_ts else av)
             return v, am
         if k == "where":
             c, a, b = self.args

@@ -153,11 +153,16 @@ def _check_range_bounds(name, p, f):
     for b in (p, f):
         if b is None:
             continue
-        if not isinstance(b, (int, float)) or b < 0:
-            raise ValueError(
-                f"{name!r} frame bounds are numeric value deltas >= 0 "
-                f"(or None for UNBOUNDED), got {b!r}"
-            )
+        if (isinstance(b, tuple) and len(b) == 3
+                and b[0] == "interval"):
+            if b[1] >= 0 and b[2] >= 0:
+                continue  # dtype-resolved in _range_delta
+        elif isinstance(b, (int, float)) and b >= 0:
+            continue
+        raise ValueError(
+            f"{name!r} frame bounds are numeric value deltas >= 0 "
+            f"(or None for UNBOUNDED), got {b!r}"
+        )
 
 
 def _cols_to_limbs(cols):
@@ -277,7 +282,22 @@ def _binary_decomp_sum(tables, ws, we, zero):
 
 def _range_delta(ov, d):
     """A frame bound delta in the order column's dtype (ints reject
-    fractional deltas instead of silently truncating)."""
+    fractional deltas instead of silently truncating). An
+    ``("interval", days, us)`` marker resolves by dtype: int64
+    epoch-microseconds columns take days*86.4e9 + us, int32 epoch-days
+    columns take days (sub-day parts rejected)."""
+    if isinstance(d, tuple) and len(d) == 3 and d[0] == "interval":
+        _, days, us = d
+        if ov.dtype == jnp.int64:
+            d = days * 86_400_000_000 + us
+        elif us:
+            raise ValueError(
+                "a sub-day INTERVAL RANGE bound needs an int64 "
+                "epoch-microseconds order column (a DATE has no time "
+                "of day)"
+            )
+        else:
+            d = days
     if jnp.issubdtype(ov.dtype, jnp.floating):
         return ov.dtype.type(d)
     if isinstance(d, float) and not d.is_integer():

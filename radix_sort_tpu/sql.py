@@ -87,10 +87,14 @@ Supported grammar::
              dates (epoch-days int32 / epoch-us int64 storage, Arrow
              convention; datetime64 columns auto-encode): DATE 'Y-m-d'
              and TIMESTAMP literals, YEAR MONTH DAY DAYOFWEEK DAYOFYEAR
-             WEEK QUARTER, EXTRACT(field FROM x),
-             DATE_TRUNC('year|quarter|month|week|day', x),
+             WEEK QUARTER (and on timestamps HOUR MINUTE SECOND),
+             EXTRACT(field FROM x) incl. MILLISECOND/MICROSECOND/EPOCH,
+             DATE_TRUNC('year|quarter|month|week|day', x) plus
+             'hour|minute|second' on timestamps,
              x +/- INTERVAL n DAY|WEEK|MONTH|YEAR (calendar-exact,
-             month-end clamped), ADD_MONTHS(x, n), MAKE_DATE(y, m, d),
+             month-end clamped) and sub-day HOUR|MINUTE|SECOND|
+             MILLISECOND on timestamps, ADD_MONTHS(x, n) (keeps time of
+             day on timestamps), MAKE_DATE(y, m, d),
              CASE WHEN c THEN a [WHEN ...] [ELSE b] END and the simple
              form CASE x WHEN v THEN a ... END
              (missing ELSE is NULL, per the standard),
@@ -177,13 +181,20 @@ _CAST_TYPES = {
 _DATE_FNS = {
     "YEAR": "year", "MONTH": "month", "DAY": "day",
     "DAYOFWEEK": "dow", "DAYOFYEAR": "doy", "WEEK": "week",
-    "QUARTER": "quarter",
+    "QUARTER": "quarter", "HOUR": "hour", "MINUTE": "minute",
+    "SECOND": "second",
 }
 
-# INTERVAL units -> days multiplier (None = calendar months path)
+# INTERVAL units -> ("day"|"us"|"month", multiplier)
 _INTERVAL_UNITS = {
-    "DAY": 1, "DAYS": 1, "WEEK": 7, "WEEKS": 7,
-    "MONTH": None, "MONTHS": None, "YEAR": None, "YEARS": None,
+    "DAY": ("day", 1), "DAYS": ("day", 1),
+    "WEEK": ("day", 7), "WEEKS": ("day", 7),
+    "HOUR": ("us", 3_600_000_000), "HOURS": ("us", 3_600_000_000),
+    "MINUTE": ("us", 60_000_000), "MINUTES": ("us", 60_000_000),
+    "SECOND": ("us", 1_000_000), "SECONDS": ("us", 1_000_000),
+    "MILLISECOND": ("us", 1_000), "MILLISECONDS": ("us", 1_000),
+    "MONTH": ("month", 1), "MONTHS": ("month", 1),
+    "YEAR": ("month", 12), "YEARS": ("month", 12),
 }
 
 # verb-specific capacity knobs routed from sql(**kwargs)
@@ -549,11 +560,12 @@ class _Parser:
                 f"unknown INTERVAL unit {u[1]!r} (supported: "
                 f"{', '.join(sorted(set(_INTERVAL_UNITS)))})"
             )
-        mult = _INTERVAL_UNITS[unit]
-        if mult is None:
-            months = n * (12 if unit.startswith("YEAR") else 1)
-            return 0, months
-        return n * mult, 0
+        kind, mult = _INTERVAL_UNITS[unit]
+        if kind == "month":
+            return 0, n * mult, 0
+        if kind == "us":
+            return 0, 0, n * mult
+        return n * mult, 0, 0
 
     def _add(self):
         e = self._mul()
@@ -566,10 +578,15 @@ class _Parser:
                 e = concat(e, self._mul())
             elif (self.peek()[0] == "id"
                   and str(self.peek()[1]).upper() == "INTERVAL"):
-                days, months = self._interval(op)
+                days, months, us = self._interval(op)
                 sign = 1 if op == "+" else -1
-                e = (e + sign * days if months == 0
-                     else e.add_months(sign * months))
+                if months:
+                    e = e.add_months(sign * months)
+                else:
+                    # dtype-resolved at evaluation: DATE columns take
+                    # days, TIMESTAMP columns days+us
+                    e = Expr("datefn", ("add_time", e,
+                                        (sign * days, sign * us)))
             else:
                 e = e + self._mul() if op == "+" else e - self._mul()
 
@@ -1232,13 +1249,16 @@ class _Parser:
             return (0, "CURRENT")
         if (self.peek()[0] == "id"
                 and str(self.peek()[1]).upper() == "INTERVAL"):
-            days, months = self._interval("RANGE bound")
+            days, months, us = self._interval("RANGE bound")
             if months:
                 raise SqlError(
-                    "RANGE frames take fixed-width intervals (DAY/WEEK); "
-                    "MONTH/YEAR vary by calendar position"
+                    "RANGE frames take fixed-width intervals "
+                    "(DAY/WEEK/HOUR/...); MONTH/YEAR vary by calendar "
+                    "position"
                 )
-            v = days
+            # dtype-resolved: DATE order columns take days, TIMESTAMP
+            # columns days+us (ops/window._range_delta)
+            v = ("interval", days, us)
         else:
             t = self.next()
             if t[0] != "num":
@@ -1247,7 +1267,8 @@ class _Parser:
                     f"got {t[1]!r}"
                 )
             v = t[1]
-        if v < 0:
+        if (v[1] if isinstance(v, tuple) else v) < 0 or \
+                (isinstance(v, tuple) and v[2] < 0):
             raise SqlError("RANGE frame bounds must be >= 0")
         which = self.eat_kw("PRECEDING", "FOLLOWING")
         if which is None:

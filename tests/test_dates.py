@@ -172,3 +172,73 @@ class TestSqlDates:
         ).collect().to_numpy()
         np.testing.assert_array_equal(out["v"], [1])
         np.testing.assert_array_equal(out["dd"], [21])
+
+
+class TestTimestamps:
+    """int64 epoch-microsecond fields, truncation, INTERVAL arithmetic —
+    x64 is enabled in tests."""
+
+    @pytest.fixture
+    def t(self):
+        ts = np.array(["2026-08-20T12:34:56.789123",
+                       "2026-08-20T23:59:59",
+                       "2026-08-21T00:00:01",
+                       "1969-12-31T23:00:30"], "datetime64[us]")
+        return {"t": Table({"ts": ts,
+                            "v": np.arange(4, dtype=np.int32)})}
+
+    def test_fields(self, t):
+        out = sql(
+            "SELECT HOUR(ts) AS h, MINUTE(ts) AS m, SECOND(ts) AS s, "
+            "EXTRACT(MILLISECOND FROM ts) AS ms, DAY(ts) AS d FROM t",
+            t).collect().to_numpy()
+        np.testing.assert_array_equal(out["h"], [12, 23, 0, 23])
+        np.testing.assert_array_equal(out["m"], [34, 59, 0, 0])
+        np.testing.assert_array_equal(out["s"], [56, 59, 1, 30])
+        np.testing.assert_array_equal(out["ms"], [789, 0, 0, 0])
+        np.testing.assert_array_equal(out["d"], [20, 20, 21, 31])
+
+    def test_trunc_and_epoch(self, t):
+        out = sql(
+            "SELECT DATE_TRUNC('hour', ts) AS th, "
+            "DATE_TRUNC('month', ts) AS tm, "
+            "EXTRACT(EPOCH FROM ts) AS ep FROM t", t
+        ).collect().to_numpy()
+        assert str(D.decode_us(out["th"])[0]) == \
+            "2026-08-20T12:00:00.000000"
+        assert str(D.decode_us(out["tm"])[2]) == \
+            "2026-08-01T00:00:00.000000"
+        assert str(D.decode_us(out["th"])[3]) == \
+            "1969-12-31T23:00:00.000000"
+        assert out["ep"][3] == -3570  # floored, pre-epoch
+
+    def test_interval_arithmetic(self, t):
+        out = sql(
+            "SELECT ts + INTERVAL 90 MINUTES AS t90, "
+            "ts - INTERVAL 1 DAY AS td, "
+            "ts + INTERVAL 1 MONTH AS tm FROM t", t
+        ).collect().to_numpy()
+        assert str(D.decode_us(out["t90"])[1]) == \
+            "2026-08-21T01:29:59.000000"
+        assert str(D.decode_us(out["td"])[2]) == \
+            "2026-08-20T00:00:01.000000"
+        # add_months keeps the time of day
+        assert str(D.decode_us(out["tm"])[0]) == \
+            "2026-09-20T12:34:56.789123"
+
+    def test_range_frame_subday_interval(self, t):
+        out = sql(
+            "SELECT COUNT(*) OVER (ORDER BY ts RANGE BETWEEN "
+            "INTERVAL 12 HOURS PRECEDING AND CURRENT ROW) AS c FROM t",
+            t).collect().to_numpy()
+        # input-aligned: the 1969 row is last; 00:00:01 sees both
+        # 2026-08-20 rows within 12h
+        np.testing.assert_array_equal(out["c"], [1, 2, 3, 1])
+
+    def test_subday_fn_on_date_rejected(self):
+        d = np.array(["2026-01-01"], "datetime64[D]")
+        t = {"t": Table({"d": d, "v": np.arange(1, dtype=np.int32)})}
+        with pytest.raises(TypeError, match="no time of day"):
+            sql("SELECT HOUR(d) AS h FROM t", t).collect()
+        with pytest.raises(TypeError, match="no time of day"):
+            sql("SELECT d + INTERVAL 1 HOUR AS x FROM t", t).collect()
