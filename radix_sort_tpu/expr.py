@@ -191,10 +191,16 @@ class Expr:
         if k == "cast":
             a, dt = self.args
             if _is_string_valued(a, table):
-                raise TypeError(
-                    "CAST of a string column is not supported (it would "
-                    "reinterpret dictionary codes, not parse the values)"
-                )
+                # parse the (small, host-side) vocabulary once, gather
+                # by code — unparseable values come back NULL (TRY_CAST
+                # semantics; a strict error would have to fire even for
+                # vocabulary entries no row references)
+                sub = _ev_str_chain(a, table)
+                codes, vals, m = sub
+                parsed, bad = _parse_vocab(vals, dt)
+                v = jnp.asarray(parsed)[codes]
+                m = _mor(m, jnp.asarray(bad)[codes])
+                return jnp.where(m, jnp.zeros((), v.dtype), v), m
             av, am = _ev_masked(a, table)
             return av.astype(dt), am
         if k in ("strfn", "concat"):
@@ -740,6 +746,35 @@ class Expr:
         if k == "concat":
             return f"concat({', '.join(repr(a) for a in self.args)})"
         return f"Expr({k})"
+
+
+def _parse_vocab(vals, dt):
+    """Parse a vocabulary's string values to ``dt``: ``(parsed, bad)``
+    numpy arrays — ``bad`` flags unparseable entries (they become 0 and
+    NULL after the code gather). Integer targets accept optional sign
+    and digits; floats take Python float syntax; bool accepts
+    true/false/t/f/1/0 (case-insensitive)."""
+    dt = np.dtype(dt)
+    parsed = np.zeros(len(vals), dt)
+    bad = np.zeros(len(vals), bool)
+    for i, raw in enumerate(vals):
+        s = str(raw).strip()
+        try:
+            if dt.kind == "b":
+                low = s.lower()
+                if low in ("true", "t", "1"):
+                    parsed[i] = True
+                elif low in ("false", "f", "0"):
+                    parsed[i] = False
+                else:
+                    raise ValueError(s)
+            elif dt.kind in ("i", "u"):
+                parsed[i] = dt.type(int(s, 10))
+            else:
+                parsed[i] = dt.type(float(s))
+        except (ValueError, OverflowError):
+            bad[i] = True
+    return parsed, bad
 
 
 def _ev_masked(x, table):

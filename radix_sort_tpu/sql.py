@@ -729,7 +729,7 @@ class _Parser:
             b = self.parse_expr()
             self.expect_op(")")
             return nullif(a, b)
-        if fn == "CAST":
+        if fn in ("CAST", "TRY_CAST"):
             e = self.parse_expr()
             self.expect_kw("AS")
             t = self.next()

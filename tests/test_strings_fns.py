@@ -165,9 +165,12 @@ class TestComparisons:
         with pytest.raises(TypeError, match="not defined for"):
             t.lazy().with_columns(r=col("w").upper() + 1).collect()
 
-    def test_cast_of_string_rejected(self, t):
-        with pytest.raises(TypeError, match="CAST"):
-            t.lazy().with_columns(r=col("w").cast("int32")).collect()
+    def test_cast_of_string_parses_vocab(self, t):
+        # CAST over strings parses the vocabulary: every WORD here is
+        # non-numeric, so the whole column comes back NULL
+        out = t.lazy().with_columns(
+            r=col("w").cast("int32")).collect().to_numpy()
+        assert np.ma.getmaskarray(out["r"]).all()
 
 
 # ---------------------------------------------------------------------------
@@ -365,3 +368,48 @@ class TestSql:
             sql("SELECT SUBSTR(w, 'a') AS x FROM t", {"t": t})
         with pytest.raises(SqlError, match="string literal"):
             sql("SELECT REPLACE(w, 1, 'b') AS x FROM t", {"t": t})
+
+
+class TestStringCast:
+    """CAST/TRY_CAST of string columns: vocabulary-level parse + one
+    gather; unparseable values come back NULL."""
+
+    @pytest.fixture
+    def tc(self):
+        return {"t": rst.Table({"w": ["42", "-7", "3.5", "junk", ""],
+                                "v": np.arange(5, dtype=np.int32)})}
+
+    def test_float_and_int(self, tc):
+        out = sql("SELECT CAST(w AS FLOAT) AS f, TRY_CAST(w AS INT) AS i "
+                  "FROM t", tc).collect().to_numpy()
+        np.testing.assert_allclose(
+            np.ma.getdata(out["f"])[:3], [42., -7., 3.5])
+        np.testing.assert_array_equal(
+            np.ma.getmaskarray(out["f"]), [0, 0, 0, 1, 1])
+        # ints parse strictly: '3.5' is NULL for an INT target
+        np.testing.assert_array_equal(
+            np.ma.getmaskarray(out["i"]), [0, 0, 1, 1, 1])
+
+    def test_aggregate_skips_nulls(self, tc):
+        out = sql("SELECT SUM(CAST(w AS FLOAT)) AS s, "
+                  "COUNT(CAST(w AS FLOAT)) AS n FROM t",
+                  tc).collect().to_numpy()
+        np.testing.assert_allclose(out["s"], [38.5])
+        np.testing.assert_array_equal(out["n"], [3])
+
+    def test_composes_with_string_fns(self, tc):
+        out = sql("SELECT CAST(SUBSTR(w, 1, 1) AS INT) AS d FROM t "
+                  "WHERE LENGTH(w) = 2", tc).collect().to_numpy()
+        np.testing.assert_array_equal(np.ma.getdata(out["d"])[0], 4)
+        np.testing.assert_array_equal(
+            np.ma.getmaskarray(out["d"]), [0, 1])
+
+    def test_bool_cast(self, tc):
+        t = {"t": rst.Table({"w": ["true", "F", "1", "maybe"],
+                             "v": np.arange(4, dtype=np.int32)})}
+        out = sql("SELECT CAST(w AS BOOLEAN) AS b FROM t",
+                  t).collect().to_numpy()
+        np.testing.assert_array_equal(
+            np.ma.getdata(out["b"])[:3], [True, False, True])
+        np.testing.assert_array_equal(
+            np.ma.getmaskarray(out["b"]), [0, 0, 0, 1])
