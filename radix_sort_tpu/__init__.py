@@ -25,6 +25,7 @@ from radix_sort_tpu.ops.sort import (
 from radix_sort_tpu.ops.query import (
     filter,
     hash_aggregate,
+    hash_aggregate_levels,
     hash_join,
     repeat,
     unique,
@@ -79,6 +80,7 @@ __all__ = [
     "counting_sort",
     "filter",
     "hash_aggregate",
+    "hash_aggregate_levels",
     "hash_join",
     "repeat",
     "unique",

@@ -725,6 +725,182 @@ def _hash_aggregate_multi(keys, val_cols, aggs, _positions=None):
     return (out_keys if multi_k else out_keys[0]), results, count
 
 
+# aggregations computable per PREFIX level from one shared full-key sort
+# (segment/cumsum forms; excludes input-order-dependent first/last and the
+# (key,value)-sorted holistics, which need their own sort per level)
+LEVEL_AGGREGATIONS = ("sum", "count", "mean", "min", "max", "any", "all",
+                      "var", "std")
+
+
+def hash_aggregate_levels(keys, val_cols, aggs, level_cols):
+    """Prefix-sharing multi-aggregate for GROUPING SETS chains: ONE
+    stable sort by ALL key columns serves every leading-prefix level
+    (data sorted by the full key list is also sorted by any prefix of
+    it), so an L-level ROLLUP costs one n-row multi-key sort plus L
+    cheap boundary/compaction sweeps instead of L full sorts.
+
+    ``keys``: list of key columns. ``level_cols``: one leading-column
+    count per level (0 = a single global group — the grand total).
+    ``aggs`` must all be in :data:`LEVEL_AGGREGATIONS`; the integer
+    sum/count/any/all levels share level-independent running cumsums
+    (the cumsum-difference trick), float sums and min/max/var/std pay
+    one segment reduction per level.
+
+    Returns ``[(unique_key_cols, [aggregates...], count), ...]`` aligned
+    with ``level_cols``, each shaped like :func:`hash_aggregate`'s
+    output (padded to n; group j of a level = the j-th distinct key
+    prefix in ascending order).
+
+    GROUPING SETS / ROLLUP / CUBE has no reference-crate counterpart
+    (src/radix_sort/mod.rs is sort-only); this is north-star
+    query-engine surface built on the same sort machinery.
+    """
+    for a in aggs:
+        if a not in LEVEL_AGGREGATIONS:
+            raise ValueError(
+                f"hash_aggregate_levels supports {LEVEL_AGGREGATIONS}, "
+                f"got {a!r}"
+            )
+    cols = list(keys)
+    if not cols:
+        raise ValueError("keys must have at least one column")
+    n = cols[0].shape[0]
+    for x in list(cols[1:]) + list(val_cols):
+        if x.shape[0] != n:
+            raise ValueError("all key/value columns must have equal length")
+    level_cols = [int(c) for c in level_cols]
+    for c in level_cols:
+        if not 0 <= c <= len(cols):
+            raise ValueError(
+                f"level column count {c} out of range 0..{len(cols)}"
+            )
+
+    def _mean_dt(dt):
+        return jnp.float64 if dt == jnp.float64 else jnp.float32
+
+    def _out_dt(a, dt):
+        if a == "count":
+            return jnp.int32
+        if a in ("mean", "var", "std"):
+            return _mean_dt(dt)
+        if a in ("any", "all"):
+            return jnp.bool_
+        return dt
+
+    if n == 0:
+        return [
+            (
+                [jnp.zeros((0,), k.dtype) for k in cols[:c]],
+                [jnp.zeros((0,), _out_dt(a, v.dtype))
+                 for a, v in zip(aggs, val_cols)],
+                jnp.int32(0),
+            )
+            for c in level_cols
+        ]
+
+    limbs, specs = _cols_to_limbs(cols)
+    limb_at = [0]  # limb count of each leading-column prefix
+    for _, nl in specs:
+        limb_at.append(limb_at[-1] + nl)
+    nk = len(limbs)
+    out = _stable_sort([*limbs, *val_cols], num_keys=nk)
+    sk, svs = list(out[:nk]), list(out[nk:])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    uk_all = _limbs_to_cols(sk, specs)
+
+    # level-INDEPENDENT running sums: one cumsum per integer-sum / truth
+    # column serves every level (each level only re-compacts them)
+    needs_sum = [a in ("sum", "mean") for a in aggs]
+    int_sum_idx = [
+        i for i, (a, sv) in enumerate(zip(aggs, svs))
+        if needs_sum[i] and not jnp.issubdtype(sv.dtype, jnp.floating)
+    ]
+    anyall_idx = [i for i, a in enumerate(aggs) if a in ("any", "all")]
+    csums = [jnp.cumsum(svs[i]) for i in int_sum_idx]
+    tcsums = [jnp.cumsum((svs[i] != 0).astype(jnp.uint32))
+              for i in anyall_idx]
+    minmax_w = {
+        i: K.encode(svs[i])
+        for i, a in enumerate(aggs) if a in ("min", "max")
+    }
+    needs_gid = any(
+        a in ("min", "max", "var", "std")
+        or (needs_sum[i] and jnp.issubdtype(svs[i].dtype, jnp.floating))
+        for i, a in enumerate(aggs)
+    )
+
+    def _diff(c):
+        return c - jnp.roll(c, 1).at[0].set(0)
+
+    results = []
+    for c in level_cols:
+        nl = limb_at[c]
+        if nl == 0:
+            firstk = pos == 0
+            lastk = pos == n - 1
+        else:
+            firstk = jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_),
+                 _limbs_differ([w[1:] for w in sk[:nl]],
+                               [w[:-1] for w in sk[:nl]])]
+            )
+            lastk = jnp.concatenate(
+                [firstk[1:], jnp.ones((1,), jnp.bool_)]
+            )
+        *compacted, count = filter(lastk, *uk_all[:c], pos,
+                                   *csums, *tcsums)
+        out_keys = list(compacted[:c])
+        pos_c = compacted[c]
+        csums_c = compacted[c + 1:c + 1 + len(csums)]
+        tcsums_c = compacted[c + 1 + len(csums):]
+        group_n = pos_c - (jnp.roll(pos_c, 1).at[0].set(-1))
+        int_sums = {i: _diff(x) for i, x in zip(int_sum_idx, csums_c)}
+        ntrues = {i: _diff(x) for i, x in zip(anyall_idx, tcsums_c)}
+        gid = (jnp.cumsum(firstk.astype(jnp.int32)) - 1 if needs_gid
+               else None)
+
+        def _segsum(x):
+            return jax.ops.segment_sum(
+                x, gid, num_segments=n, indices_are_sorted=True
+            )
+
+        outs = []
+        for i, (a, sv) in enumerate(zip(aggs, svs)):
+            if a == "count":
+                outs.append(group_n.astype(jnp.int32))
+                continue
+            if a in ("any", "all"):
+                outs.append(ntrues[i] > 0 if a == "any"
+                            else ntrues[i] == group_n.astype(jnp.uint32))
+                continue
+            if a in ("sum", "mean"):
+                if jnp.issubdtype(sv.dtype, jnp.floating):
+                    s = _segsum(sv)
+                else:
+                    s = int_sums[i]
+                if a == "mean":
+                    mdt = _mean_dt(sv.dtype)
+                    s = s.astype(mdt) / jnp.maximum(group_n, 1).astype(mdt)
+                outs.append(s)
+            elif a in ("var", "std"):
+                mdt = _mean_dt(sv.dtype)
+                x = sv.astype(mdt)
+                cnt_g = jnp.maximum(group_n, 1).astype(mdt)
+                mean_g = _segsum(x) / cnt_g
+                d = x - mean_g[gid]
+                v = _segsum(d * d) / cnt_g
+                outs.append(jnp.sqrt(v) if a == "std" else v)
+            else:  # min / max — segment reduction on rank words
+                seg = (jax.ops.segment_min if a == "min"
+                       else jax.ops.segment_max)(
+                    minmax_w[i], gid, num_segments=n,
+                    indices_are_sorted=True
+                )
+                outs.append(K.decode(seg, sv.dtype))
+        results.append((out_keys, outs, count))
+    return results
+
+
 def _expand_rows(cols, counts, total_size):
     """Shared UNNEST core: emit row i of every column ``counts[i]`` times,
     in order, into static ``total_size`` rows (the expansion index is

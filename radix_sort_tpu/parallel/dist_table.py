@@ -711,7 +711,14 @@ class DistTable:
         :class:`Table`), concatenated with group keys absent from a set
         as typed NULL columns — same semantics as
         :meth:`Table.aggregate_sets`, with ``max_groups`` bounding every
-        per-set, per-shard group count."""
+        per-set, per-shard group count.
+
+        When every aggregation is re-combinable (sum/count/min/max/
+        any/all, and mean via hidden sum+count helper columns), a set
+        nested inside an already-computed superset re-aggregates that
+        set's REPLICATED result table instead of paying a second full
+        exchange — a ROLLUP then costs ONE distributed aggregate plus
+        tiny replicated-side reductions."""
         sets = [list(_as_list(s)) if s else [] for s in sets]
         if not sets:
             raise ValueError("aggregate_sets needs at least one "
@@ -725,12 +732,68 @@ class DistTable:
                     f"grouping set (have {all_keys})"
                 )
         order = [*all_keys, *aggs.keys(), *grouping.keys()]
+
+        def _agg_name(spec):
+            return spec if isinstance(spec, str) else spec[0]
+
+        _REAGG = {"sum": "sum", "count": "sum", "min": "min",
+                  "max": "max", "any": "any", "all": "all"}
+        # (an empty aggs dict degrades to per-set DISTINCT, which also
+        # re-aggregates correctly: distinct of a superset's distinct)
+        shareable = all(
+            _agg_name(spec) in _REAGG or _agg_name(spec) == "mean"
+            for spec in aggs.values()
+        )
+        mean_items = [(name, spec) for name, spec in aggs.items()
+                      if _agg_name(spec) == "mean"]
+        uniq = {}
+        for s in sets:
+            uniq.setdefault(frozenset(s), list(s))
+        tables = {}
+        for s in sorted(uniq.values(), key=len, reverse=True):
+            fs = frozenset(s)
+            parent = None
+            if shareable:
+                cands = [g for g in tables if fs < g]
+                if cands:
+                    parent = tables[min(cands, key=len)]
+            if parent is None:
+                ag = dict(aggs)
+                if shareable:
+                    # helper partials let coarser levels recover the mean
+                    # as sum(sums)/sum(counts)
+                    for name, spec in mean_items:
+                        if isinstance(spec, str) or len(spec) < 2:
+                            continue  # aggregate() raises: mean needs a col
+                        ag["__gs_s_" + name] = ("sum", spec[1])
+                        ag["__gs_c_" + name] = ("count", spec[1])
+                tables[fs] = self.aggregate(
+                    s or None, ag, max_groups=max_groups,
+                    exchange_capacity_factor=exchange_capacity_factor,
+                )
+                continue
+            ag2 = {}
+            for name, spec in aggs.items():
+                a = _agg_name(spec)
+                if a == "mean":
+                    ag2["__gs_s_" + name] = ("sum", "__gs_s_" + name)
+                    ag2["__gs_c_" + name] = ("sum", "__gs_c_" + name)
+                else:
+                    ag2[name] = (_REAGG[a], name)
+            t = parent.aggregate(s or None, ag2)
+            if mean_items:
+                add = {}
+                for name, _ in mean_items:
+                    sc, cc = t["__gs_s_" + name], t["__gs_c_" + name]
+                    mdt = (jnp.float64 if sc.dtype == jnp.float64
+                           else jnp.float32)
+                    add[name] = (sc.astype(mdt)
+                                 / jnp.maximum(cc, 1).astype(mdt))
+                t = t.with_columns(**add)
+            tables[fs] = t
         out = None
         for s in sets:
-            t = self.aggregate(
-                s or None, dict(aggs), max_groups=max_groups,
-                exchange_capacity_factor=exchange_capacity_factor,
-            )
+            t = tables[frozenset(s)]
             add = {}
             for k in all_keys:
                 if k in s:

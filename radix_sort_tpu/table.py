@@ -497,6 +497,17 @@ class Table:
                 keys_arg.append(m.astype(jnp.uint32))
             key_has_mask.append(m is not None)
             keys_arg.append(kc)
+        names, val_cols, agg_list, post, out_dicts = \
+            self._agg_plan(keys_arg, aggs)
+        uk, outs, cnt = rst.hash_aggregate(keys_arg, val_cols, agg_list)
+        return self._agg_finish(by, key_has_mask, post, out_dicts,
+                                uk, outs, cnt, has_flag=flag is not None)
+
+    def _agg_plan(self, keys_arg, aggs):
+        """Parse an ``aggs`` dict into the engine multi-aggregate call
+        (value columns + engine agg names, with the NULL-skipping
+        rewrites) and the post-processing plan — shared by
+        :meth:`aggregate` and the grouping-sets prefix-chain path."""
         names, val_cols, agg_list, out_dicts = [], [], [], {}
         # post-processing plan: (out_name, kind, value-slot indexes...)
         post, nonnull_slot = [], {}
@@ -583,9 +594,15 @@ class Table:
                     f"non-null inputs here) — fill_null(...) or filter "
                     f"is_not_null() first"
                 )
-        uk, outs, cnt = rst.hash_aggregate(keys_arg, val_cols, agg_list)
+        return names, val_cols, agg_list, post, out_dicts
+
+    def _agg_finish(self, by, key_has_mask, post, out_dicts, uk, outs,
+                    cnt, *, has_flag):
+        """Assemble an aggregated Table from the engine's padded
+        ``(unique_keys, aggregates, count)`` outputs —
+        :meth:`_agg_plan`'s counterpart."""
         uks, outs = list(uk), list(outs)
-        if flag is not None:
+        if has_flag:
             fcol, uks = uks[0], uks[1:]
             pos = jnp.arange(self._n, dtype=jnp.int32)
             cnt = jnp.sum(((pos < cnt) & (fcol == 0)).astype(jnp.int32))
@@ -624,8 +641,15 @@ class Table:
         an iterable of name lists (``[]``/``None`` = the grand total).
         ``grouping``: {out_name: key} adds the SQL ``GROUPING(key)``
         indicator column (int32: 0 = grouped in this row's set, 1 =
-        rolled up). Each set aggregates independently, so holistic
-        aggregations (median/mode/...) stay exact at every level.
+        rolled up). Every level is exact (holistic aggregations
+        included): when all aggregations are segment-computable
+        (sum/count/mean/min/max/any/all/var/std), subset-nested sets
+        share ONE key sort per chain — a ROLLUP's levels are prefixes
+        of one key list, so the whole rollup costs one n-row sort plus
+        a cheap compaction per level (``hash_aggregate_levels``);
+        order-dependent or (key,value)-sorted aggregations
+        (first/last/median/mode/...) fall back to one independent
+        aggregate per set.
 
         The reference crate is sort-only (src/radix_sort/mod.rs);
         grouping sets belong to the north-star query-engine surface."""
@@ -642,9 +666,10 @@ class Table:
                     f"grouping set (have {all_keys})"
                 )
         order = [*all_keys, *aggs.keys(), *grouping.keys()]
+        tables = self._aggregate_set_tables(sets, aggs)
         out = None
         for s in sets:
-            t = self.aggregate(s or None, dict(aggs))
+            t = tables[frozenset(s)]
             add = {}
             for k in all_keys:
                 if k in s:
@@ -665,6 +690,73 @@ class Table:
             t = t.select(*order)
             out = t if out is None else out.concat(t)
         return out
+
+    def _aggregate_set_tables(self, sets, aggs):
+        """One aggregated Table per DISTINCT grouping set (keyed by
+        frozenset). Subset-nested sets whose aggregations are all
+        segment-computable are planned as prefix CHAINS: the chain's
+        key columns are ordered innermost-out so every member is a
+        leading prefix of the full key list, and one
+        ``hash_aggregate_levels`` call (one shared sort) produces every
+        level. Everything else takes one :meth:`aggregate` per set."""
+        def _agg_name(spec):
+            return spec if isinstance(spec, str) else spec[0]
+
+        shareable = aggs and all(
+            _agg_name(spec) in Q.LEVEL_AGGREGATIONS
+            for spec in aggs.values()
+        )
+        uniq = {}
+        for s in sets:
+            uniq.setdefault(frozenset(s), list(s))
+        chains = []
+        if shareable:
+            # greedy nesting: largest first; append to the first chain
+            # whose current innermost set strictly contains this one
+            for s in sorted(uniq.values(), key=len, reverse=True):
+                for ch in chains:
+                    if frozenset(s) < frozenset(ch[-1]):
+                        ch.append(s)
+                        break
+                else:
+                    chains.append([s])
+        else:
+            chains = [[s] for s in uniq.values()]
+        tables = {}
+        for ch in chains:
+            if len(ch) == 1:
+                tables[frozenset(ch[0])] = self.aggregate(
+                    ch[0] or None, dict(aggs)
+                )
+                continue
+            full_by = []
+            for s in reversed(ch):
+                full_by.extend(k for k in s if k not in full_by)
+            key_cols, by = self._resolve_masked(full_by)
+            flag = self._flag()
+            keys_arg = [] if flag is None else [flag]
+            key_has_mask = []
+            level_at = [len(keys_arg)]  # keys_arg width per key prefix
+            for kname, kc in zip(by, key_cols):
+                m = self._mask_of_ref(kname)
+                if m is not None:
+                    keys_arg.append(m.astype(jnp.uint32))
+                key_has_mask.append(m is not None)
+                keys_arg.append(kc)
+                level_at.append(len(keys_arg))
+            names, val_cols, agg_list, post, out_dicts = \
+                self._agg_plan(keys_arg, aggs)
+            levels = rst.hash_aggregate_levels(
+                keys_arg, val_cols, agg_list,
+                [level_at[len(s)] for s in ch],
+            )
+            for s, (uk, louts, cnt) in zip(ch, levels):
+                k = len(s)
+                tables[frozenset(s)] = self._agg_finish(
+                    by[:k], key_has_mask[:k], post, out_dicts,
+                    uk, louts, cnt, has_flag=flag is not None,
+                )
+        return tables
 
     def join(self, other: "Table", on, *, capacity: int | None = None,
              how: str = "inner", suffix: str = "_r"):
@@ -1153,18 +1245,22 @@ class Table:
                 ])
         if self._count is None and other._count is None:
             return Table(cols, dictionaries=out_dicts)
-        flag = jnp.concatenate([
-            (~self.valid_mask()).astype(jnp.uint32),
-            (~other.valid_mask()).astype(jnp.uint32),
-        ])
-        out = Q._stable_sort([flag, *cols.values()], num_keys=1)
-        total = (
-            (self._count if self._count is not None else jnp.int32(self._n))
-            + (other._count if other._count is not None
-               else jnp.int32(other._n))
-        )
-        return Table(dict(zip(cols, out[1:])), total,
-                     dictionaries=out_dicts)
+        # counted path: both sides are valid-PREFIX tables, so packing
+        # needs no sort — slide other's prefix up against ours with one
+        # dynamic roll and select by position (pure streaming; the
+        # former stable validity sort paid a full comparator sort over
+        # n_a + n_b rows per concat, which dominated e.g. ROLLUP
+        # emission). Tail rows beyond the combined count are arbitrary,
+        # as the padding convention allows.
+        ca = (self._count if self._count is not None
+              else jnp.int32(self._n))
+        cb = (other._count if other._count is not None
+              else jnp.int32(other._n))
+        pos = jnp.arange(self._n + other._n, dtype=jnp.int32)
+        shift = ca - jnp.int32(self._n)
+        cols = {name: jnp.where(pos < ca, c, jnp.roll(c, shift))
+                for name, c in cols.items()}
+        return Table(cols, ca + cb, dictionaries=out_dicts)
 
     def quantiles(self, column, qs, *, method: str = "lower"):
         """Exact quantiles of a column's valid rows (see

@@ -92,3 +92,27 @@ class TestDistGroupingSets:
         b = dt.aggregate_sets([["w"], []], {"n": "count"}, max_groups=16)
         np.testing.assert_array_equal(_np(a)["n"], _np(b)["n"])
         np.testing.assert_array_equal(_np(a)["w"], _np(b)["w"])
+
+    def test_replicated_reaggregation_full_matrix(self, cols):
+        """The coarse levels re-aggregate the finest level's replicated
+        result (one exchange total) — every re-combinable aggregation,
+        mean included (hidden sum+count helpers), must match the
+        single-chip chain path exactly."""
+        t, dt = _pair(cols)
+        aggs = {"n": "count", "s": ("sum", "v"), "mn": ("min", "v"),
+                "mx": ("max", "v"), "av": ("mean", "v"),
+                "any_": ("any", "v"), "all_": ("all", "v"),
+                "wmin": ("min", "w")}
+        sets = [["w", "v"], ["w"], []]
+        a = t.aggregate_sets(sets, aggs, grouping={"g": "w"})
+        b = dt.aggregate_sets(sets, aggs, grouping={"g": "w"},
+                              max_groups=256)
+        an, bn = _np(a), _np(b)
+        assert "__gs_s_av" not in an and "__gs_s_av" not in bn
+        for k in an:
+            if an[k].dtype.kind == "f":
+                np.testing.assert_allclose(an[k], bn[k],
+                                           rtol=1e-5, atol=1e-5,
+                                           err_msg=k)
+            else:
+                np.testing.assert_array_equal(an[k], bn[k], err_msg=k)

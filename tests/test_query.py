@@ -940,3 +940,74 @@ class TestExpandOffsets:
         starts = jnp.asarray([0, 2, 2**31 - 1, 2**31 - 1], jnp.int32)
         got = np.asarray(expand_offsets(starts, 4))
         np.testing.assert_array_equal(got, [0, 0, 1, 1])
+
+
+class TestHashAggregateLevels:
+    """hash_aggregate_levels: one shared sort must reproduce
+    hash_aggregate exactly at every prefix level."""
+
+    def test_matches_per_level_hash_aggregate(self, rng):
+        n = 500
+        k1 = rng.integers(0, 7, n).astype(np.uint32)
+        k2 = rng.integers(0, 5, n).astype(np.int32)
+        vi = rng.integers(-9, 9, n).astype(np.int32)
+        vf = rng.random(n).astype(np.float32)
+        keys = [jnp.asarray(k1), jnp.asarray(k2)]
+        aggs = ["sum", "count", "mean", "min", "max", "any", "all",
+                "var", "std"]
+        vals = [jnp.asarray(vi), jnp.asarray(vi), jnp.asarray(vf),
+                jnp.asarray(vi), jnp.asarray(vi), jnp.asarray(vi),
+                jnp.asarray(vi), jnp.asarray(vf), jnp.asarray(vf)]
+        levels = query.hash_aggregate_levels(keys, vals, aggs, [2, 1, 0])
+        for c, (uk, outs, cnt) in zip([2, 1, 0], levels):
+            if c:
+                uk1, outs1, cnt1 = query.hash_aggregate(
+                    keys[:c], vals, list(aggs)
+                )
+            else:
+                uk1, outs1, cnt1 = query.hash_aggregate(
+                    [jnp.zeros((n,), jnp.uint32)], vals, list(aggs)
+                )
+            m = int(cnt)
+            assert m == int(cnt1)
+            for a, b in zip(uk, uk1):
+                np.testing.assert_array_equal(
+                    np.asarray(a)[:m], np.asarray(b)[:m]
+                )
+            for name, a, b in zip(aggs, outs, outs1):
+                ga, gb = np.asarray(a)[:m], np.asarray(b)[:m]
+                if ga.dtype.kind == "f":
+                    np.testing.assert_allclose(
+                        ga, gb, rtol=1e-5, atol=1e-6, err_msg=name
+                    )
+                else:
+                    np.testing.assert_array_equal(ga, gb, err_msg=name)
+
+    def test_u64_limb_keys_and_empty(self, rng):
+        n = 64
+        k1 = rng.integers(0, 2**63, n).astype(np.uint64)
+        v = rng.integers(0, 100, n).astype(np.int64)
+        levels = query.hash_aggregate_levels(
+            [jnp.asarray(k1)], [jnp.asarray(v)], ["sum"], [1, 0]
+        )
+        (uk, (s,), cnt), (_, (tot,), cnt0) = levels
+        m = int(cnt)
+        want_keys = np.sort(np.unique(k1))
+        np.testing.assert_array_equal(np.asarray(uk[0])[:m], want_keys)
+        want = np.array([v[k1 == kk].sum() for kk in want_keys])
+        np.testing.assert_array_equal(np.asarray(s)[:m], want)
+        assert int(cnt0) == 1 and int(np.asarray(tot)[0]) == int(v.sum())
+        # n == 0
+        empty = query.hash_aggregate_levels(
+            [jnp.zeros((0,), jnp.uint32)], [jnp.zeros((0,), jnp.int32)],
+            ["sum"], [1, 0]
+        )
+        for uk_e, outs_e, cnt_e in empty:
+            assert int(cnt_e) == 0
+
+    def test_rejects_order_dependent_aggs(self):
+        with pytest.raises(ValueError, match="supports"):
+            query.hash_aggregate_levels(
+                [jnp.arange(4, dtype=jnp.uint32)],
+                [jnp.arange(4, dtype=jnp.int32)], ["first"], [1]
+            )

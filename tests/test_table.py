@@ -410,6 +410,57 @@ class TestAggregateSets:
         got_p = int(np.ma.getdata(d["m"])[n_ab])
         assert got_p == med_p or abs(got_p - med_p) <= 1  # lower method
 
+    def test_prefix_chain_matches_per_set_aggregates(self, rng):
+        """The shared-sort chain path (all segment-computable aggs; one
+        sort per chain via hash_aggregate_levels) must match the per-set
+        fallback exactly — across NULL keys/values, a valid-prefix
+        count, CUBE-shaped multi-chain sets, and duplicate sets."""
+        n = 40
+        a = np.array(["p", "q", "r"] * 14)[:n]
+        b = rng.integers(0, 3, n).astype(np.int32)
+        v = rng.integers(0, 9, n).astype(np.int32)
+        f = rng.random(n).astype(np.float32)
+        aggs = {"s": ("sum", "v"), "n": "count", "mn": ("min", "v"),
+                "mx": ("max", "v"), "mu": ("mean", "f"),
+                "sd": ("std", "f"), "av": ("any", "v"),
+                "fs": ("sum", "f")}
+        cases = [
+            (Table({"a": a, "b": b, "v": v, "f": f}), aggs),
+            (Table({"a": a, "b": b, "v": v, "f": f},
+                   null_masks={"b": rng.random(n) < 0.3,
+                               "v": rng.random(n) < 0.3}),
+             {"s": ("sum", "v"), "n": ("count", "v"),
+              "mn": ("min", "v"), "mx": ("max", "v"),
+              "mu": ("mean", "f")}),
+            (Table({"a": a, "b": b, "v": v, "f": f}, count=n - 11),
+             aggs),
+        ]
+        set_lists = [
+            [["a", "b"], ["a"], []],          # one rollup chain
+            [["a", "b"], ["a"], ["b"], []],   # CUBE: two chains
+            [["a"], ["a"], ["b"]],            # duplicates, no nesting
+        ]
+        for t, ag in cases:
+            for sets in set_lists:
+                grouping = {"ga": "a", "gb": "b"}
+                new = t.aggregate_sets(sets, ag,
+                                       grouping=grouping).to_numpy()
+                # a (key,value)-sorted holistic forces the per-set path
+                ag2 = {**ag, "zmed": ("median", "f")}
+                old = t.aggregate_sets(sets, ag2,
+                                       grouping=grouping).to_numpy()
+                for k in new:
+                    gm, om = (np.ma.getmaskarray(new[k]),
+                              np.ma.getmaskarray(old[k]))
+                    np.testing.assert_array_equal(gm, om, err_msg=k)
+                    gd = np.ma.getdata(new[k])[~gm]
+                    od = np.ma.getdata(old[k])[~gm]
+                    if gd.dtype.kind == "f":
+                        np.testing.assert_allclose(
+                            gd, od, rtol=1e-5, atol=1e-5, err_msg=k)
+                    else:
+                        np.testing.assert_array_equal(gd, od, err_msg=k)
+
     def test_needs_a_set(self):
         t = Table({"v": jnp.arange(4)})
         with pytest.raises(ValueError, match="grouping set"):
