@@ -270,6 +270,48 @@ def _queries_suite(args):
     report("ROLLUP(status, YEAR(d)) 3-level aggregate", n,
            timed(qrollup, line))
 
+    @jax.jit
+    def qunion(p):
+        t = Table({"status": p[0], "qty": as_i32(p[1])})
+        out = sql(
+            "SELECT status, COUNT(*) AS n FROM "
+            "(SELECT status FROM l WHERE qty < 10 "
+            "UNION ALL SELECT status FROM l WHERE qty >= 45) "
+            "GROUP BY status ORDER BY status",
+            {"l": t}, max_groups=8,
+        ).collect()
+        return jnp.stack([out["status"],
+                          as_u32(out["n"].astype(jnp.int32))])
+
+    report("UNION ALL of two filtered scans + group", 2 * n,
+           timed(qunion, line))
+
+    # 4 contact rows per customer: the inner join has fanout 4, so the
+    # naive plan materializes a 4n-row join before grouping — the
+    # eager-aggregation rewrite (plan._eager_join_aggregate) never
+    # expands (lookup join + multiplicity scaling), exact at any fanout
+    cont = jnp.asarray(np.stack([
+        np.repeat(np.arange(n_c, dtype=np.uint32), 4),
+        rng.integers(0, 5, 4 * n_c).astype(np.uint32),
+    ]))
+
+    @jax.jit
+    def qfan(p, co):
+        t = Table({"custkey": p[4], "price": as_f32(p[2])})
+        ct = Table({"custkey": co[0], "region": co[1]})
+        out = sql(
+            "SELECT custkey, SUM(price) AS rev, COUNT(*) AS cnt FROM l "
+            "JOIN c USING (custkey) GROUP BY custkey "
+            "ORDER BY rev DESC LIMIT 10",
+            {"l": t, "c": ct}, capacity=4 * n, max_groups=n_c,
+        ).collect()
+        return jnp.stack([out["custkey"],
+                          as_u32(out["rev"].astype(jnp.float32)),
+                          as_u32(out["cnt"].astype(jnp.int32))])
+
+    report("fanout-4 join + group (eager-agg rewrite)", n,
+           timed(qfan, line, cont))
+
     n_w = 1024
     wvocab = np.sort(np.array(
         [f"w{i:04d}" for i in rng.permutation(n_w)], dtype=np.str_))

@@ -1355,7 +1355,12 @@ def hash_join(
       - ``"semi"``: each left row with at least one match, once, in left
         order (``right_vals`` all 0);
       - ``"anti"``: each left row with no match, once, in left order
-        (``right_vals`` all 0).
+        (``right_vals`` all 0);
+      - ``"lookup"``: each left row with at least one match, once, in
+        left order, paired with its FIRST match in right sorted order —
+        the inner join of a key-UNIQUE right side at semi-join cost (no
+        expansion machinery). With duplicate right keys the extra pairs
+        are omitted and ``overflow`` is True.
 
     Composite keys: pass a list/tuple of equal-length columns for BOTH
     ``left_keys`` and ``right_keys`` (matching dtypes per column, any
@@ -1366,8 +1371,10 @@ def hash_join(
     independently be lists of equal-length columns (a whole table side
     riding the one join); the matching output is then a list.
     """
-    if how not in JOIN_HOWS:
-        raise ValueError(f"how must be one of {JOIN_HOWS}, got {how!r}")
+    if how not in JOIN_HOWS and how != "lookup":
+        raise ValueError(
+            f"how must be one of {JOIN_HOWS} or 'lookup', got {how!r}"
+        )
     if how == "right":
         jk, j_rv, j_lv, cnt, ovf = hash_join(
             right_keys, right_values, left_keys, left_values,
@@ -1453,6 +1460,44 @@ def hash_join(
         )
         rks, rvs = list(out[:len(rk_limbs)]), list(out[len(rk_limbs):])
         lo, hi = merge_rank_pair(rks, lk_limbs)
+
+    if how == "lookup":
+        # key-unique-right fast path: each left row pairs with its FIRST
+        # match in right sorted order — a membership test + rank gather,
+        # skipping the whole expansion machinery (expand_offsets scatter/
+        # cummax + capacity-sized output gathers). Exact inner join when
+        # the right side is key-unique (e.g. an aggregate output keyed by
+        # the join key — the planner's eager-aggregation rewrite builds
+        # exactly that); with duplicate right keys the pairs beyond the
+        # first per left row are omitted and ``overflow`` reports the
+        # truncation (the true result was larger), mirroring the capacity
+        # contract.
+        matched = hi > lo
+        safe = jnp.clip(lo, 0, max(n_r, 1) - 1)
+        rv_g = [rv[safe] for rv in rvs]
+        dup = jnp.any((hi - lo) > 1)
+        *comp, cnt = filter(matched, *lk_limbs, *lv_cols, *rv_g)
+
+        def _fit(a):
+            if a.shape[0] >= capacity:
+                return a[:capacity]
+            return jnp.concatenate(
+                [a, jnp.zeros((capacity - a.shape[0],), a.dtype)]
+            )
+
+        comp = [_fit(a) for a in comp]
+        ks = comp[:len(lk_limbs)]
+        lvo = comp[len(lk_limbs):len(lk_limbs) + len(lv_cols)]
+        rvo = comp[len(lk_limbs) + len(lv_cols):]
+        overflow = dup | (cnt > capacity)
+        out_cols = _limbs_to_cols(ks, specs)
+        return (
+            out_cols if multi else out_cols[0],
+            _pack_lv(lvo),
+            _pack_rv(rvo),
+            jnp.minimum(cnt, capacity),
+            overflow,
+        )
 
     lk_arg = lk_limbs if multi or len(lk_limbs) > 1 else lk_limbs[0]
     out_kw, out_lv, out_rv, count, overflow = join_expand(

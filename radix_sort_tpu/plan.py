@@ -469,6 +469,113 @@ def _push_filters(node):
     return node
 
 
+# aggregations that survive the eager-aggregation rewrite. The group's
+# right-match multiplicity m is CONSTANT within a group (the group keys
+# contain the join keys), so replacing the expanded join rows by one row
+# per left match scales sum/count by m and leaves the rest unchanged —
+# including median: the lower order statistic of each value repeated m
+# times, rank (n*m-1)//2, is element ((n-1)//2) for every m >= 1.
+_EAGER_SCALED = ("sum", "count")
+_EAGER_INVARIANT = ("mean", "min", "max", "any", "all", "var", "std",
+                    "median", "mode", "count_distinct", "first", "last")
+
+
+def _scale_by(out_name, m_name):
+    def scale(t, _o=out_name, _m=m_name):
+        from radix_sort_tpu.nulls import MaskedColumn
+
+        v = t[_o] * t[_m].astype(t[_o].dtype)
+        mk = t.null_mask(_o)
+        return v if mk is None else MaskedColumn(v, mk)
+
+    return scale
+
+
+def _sources_single_chip(node):
+    if isinstance(node, Source):
+        from radix_sort_tpu.table import Table as _Table
+
+        return isinstance(node.table, _Table)
+    kids = node.children()
+    return all(_sources_single_chip(c) for _, c in kids)
+
+
+def _eager_join_aggregate(node):
+    """``aggregate(join(L, R, on, inner), by ⊇ on, L-only aggs)`` →
+    ``aggregate(lookup_join(L, aggregate(R, by=on, count)), by, aggs)``
+    with sum/count post-scaled by the right-match multiplicity — eager
+    aggregation (Yan & Larson). The pre-aggregated right side is
+    key-unique by construction, so the join runs as a ``lookup`` (a
+    membership test + one rank gather — semi-join cost) and the whole
+    expansion machinery with its capacity-sized output gathers
+    disappears, yet the result is exact for ANY right-side fanout.
+    Single-chip plans only (DistTable has no lookup join)."""
+    node = _map_children(node, _eager_join_aggregate)
+    if not isinstance(node, Aggregate):
+        return node
+    mid, j = None, node.child
+    if isinstance(j, WithColumns):
+        mid, j = j, j.child
+    if not isinstance(j, Join) or j.how != "inner":
+        return node
+    on = set(j.on)
+    if not on or not all(isinstance(b, str) for b in node.by) \
+            or not on <= set(node.by):
+        return node
+    ls = _schema(j.left)
+    lout = list(j.on) + [n for n in ls if n not in on]
+    rmap = _right_out_names(lout, on, _schema(j.right), j.suffix)
+    right_outs = set(rmap.values())
+    m_in, m_out = "__eja_m", "__eja_mg"
+    taken = set(lout) | right_outs | {n for n, _ in node.aggs}
+    if mid is not None:
+        for _, e in mid.exprs:
+            refs, known = _refs(e)
+            if not known or refs & right_outs:
+                return node
+        right_outs = right_outs - {n for n, _ in mid.exprs}  # shadowed
+        taken |= {n for n, _ in mid.exprs}
+    if {m_in, m_out} & taken:
+        return node
+    if set(node.by) & right_outs:
+        return node
+    for _, spec in node.aggs:
+        agg = spec[0]
+        val = spec[1] if len(spec) > 1 else None
+        if agg not in _EAGER_SCALED and agg not in _EAGER_INVARIANT:
+            return node
+        if val is None:
+            continue
+        if isinstance(val, str):
+            if val in right_outs:
+                return node
+        elif isinstance(val, Expr):
+            refs, known = _refs(val)
+            if not known or refs & right_outs:
+                return node
+        else:
+            # positional arrays / callables are row-aligned to the
+            # ORIGINAL expanded join output — cannot re-align
+            return node
+    if not _sources_single_chip(node):
+        return node
+    r_agg = Aggregate(j.right, tuple(j.on), ((m_in, ("count", None)),), ())
+    new_join = Join(
+        j.left, r_agg, j.on, "lookup", j.suffix,
+        tuple((k, v) for k, v in j.kwargs if k != "capacity"),
+    )
+    child = new_join if mid is None else mid.replace(child=new_join)
+    agg2 = node.replace(
+        child=child, aggs=tuple(node.aggs) + ((m_out, ("max", m_in)),)
+    )
+    scale = tuple(
+        (out_name, _scale_by(out_name, m_out))
+        for out_name, spec in node.aggs if spec[0] in _EAGER_SCALED
+    )
+    out = WithColumns(agg2, scale) if scale else agg2
+    return Select(out, tuple([*node.by, *(n for n, _ in node.aggs)]))
+
+
 def _fuse_filters(node):
     node = _map_children(node, _fuse_filters)
     if (isinstance(node, Filter) and isinstance(node.child, Filter)
@@ -751,6 +858,7 @@ def optimize(node):
     """All passes, in dependency order."""
     node = _push_filters(node)
     node = _fuse_filters(node)
+    node = _eager_join_aggregate(node)
     node = _fuse_sorts(node)
     node = _fuse_windows(node)
     node = _sort_limit_to_topk(node)

@@ -773,9 +773,12 @@ class Table:
         the true result was larger (rows [0, count) are exact regardless).
         Semi/anti joins emit at most one row per left row, so ``capacity``
         defaults to this table's row count (always exact); the expanding
-        joins require it."""
+        joins require it. ``how="lookup"`` is the inner join of a
+        key-UNIQUE ``other`` at semi-join cost (each left row pairs with
+        its first match; duplicate right keys flag ``overflow`` — the
+        omitted extra pairs mean the true result was larger)."""
         if capacity is None:
-            if how in ("semi", "anti"):
+            if how in ("semi", "anti", "lookup"):
                 capacity = self._n
             else:
                 raise TypeError(
@@ -838,6 +841,60 @@ class Table:
             flagged = True
         else:
             flagged = False
+        if how == "lookup":
+            # direct-ride assembly: the output rows ARE the matched left
+            # rows in left order, each with its single right match — so
+            # every payload column (and its null mask) rides the
+            # lookup's one compaction sort instead of paying a
+            # capacity-sized surrogate gather per column
+            lvs, lspec = [], []
+            for n in self._cols:
+                if n in on or NL.is_mask_name(n):
+                    continue
+                lvs.append(self._cols[n])
+                m = self.null_mask(n)
+                lspec.append((n, m is not None))
+                if m is not None:
+                    lvs.append(m)
+            rvs, rspec = [], []
+            for n in other._cols:
+                if n in on or NL.is_mask_name(n):
+                    continue
+                rvs.append(other._cols[n])
+                m = other.null_mask(n)
+                rspec.append((n, m is not None))
+                if m is not None:
+                    rvs.append(m)
+            jk, jlv, jrv, cnt, ovf = rst.hash_join(
+                lk, lvs or [jnp.zeros((self._n,), jnp.uint32)],
+                rk, rvs or [jnp.zeros((other._n,), jnp.uint32)],
+                capacity=capacity, how="lookup",
+            )
+            jks = list(jk) if isinstance(jk, (list, tuple)) else [jk]
+            if flagged:
+                jks = jks[1:]  # NULL/padding keys never match
+            cols = dict(zip(on, jks))
+            dicts = dict(key_dicts)
+            i = 0
+            for n, hm in lspec:
+                cols[n] = jlv[i]
+                i += 1
+                if hm:
+                    cols[NL.mask_name(n)] = jlv[i]
+                    i += 1
+                if n in self._dicts:
+                    dicts[n] = self._dicts[n]
+            i = 0
+            for n, hm in rspec:
+                out_name = n + suffix if n in cols else n
+                cols[out_name] = jrv[i]
+                i += 1
+                if hm:
+                    cols[NL.mask_name(out_name)] = jrv[i]
+                    i += 1
+                if n in other._dicts:
+                    dicts[out_name] = other._dicts[n]
+            return Table(cols, cnt, dictionaries=dicts), ovf
         # both sides 1-based so 0 = "no row" works for every variant
         # (full/right joins emit rows with no left match)
         lidx1 = jnp.arange(self._n, dtype=jnp.int32) + 1

@@ -469,3 +469,77 @@ class TestLazyDistTable:
         order = np.argsort(tbl["k"], kind="stable")
         np.testing.assert_array_equal(got["k"], tbl["k"][order])
         np.testing.assert_array_equal(got["v"], tbl["v"][order])
+
+
+class TestEagerJoinAggregate:
+    """aggregate-over-inner-join with group keys ⊇ join keys and
+    left-only aggregations rewrites to a lookup join against the
+    pre-aggregated (key-unique) right side, with sum/count post-scaled
+    by the right-match multiplicity — exact for any fanout."""
+
+    def _tables(self, rng, dup=1):
+        n, nc = 600, 40
+        line = Table({"k": rng.integers(0, nc, n).astype(np.int32),
+                      "p": rng.random(n).astype(np.float32),
+                      "q": rng.integers(1, 9, n).astype(np.int32)})
+        right = Table({"k": np.repeat(np.arange(nc, dtype=np.int32), dup),
+                       "seg": np.tile(
+                           rng.integers(0, 4, nc).astype(np.int32), dup)})
+        return line, right
+
+    def _q(self, line, right, capacity=4096):
+        return (line.lazy()
+                .join(right.lazy(), "k", how="inner", capacity=capacity)
+                .aggregate(["k"], {"s": ("sum", "p"), "n": "count",
+                                   "a": ("mean", "q"), "m": ("max", "p")})
+                .sort_by("k"))
+
+    @pytest.mark.parametrize("dup", [1, 3])
+    def test_rewrite_fires_and_matches(self, rng, dup):
+        line, right = self._tables(rng, dup)
+        lt = self._q(line, right)
+        opt = lt.optimized().plan
+        joins = _nodes(opt, P.Join)
+        assert [j.how for j in joins] == ["lookup"]
+        # the right side of the lookup join is a count aggregate
+        assert isinstance(joins[0].right, P.Aggregate)
+        got = lt.collect().to_numpy()
+        k = np.asarray(line["k"])
+        p = np.asarray(line["p"])
+        q = np.asarray(line["q"])
+        keys = sorted(set(k.tolist()))
+        np.testing.assert_array_equal(got["k"], keys)
+        np.testing.assert_allclose(
+            np.ma.getdata(got["s"]),
+            [p[k == kk].sum() * dup for kk in keys], rtol=2e-5)
+        np.testing.assert_array_equal(
+            got["n"], [(k == kk).sum() * dup for kk in keys])
+        np.testing.assert_allclose(
+            got["a"], [q[k == kk].mean() for kk in keys], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.ma.getdata(got["m"]),
+            [p[k == kk].max() for kk in keys], rtol=1e-6)
+
+    def test_no_rewrite_when_agg_reads_right(self, rng):
+        line, right = self._tables(rng)
+        lt = (line.lazy()
+              .join(right.lazy(), "k", how="inner", capacity=4096)
+              .aggregate(["k"], {"s": ("sum", "seg")}))
+        opt = lt.optimized().plan
+        assert [j.how for j in _nodes(opt, P.Join)] == ["inner"]
+
+    def test_no_rewrite_for_order_dependent_aggs(self, rng):
+        line, right = self._tables(rng)
+        lt = (line.lazy()
+              .join(right.lazy(), "k", how="inner", capacity=4096)
+              .aggregate(["k"], {"s": ("argmax", "p")}))
+        opt = lt.optimized().plan
+        assert [j.how for j in _nodes(opt, P.Join)] == ["inner"]
+
+    def test_no_rewrite_when_group_keys_miss_join_key(self, rng):
+        line, right = self._tables(rng)
+        lt = (line.lazy()
+              .join(right.lazy(), "k", how="inner", capacity=4096)
+              .aggregate(["q"], {"s": ("sum", "p")}))
+        opt = lt.optimized().plan
+        assert [j.how for j in _nodes(opt, P.Join)] == ["inner"]
