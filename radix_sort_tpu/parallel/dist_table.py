@@ -405,7 +405,15 @@ class DistTable:
         sketch, each shard joins locally. Returns ``(DistTable, overflow)``
         with the same column conventions as :meth:`Table.join` (suffix on
         collision; unmatched sides zero-filled; semi/anti emit left columns
-        only)."""
+        only).
+
+        ``how="lookup"`` is the BROADCAST lookup join: ``other`` must be a
+        replicated single-chip :class:`Table` with key-unique rows (e.g.
+        an aggregate keyed by the join key). Each shard probes the
+        replicated side in place — membership + first-match rank gather +
+        one per-shard compaction, NO exchange of this relation at all."""
+        if how == "lookup":
+            return self._join_lookup(other, on, suffix=suffix)
         if how not in Q.JOIN_HOWS:
             raise ValueError(
                 f"how must be one of {Q.JOIN_HOWS}, got {how!r}"
@@ -476,6 +484,82 @@ class DistTable:
                             self._axis, dictionaries=dicts)
             out = out.filter(lambda t: t["__flag"] == 0).drop("__flag")
         return out, ovf
+
+    def _join_lookup(self, other, on, *, suffix="_r"):
+        """Broadcast lookup join (see :meth:`join`): the replicated right
+        side is sorted once by key (with a validity/NULL-key flag word
+        when needed), every sharded left row binary-searches its first
+        match (merge-rank at comparator rate over the global array), the
+        matched rows compact per shard with one distributed filter.
+        Returns ``(DistTable, overflow)`` — overflow True means the right
+        side was NOT key-unique (pairs beyond the first match were
+        omitted; the true inner-join result is larger)."""
+        from radix_sort_tpu.table import Table
+
+        if not isinstance(other, Table):
+            raise TypeError(
+                "lookup join needs a replicated single-chip Table right "
+                "side (e.g. an aggregate keyed by the join key); got "
+                f"{type(other).__name__}"
+            )
+        on = _as_list(on)
+        if not all(isinstance(n, str) for n in on):
+            raise TypeError("lookup join keys must be column names")
+        lk, rk, key_dicts = [], [], {}
+        for name in on:
+            (lc,) = self._resolve([name])
+            (rc,) = other._resolve([name])
+            lc, rc = self._unify_key(other, name, lc, rc, key_dicts)
+            lk.append(lc)
+            rk.append(rc)
+        rnames = [n for n in other._cols
+                  if n not in on and not NL.is_mask_name(n)]
+        for n in rnames:
+            if other.null_mask(n) is not None:
+                raise TypeError(
+                    f"lookup join right column {n!r} carries a null "
+                    f"mask — DistTable rows cannot hold NULLs; "
+                    f"fill_null(...) the replicated side first"
+                )
+        lk_limbs, _ = Q._cols_to_limbs(lk)
+        rk_limbs, _ = Q._cols_to_limbs(rk)
+        # right flag word: padding rows and NULL keys never match
+        rf = None
+        if other._count is not None:
+            rf = (~other.valid_mask()).astype(jnp.uint32)
+        for name in on:
+            m = other.null_mask(name)
+            if m is not None:
+                m = m.astype(jnp.uint32)
+                rf = m if rf is None else (rf | m)
+        if rf is not None:
+            rk_limbs = [rf, *rk_limbs]
+            lk_limbs = [jnp.zeros((self._n,), jnp.uint32), *lk_limbs]
+        rvs = [other._cols[n] for n in rnames]
+        out = Q._stable_sort([*rk_limbs, *rvs], num_keys=len(rk_limbs))
+        rks = list(out[:len(rk_limbs)])
+        rvs_s = list(out[len(rk_limbs):])
+        lo, hi = Q.merge_rank_pair(rks, lk_limbs)
+        matched = (hi > lo) & self.valid_mask()
+        dup = jnp.any((hi - lo) > 1)
+        safe = jnp.clip(lo, 0, max(other._n, 1) - 1)
+        rv_g = [rv[safe] for rv in rvs_s]
+        *outs, counts = dist_query.distributed_filter(
+            matched, *self._cols.values(), *rv_g,
+            mesh=self._mesh, axis_name=self._axis,
+        )
+        cols = dict(zip(self._cols, outs[:len(self._cols)]))
+        dicts = dict(self._dicts)
+        for n, arr in zip(rnames, outs[len(self._cols):]):
+            out_name = n + suffix if n in cols else n
+            cols[out_name] = arr
+            if n in other._dicts:
+                dicts[out_name] = other._dicts[n]
+        return (
+            DistTable(cols, self._mesh, counts, self._axis,
+                      dictionaries=dicts),
+            dup,
+        )
 
     def join_asof(self, other: "DistTable", on, *,
                   direction: str = "backward", tolerance=None,

@@ -491,15 +491,6 @@ def _scale_by(out_name, m_name):
     return scale
 
 
-def _sources_single_chip(node):
-    if isinstance(node, Source):
-        from radix_sort_tpu.table import Table as _Table
-
-        return isinstance(node.table, _Table)
-    kids = node.children()
-    return all(_sources_single_chip(c) for _, c in kids)
-
-
 def _eager_join_aggregate(node):
     """``aggregate(join(L, R, on, inner), by ⊇ on, L-only aggs)`` →
     ``aggregate(lookup_join(L, aggregate(R, by=on, count)), by, aggs)``
@@ -508,8 +499,11 @@ def _eager_join_aggregate(node):
     key-unique by construction, so the join runs as a ``lookup`` (a
     membership test + one rank gather — semi-join cost) and the whole
     expansion machinery with its capacity-sized output gathers
-    disappears, yet the result is exact for ANY right-side fanout.
-    Single-chip plans only (DistTable has no lookup join)."""
+    disappears, yet the result is exact for ANY right-side fanout. On
+    DistTable plans the pre-aggregated right side is a REPLICATED
+    Table, so the lookup runs as a broadcast join — this relation is
+    never exchanged at all (one distributed aggregate of the right side
+    replaces the co-partitioned shuffle of both)."""
     node = _map_children(node, _eager_join_aggregate)
     if not isinstance(node, Aggregate):
         return node
@@ -557,9 +551,12 @@ def _eager_join_aggregate(node):
             # positional arrays / callables are row-aligned to the
             # ORIGINAL expanded join output — cannot re-align
             return node
-    if not _sources_single_chip(node):
-        return node
-    r_agg = Aggregate(j.right, tuple(j.on), ((m_in, ("count", None)),), ())
+    # the right-side count aggregate inherits the aggregate's capacity
+    # knobs (a DistTable right child needs max_groups; if the bound is
+    # too small for the right side's distinct keys, the distributed
+    # aggregate's exact fallback covers it; Table.aggregate drops them)
+    r_agg = Aggregate(j.right, tuple(j.on), ((m_in, ("count", None)),),
+                      node.kwargs)
     new_join = Join(
         j.left, r_agg, j.on, "lookup", j.suffix,
         tuple((k, v) for k, v in j.kwargs if k != "capacity"),

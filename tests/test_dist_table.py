@@ -331,3 +331,55 @@ def test_jit_pipeline(tbl):
                                   want.to_numpy()["s"])
     np.testing.assert_array_equal(np.asarray(got[2])[:cnt],
                                   want.to_numpy()["top"])
+
+
+class TestBroadcastLookupJoin:
+    """how="lookup" against a replicated key-unique Table: membership +
+    first-match rank gather per shard, one distributed filter, NO
+    exchange — and the planner's eager-aggregation rewrite that builds
+    on it must match the single-chip result exactly."""
+
+    def test_facade_matches_oracle(self, tbl, rng):
+        t, dt = _pair(tbl)
+        nc = 13
+        ct = Table({"k": np.arange(0, nc, 2, dtype=np.uint32),
+                    "m": (np.arange(0, nc, 2) * 10).astype(np.int32)})
+        out, dup = dt.join(ct, "k", how="lookup")
+        assert not bool(dup)
+        got = out.to_table().to_numpy()
+        valid = int(np.asarray(t._count))
+        kk = tbl["k"][:valid]
+        keep = (kk % 2 == 0) & (kk < nc)
+        assert len(got["k"]) == keep.sum()
+        np.testing.assert_array_equal(got["m"], got["k"] * 10)
+        np.testing.assert_array_equal(
+            np.sort(got["w"]), np.sort(tbl["w"][:valid][keep])
+        )
+        # non-unique right side flags the truncation
+        ct2 = Table({"k": np.array([0, 0, 2], np.uint32),
+                     "m": np.zeros(3, np.int32)})
+        _, dup2 = dt.join(ct2, "k", how="lookup")
+        assert bool(dup2)
+
+    def test_sql_eager_aggregation_matches_single_chip(self, tbl):
+        t, dt = _pair(tbl)
+        ccols = {"k": np.repeat(np.arange(32, dtype=np.uint32), 2),
+                 "seg": np.tile(np.arange(32, dtype=np.int32) % 3, 2)}
+        ct, dct = Table(ccols), DistTable(ccols, _mesh())
+        q = ("SELECT k, SUM(v) AS s, COUNT(*) AS cnt, MAX(w) AS mx "
+             "FROM l JOIN c USING (k) WHERE seg = 1 "
+             "GROUP BY k ORDER BY k")
+        a = rst.sql(q, {"l": t, "c": ct}).collect().to_numpy()
+        b = rst.sql(q, {"l": dt, "c": dct}, max_groups=64,
+                    capacity_per_shard=2048).collect().to_numpy()
+        # the dist plan must have used the lookup join (rewrite fired)
+        lt = rst.sql(q, {"l": dt, "c": dct}, max_groups=64,
+                     capacity_per_shard=2048)
+        assert "join[lookup on k]" in lt.explain()
+        for key in a:
+            av, bv = np.ma.getdata(a[key]), np.ma.getdata(b[key])
+            if av.dtype.kind == "f":
+                np.testing.assert_allclose(av, bv, rtol=1e-5,
+                                           err_msg=key)
+            else:
+                np.testing.assert_array_equal(av, bv, err_msg=key)
