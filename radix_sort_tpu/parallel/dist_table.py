@@ -327,12 +327,9 @@ class DistTable:
 
     # ---- row-shaped verbs (stay sharded) ---------------------------------
 
-    def filter(self, mask) -> "DistTable":
-        """Rows where ``mask`` holds (a bool column, an ``Expr``, or a
-        callable taking this DistTable), compacted to each shard's front
-        in shard order — the global filtered relation in original
-        order. A nullable predicate keeps only rows where it is known
-        TRUE (SQL WHERE semantics), matching ``Table.filter``."""
+    def _eval_pred(self, mask):
+        """A WHERE predicate (bool column, ``Expr``, or callable) -> a
+        plain bool row mask (known-TRUE under SQL null semantics)."""
         from radix_sort_tpu.expr import Expr
 
         if isinstance(mask, Expr):
@@ -343,6 +340,24 @@ class DistTable:
         mask = jnp.asarray(mask)
         if mask.ndim == 0:
             mask = jnp.broadcast_to(mask, (self._n,))
+        return mask
+
+    def _merged_flag(self, where=None):
+        """The leading validity flag word with an optional WHERE
+        predicate folded in (nonzero = excluded), or None."""
+        flag = self._flag()
+        if where is None:
+            return flag
+        w = (~self._eval_pred(where)).astype(jnp.uint32)
+        return w if flag is None else (flag | w)
+
+    def filter(self, mask) -> "DistTable":
+        """Rows where ``mask`` holds (a bool column, an ``Expr``, or a
+        callable taking this DistTable), compacted to each shard's front
+        in shard order — the global filtered relation in original
+        order. A nullable predicate keeps only rows where it is known
+        TRUE (SQL WHERE semantics), matching ``Table.filter``."""
+        mask = self._eval_pred(mask)
         if self._counts is not None:
             mask = mask & self.valid_mask()
         *out, counts = dist_query.distributed_filter(
@@ -732,7 +747,8 @@ class DistTable:
                      dictionaries=self._subdicts(names))
 
     def aggregate(self, by, aggs, *, max_groups: int,
-                  exchange_capacity_factor: float = 2.0) -> Table:
+                  exchange_capacity_factor: float = 2.0,
+                  where=None) -> Table:
         """Distributed GROUP BY (two-phase partial merge for combinable
         aggregations, repartition/shuffle-aggregate for holistic ones) —
         same ``aggs`` dict as :meth:`Table.aggregate`. ``max_groups``
@@ -743,11 +759,12 @@ class DistTable:
         if not aggs:
             if not by:
                 raise ValueError("aggregate needs group keys or aggs")
-            return self.distinct(by, max_unique=max_groups)
+            base = self.filter(where) if where is not None else self
+            return base.distinct(by, max_unique=max_groups)
         key_cols = self._resolve(by)
         if not key_cols:
             key_cols = [jnp.zeros((self._n,), jnp.uint32)]
-        flag = self._flag()
+        flag = self._merged_flag(where)
         keys_arg = [flag, *key_cols] if flag is not None else key_cols
         names, val_cols, agg_list, out_dicts = [], [], [], {}
         for out_name, spec in aggs.items():
@@ -789,7 +806,8 @@ class DistTable:
 
     def aggregate_sets(self, sets, aggs, grouping=None, *,
                        max_groups: int,
-                       exchange_capacity_factor: float = 2.0) -> Table:
+                       exchange_capacity_factor: float = 2.0,
+                       where=None) -> Table:
         """Distributed SQL GROUPING SETS / ROLLUP / CUBE: one
         :meth:`aggregate` per grouping set (each a replicated
         :class:`Table`), concatenated with group keys absent from a set
@@ -854,6 +872,7 @@ class DistTable:
                 tables[fs] = self.aggregate(
                     s or None, ag, max_groups=max_groups,
                     exchange_capacity_factor=exchange_capacity_factor,
+                    where=where,
                 )
                 continue
             ag2 = {}

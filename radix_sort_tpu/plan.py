@@ -507,6 +507,10 @@ def _eager_join_aggregate(node):
     node = _map_children(node, _eager_join_aggregate)
     if not isinstance(node, Aggregate):
         return node
+    if any(k == "where" for k, _ in node.kwargs):
+        # a fused WHERE evaluates against the join output and may read
+        # right-side columns — leave the plan as is
+        return node
     mid, j = None, node.child
     if isinstance(j, WithColumns):
         mid, j = j, j.child
@@ -555,8 +559,11 @@ def _eager_join_aggregate(node):
     # knobs (a DistTable right child needs max_groups; if the bound is
     # too small for the right side's distinct keys, the distributed
     # aggregate's exact fallback covers it; Table.aggregate drops them)
-    r_agg = Aggregate(j.right, tuple(j.on), ((m_in, ("count", None)),),
-                      node.kwargs)
+    r_agg = Aggregate(
+        j.right, tuple(j.on), ((m_in, ("count", None)),),
+        tuple((k, v) for k, v in node.kwargs
+              if k in ("max_groups", "exchange_capacity_factor")),
+    )
     new_join = Join(
         j.left, r_agg, j.on, "lookup", j.suffix,
         tuple((k, v) for k, v in j.kwargs if k != "capacity"),
@@ -571,6 +578,46 @@ def _eager_join_aggregate(node):
     )
     out = WithColumns(agg2, scale) if scale else agg2
     return Select(out, tuple([*node.by, *(n for n, _ in node.aggs)]))
+
+
+def _fuse_filter_aggregate(node):
+    """WHERE + GROUP BY fusion: the aggregate's key sort already demotes
+    excluded rows through its leading validity flag word, so a Filter
+    sitting under an Aggregate/AggregateSets (possibly through the
+    with_columns that hoist computed group keys / expression aggregate
+    arguments) becomes the aggregate's ``where=`` — one sort instead of
+    a separate n-row compaction pass."""
+    node = _map_children(node, _fuse_filter_aggregate)
+    if not isinstance(node, (Aggregate, AggregateSets)):
+        return node
+    if any(k == "where" for k, _ in node.kwargs):
+        return node
+    mids, cur = [], node.child
+    while isinstance(cur, WithColumns):
+        mids.append(cur)
+        cur = cur.child
+    if not isinstance(cur, Filter):
+        return node
+    pred = cur.pred
+    if callable(pred) and not isinstance(pred, Expr):
+        # an opaque callable must see exactly the table it was written
+        # against — only safe with nothing interposed
+        if mids:
+            return node
+    elif isinstance(pred, Expr):
+        # the predicate re-evaluates above the with_columns: its reads
+        # must not be shadowed by (or depend on) the hoisted columns
+        new_names = {n for m in mids for n, _ in m.exprs}
+        refs, known = _refs(pred)
+        if not known or refs & new_names:
+            return node
+    # positional array predicates are row-aligned either way
+    child = cur.child
+    for m in reversed(mids):
+        child = m.replace(child=child)
+    return node.replace(
+        child=child, kwargs=tuple(node.kwargs) + (("where", pred),)
+    )
 
 
 def _fuse_filters(node):
@@ -744,6 +791,11 @@ def _prune(node, required, memo):
                 r, known = _refs(val)
                 child_req |= r
                 opaque |= not known
+        wpred = dict(node.kwargs).get("where")
+        if wpred is not None:
+            r, known = _refs(wpred)
+            child_req |= r
+            opaque |= not known
         if opaque:
             child_req = set(_schema(node.child, memo))
         return node.replace(
@@ -762,6 +814,11 @@ def _prune(node, required, memo):
                 r, known = _refs(val)
                 child_req |= r
                 opaque |= not known
+        wpred = dict(node.kwargs).get("where")
+        if wpred is not None:
+            r, known = _refs(wpred)
+            child_req |= r
+            opaque |= not known
         if opaque:
             child_req = set(_schema(node.child, memo))
         return node.replace(child=_prune(node.child, child_req, memo))
@@ -856,6 +913,7 @@ def optimize(node):
     node = _push_filters(node)
     node = _fuse_filters(node)
     node = _eager_join_aggregate(node)
+    node = _fuse_filter_aggregate(node)
     node = _fuse_sorts(node)
     node = _fuse_windows(node)
     node = _sort_limit_to_topk(node)
@@ -1092,14 +1150,19 @@ def _describe(node):
         return f"sort_by[{_fmt_by(node.by, node.descending)}]"
     if isinstance(node, Distinct):
         return f"distinct[{', '.join(node.subset or ())}]"
+    def _fused_where(n):
+        return ("; where" if any(k == "where" for k, _ in n.kwargs)
+                else "")
+
     if isinstance(node, Aggregate):
         parts = [f"{n}={s[0]}" for n, s in node.aggs]
         return (f"aggregate[by={', '.join(node.by)}; "
-                + ", ".join(parts) + "]")
+                + ", ".join(parts) + _fused_where(node) + "]")
     if isinstance(node, AggregateSets):
         parts = [f"{n}={s[0]}" for n, s in node.aggs]
         sets = ", ".join("(" + ", ".join(s) + ")" for s in node.sets)
-        return f"aggregate_sets[{sets}; " + ", ".join(parts) + "]"
+        return (f"aggregate_sets[{sets}; " + ", ".join(parts)
+                + _fused_where(node) + "]")
     if isinstance(node, Window):
         parts = [
             f"{n}={s if isinstance(s, str) else s[0]}" for n, s in node.ops

@@ -377,11 +377,20 @@ class Table:
 
     # ---- relational operators ------------------------------------------
 
-    def filter(self, mask) -> "Table":
-        """Rows where ``mask`` holds (a bool column, an :class:`Expr`, or
-        a callable taking this Table), compacted to the front in original
-        order. A nullable predicate keeps only rows where it is known
-        TRUE (SQL WHERE semantics)."""
+    def _merged_flag(self, where=None):
+        """The leading validity flag word with an optional WHERE
+        predicate folded in (nonzero = excluded row), or None when every
+        row participates."""
+        flag = self._flag()
+        if where is None:
+            return flag
+        w = (~self._eval_pred(where)).astype(jnp.uint32)
+        return w if flag is None else (flag | w)
+
+    def _eval_pred(self, mask):
+        """A WHERE predicate (bool column, :class:`Expr`, or callable)
+        -> a plain bool row mask; a nullable predicate keeps only rows
+        where it is known TRUE (SQL WHERE semantics)."""
         from radix_sort_tpu.expr import Expr
 
         if isinstance(mask, Expr):
@@ -395,6 +404,14 @@ class Table:
         if mask.ndim == 0:
             # all-scalar predicate (e.g. WHERE 1 = NULL): broadcast to rows
             mask = jnp.broadcast_to(mask, (self._n,))
+        return mask
+
+    def filter(self, mask) -> "Table":
+        """Rows where ``mask`` holds (a bool column, an :class:`Expr`, or
+        a callable taking this Table), compacted to the front in original
+        order. A nullable predicate keeps only rows where it is known
+        TRUE (SQL WHERE semantics)."""
+        mask = self._eval_pred(mask)
         if self._count is not None:
             mask = mask & self.valid_mask()
         *out, cnt = rst.filter(mask, *self._cols.values())
@@ -470,13 +487,17 @@ class Table:
             i += 1
         return Table(cols, num, dictionaries=self._subdicts(names))
 
-    def aggregate(self, by, aggs) -> "Table":
+    def aggregate(self, by, aggs, *, where=None) -> "Table":
         """GROUP BY ``by`` (a column name/list, or None for one global
         group over the valid rows) computing ``aggs``: a dict of output
         name -> ``(agg, column)`` with agg in sum/count/min/max/mean/
         any/all/first/last/median/mode/var/std/count_distinct/argmin/
-        argmax (``"count"`` alone also works). One shared key sort
-        computes every aggregate (the engine's multi-aggregate;
+        argmax (``"count"`` alone also works). ``where`` (a predicate as
+        :meth:`filter` takes) restricts the aggregated rows WITHOUT a
+        separate compaction pass: excluded rows ride the key sort's
+        leading validity flag word, so WHERE + GROUP BY costs one sort
+        (the planner fuses Filter-under-Aggregate onto this). One shared
+        key sort computes every aggregate (the engine's multi-aggregate;
         median/mode/count_distinct/argmin/argmax each add one
         (key, value) sort). ``argmin``/``argmax`` report positions in
         this table's row numbering."""
@@ -484,9 +505,10 @@ class Table:
         if not aggs:
             if not by:
                 raise ValueError("aggregate needs group keys or aggs")
-            return self.distinct(by)  # GROUP BY with no aggregates
+            base = self.filter(where) if where is not None else self
+            return base.distinct(by)  # GROUP BY with no aggregates
         key_cols, by = self._resolve_masked(by)
-        flag = self._flag()
+        flag = self._merged_flag(where)
         keys_arg = [] if flag is None else [flag]
         key_has_mask = []
         if not key_cols:
@@ -632,7 +654,8 @@ class Table:
         return Table(cols, cnt,
                      dictionaries={**self._subdicts(by), **out_dicts})
 
-    def aggregate_sets(self, sets, aggs, grouping=None) -> "Table":
+    def aggregate_sets(self, sets, aggs, grouping=None, *,
+                       where=None) -> "Table":
         """SQL GROUPING SETS (and its ROLLUP / CUBE shorthands): UNION
         ALL of one :meth:`aggregate` per grouping set over the same
         ``aggs``, with group keys absent from a set returned as typed
@@ -666,7 +689,7 @@ class Table:
                     f"grouping set (have {all_keys})"
                 )
         order = [*all_keys, *aggs.keys(), *grouping.keys()]
-        tables = self._aggregate_set_tables(sets, aggs)
+        tables = self._aggregate_set_tables(sets, aggs, where=where)
         out = None
         for s in sets:
             t = tables[frozenset(s)]
@@ -691,7 +714,7 @@ class Table:
             out = t if out is None else out.concat(t)
         return out
 
-    def _aggregate_set_tables(self, sets, aggs):
+    def _aggregate_set_tables(self, sets, aggs, where=None):
         """One aggregated Table per DISTINCT grouping set (keyed by
         frozenset). Subset-nested sets whose aggregations are all
         segment-computable are planned as prefix CHAINS: the chain's
@@ -726,14 +749,14 @@ class Table:
         for ch in chains:
             if len(ch) == 1:
                 tables[frozenset(ch[0])] = self.aggregate(
-                    ch[0] or None, dict(aggs)
+                    ch[0] or None, dict(aggs), where=where
                 )
                 continue
             full_by = []
             for s in reversed(ch):
                 full_by.extend(k for k in s if k not in full_by)
             key_cols, by = self._resolve_masked(full_by)
-            flag = self._flag()
+            flag = self._merged_flag(where)
             keys_arg = [] if flag is None else [flag]
             key_has_mask = []
             level_at = [len(keys_arg)]  # keys_arg width per key prefix

@@ -116,3 +116,25 @@ class TestDistGroupingSets:
                                            err_msg=k)
             else:
                 np.testing.assert_array_equal(an[k], bn[k], err_msg=k)
+
+
+class TestDistWhereFusion:
+    def test_where_fused_aggregate_matches_single_chip(self, cols):
+        t, dt = _pair(cols)
+        q = ("SELECT w, COUNT(*) AS n, SUM(v) AS s FROM t "
+             "WHERE v > 0 GROUP BY w ORDER BY w")
+        lt = rst.sql(q, {"t": dt}, max_groups=16)
+        assert "; where]" in lt.explain()
+        a = _np(rst.sql(q, {"t": t}).collect())
+        b = _np(lt.collect())
+        for k in ("w", "n", "s"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    def test_where_fused_rollup_matches_single_chip(self, cols):
+        t, dt = _pair(cols)
+        q = ("SELECT w, COUNT(*) AS n, GROUPING(w) AS g FROM t "
+             "WHERE v > 0 GROUP BY ROLLUP(w) ORDER BY g, w")
+        a = _np(rst.sql(q, {"t": t}).collect())
+        b = _np(rst.sql(q, {"t": dt}, max_groups=16).collect())
+        for k in ("w", "n", "g"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)

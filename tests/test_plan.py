@@ -543,3 +543,85 @@ class TestEagerJoinAggregate:
               .aggregate(["q"], {"s": ("sum", "p")}))
         opt = lt.optimized().plan
         assert [j.how for j in _nodes(opt, P.Join)] == ["inner"]
+
+
+class TestFilterAggregateFusion:
+    """A Filter under Aggregate/AggregateSets (possibly through the
+    hoisted with_columns) fuses into the aggregate's where= — excluded
+    rows ride the key sort's validity flag instead of paying a separate
+    compaction sort. Results must match the unfused plan exactly."""
+
+    def test_fuses_and_matches(self, rng):
+        n = 400
+        t = Table({"s": rng.integers(0, 6, n).astype(np.uint32),
+                   "q": rng.integers(1, 50, n).astype(np.int32),
+                   "p": rng.random(n).astype(np.float32)})
+        lt = (t.lazy().filter(col("q") < 30)
+              .aggregate(["s"], {"n": "count", "sq": ("sum", "q"),
+                                 "mp": ("median", "p")})
+              .sort_by("s"))
+        ex = lt.explain()
+        assert "; where]" in ex and "filter[" not in ex
+        got = lt.collect().to_numpy()
+        want = (t.filter(t["q"] < 30)
+                .aggregate(["s"], {"n": "count", "sq": ("sum", "q"),
+                                   "mp": ("median", "p")})
+                .sort_by("s").to_numpy())
+        for k in got:
+            np.testing.assert_array_equal(
+                np.ma.getdata(got[k]), np.ma.getdata(want[k]), err_msg=k
+            )
+
+    def test_fuses_above_with_columns_it_reads(self, rng):
+        t = Table({"s": jnp.arange(8, dtype=jnp.uint32) % 3,
+                   "q": jnp.arange(8, dtype=jnp.int32)})
+        lt = (t.lazy().with_columns(d=col("q") * 2)
+              .filter(col("d") > 4)
+              .aggregate(["s"], {"n": "count"}))
+        # the filter sits ABOVE the with_columns (it reads d), so the
+        # fused where= still evaluates after it — fusion is sound
+        ex = lt.explain()
+        assert "; where]" in ex and "filter[" not in ex
+        got = lt.collect().to_numpy()
+        want = {0: 2, 1: 2, 2: 1}
+        assert dict(zip(got["s"].tolist(), got["n"].tolist())) == want
+
+    def test_no_fuse_when_hoist_shadows_pred_column(self, rng):
+        # filter below a with_columns that OVERWRITES the predicate's
+        # column: re-evaluating the predicate above would read the new
+        # values — must NOT fuse
+        t = Table({"s": jnp.arange(8, dtype=jnp.uint32) % 3,
+                   "q": jnp.arange(8, dtype=jnp.int32)})
+        lt = (t.lazy().filter(col("q") > 4)
+              .with_columns(q=col("q") * 0)
+              .aggregate(["s"], {"n": "count"}))
+        ex = lt.explain()
+        assert "filter[" in ex and "; where]" not in ex
+        got = lt.collect().to_numpy()
+        # rows 5, 6, 7 survive the filter
+        assert dict(zip(got["s"].tolist(), got["n"].tolist())) == \
+            {0: 1, 1: 1, 2: 1}
+
+    def test_grouping_sets_where(self, rng):
+        n = 96
+        t = Table({"a": rng.integers(0, 4, n).astype(np.int32),
+                   "b": rng.integers(0, 3, n).astype(np.int32),
+                   "v": rng.integers(0, 9, n).astype(np.int32)})
+        lt = (t.lazy().filter(col("v") > 2)
+              .aggregate_sets([["a", "b"], ["a"], []],
+                              {"s": ("sum", "v"), "n": "count"}))
+        ex = lt.explain()
+        assert "; where]" in ex and "filter[" not in ex
+        got = lt.collect().to_numpy()
+        want = (t.filter(t["v"] > 2)
+                .aggregate_sets([["a", "b"], ["a"], []],
+                                {"s": ("sum", "v"), "n": "count"})
+                .to_numpy())
+        for k in got:
+            np.testing.assert_array_equal(
+                np.ma.getdata(got[k]), np.ma.getdata(want[k]), err_msg=k
+            )
+            np.testing.assert_array_equal(
+                np.ma.getmaskarray(got[k]), np.ma.getmaskarray(want[k]),
+                err_msg=k
+            )
