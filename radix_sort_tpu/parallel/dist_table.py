@@ -1068,14 +1068,26 @@ class DistTable:
     # ---- materialization --------------------------------------------------
 
     def to_table(self) -> Table:
-        """Re-pack into a single-chip :class:`Table`: one stable validity
-        sort makes the valid rows one global prefix (stays traced)."""
+        """Re-pack into a single-chip :class:`Table` (stays traced). The
+        shards' valid PREFIXES slide into one global prefix with P-1
+        dynamic rolls + positional selects — pure streaming, no sort
+        (packing prefix blocks never needs one; the former stable
+        validity sort paid a comparator sort over every column)."""
         if self._counts is None:
             return Table(dict(self._cols), None, dictionaries=self._dicts)
-        flag = self._flag()
-        out = Q._stable_sort([flag, *self._cols.values()], num_keys=1)
-        return Table(dict(zip(self._cols, out[1:])), self.total_count(),
-                     dictionaries=self._dicts)
+        # destination offset of each shard's block = running valid total
+        offs = jnp.cumsum(self._counts) - self._counts  # (P,)
+        pos = jnp.arange(self._n, dtype=jnp.int32)
+
+        def pack(c):
+            out = c  # shard 0's prefix is already in place
+            for i in range(1, self._P):
+                shifted = jnp.roll(c, offs[i] - i * self._nl)
+                out = jnp.where(pos < offs[i], out, shifted)
+            return out
+
+        return Table({n: pack(c) for n, c in self._cols.items()},
+                     self.total_count(), dictionaries=self._dicts)
 
     def to_numpy(self):
         """dict of numpy arrays holding ONLY the valid rows, in global
