@@ -1,0 +1,333 @@
+// Host-side native runtime: CSV ingestion (tokenize + type inference +
+// dictionary encoding) in C++17.
+//
+// The framework's tabular data loader. The reference crate's only file
+// I/O is raw-key transmute reads for the bench (src/main.rs:47-99); a
+// query engine also needs structured ingestion, and Python-level CSV
+// parsing (numpy genfromtxt) is orders of magnitude off native speed.
+// This loader:
+//   * tokenizes RFC4180-style CSV (quoted fields, "" escapes, embedded
+//     delimiters/newlines, CRLF) in one linear scan per pass;
+//   * infers each column's type over ALL rows (int64 < float64 < string
+//     promotion; empty fields are NULLs and don't affect the type);
+//   * dictionary-encodes string columns directly into the engine's
+//     native format — uint32 codes + a distinct-value vocabulary — so
+//     Table construction does no further per-row string work;
+//   * reports empty fields as a per-column null mask (SQL NULL).
+//
+// Exposed with a C ABI for ctypes (no pybind11 in this environment).
+
+#include <cerrno>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+enum ColType { T_I64 = 0, T_F64 = 1, T_STR = 2 };
+
+struct Col {
+  std::string name;
+  int type = T_I64;
+  bool seen_value = false;
+  bool has_null = false;
+  std::vector<int64_t> i64;
+  std::vector<double> f64;
+  std::vector<uint32_t> codes;
+  std::vector<uint8_t> mask;
+  std::vector<std::string> vocab;  // by code, in first-seen order
+};
+
+struct Csv {
+  std::vector<Col> cols;
+  int64_t nrows = 0;
+  std::string vocab_blob;  // scratch for the accessor
+  std::vector<int64_t> vocab_offs;
+};
+
+thread_local std::string g_err;
+
+// strip unquoted-field whitespace (genfromtxt autostrip parity)
+inline void strip(const char*& p, size_t& len) {
+  while (len && (*p == ' ' || *p == '\t')) { ++p; --len; }
+  while (len && (p[len - 1] == ' ' || p[len - 1] == '\t')) --len;
+}
+
+inline bool parse_i64(const char* p, size_t len, int64_t& out) {
+  if (len == 0 || len > 20) return false;
+  char tmp[24];
+  std::memcpy(tmp, p, len);
+  tmp[len] = 0;
+  errno = 0;
+  char* end = nullptr;
+  long long v = std::strtoll(tmp, &end, 10);
+  if (errno != 0 || end != tmp + len) return false;
+  out = static_cast<int64_t>(v);
+  return true;
+}
+
+inline bool parse_f64(const char* p, size_t len, double& out) {
+  if (len == 0 || len > 63) return false;
+  char tmp[64];
+  std::memcpy(tmp, p, len);
+  tmp[len] = 0;
+  char* end = nullptr;
+  out = std::strtod(tmp, &end);
+  return end == tmp + len;
+}
+
+// Walk the buffer field by field. cb(row, col, ptr, len, quoted) is
+// called for every field; rows are 0-based EXCLUDING the header (which
+// is row -1). Returns false (with g_err set) on structural errors.
+template <typename CB>
+bool for_each_field(const std::string& buf, char delim, CB&& cb) {
+  const char* p = buf.data();
+  const char* e = p + buf.size();
+  int64_t row = -1;
+  int col = 0;
+  int ncols = -1;
+  std::string unq;  // scratch for unescaping quoted fields
+  while (p < e) {
+    const char* fs;
+    size_t flen;
+    bool quoted = false;
+    if (*p == '"') {
+      quoted = true;
+      unq.clear();
+      ++p;
+      while (true) {
+        if (p >= e) {
+          g_err = "unterminated quoted field";
+          return false;
+        }
+        if (*p == '"') {
+          if (p + 1 < e && p[1] == '"') {  // "" escape
+            unq.push_back('"');
+            p += 2;
+          } else {
+            ++p;
+            break;
+          }
+        } else {
+          unq.push_back(*p++);
+        }
+      }
+      fs = unq.data();
+      flen = unq.size();
+    } else {
+      fs = p;
+      while (p < e && *p != delim && *p != '\n' && *p != '\r') ++p;
+      flen = static_cast<size_t>(p - fs);
+      strip(fs, flen);
+    }
+    if (!cb(row, col, fs, flen, quoted)) return false;
+    ++col;
+    if (p < e && *p == delim) {
+      ++p;
+      continue;
+    }
+    // record end (or EOF)
+    if (p < e && *p == '\r') ++p;
+    if (p < e && *p == '\n') ++p;
+    if (ncols < 0) {
+      ncols = col;
+    } else if (col != ncols) {
+      g_err = "row " + std::to_string(row) + " has " +
+              std::to_string(col) + " fields, expected " +
+              std::to_string(ncols);
+      return false;
+    }
+    col = 0;
+    ++row;
+    // skip blank trailing lines
+    while (p < e && (*p == '\n' || *p == '\r')) ++p;
+  }
+  if (col != 0) {
+    g_err = "file ends mid-record";
+    return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* rst_csv_last_error() { return g_err.c_str(); }
+
+void* rst_csv_parse(const char* path, char delim) {
+  g_err.clear();
+  std::ifstream f(path, std::ios::binary | std::ios::ate);
+  if (!f) {
+    g_err = std::string("cannot open ") + path;
+    return nullptr;
+  }
+  const std::streamsize sz = f.tellg();
+  f.seekg(0);
+  std::string buf(static_cast<size_t>(sz), '\0');
+  if (sz && !f.read(&buf[0], sz)) {
+    g_err = std::string("short read on ") + path;
+    return nullptr;
+  }
+  if (buf.empty()) {
+    g_err = "empty file";
+    return nullptr;
+  }
+  auto csv = new Csv();
+  // pass 1: header names + per-column type inference over every field
+  bool ok = for_each_field(
+      buf, delim,
+      [&](int64_t row, int col, const char* p, size_t len, bool quoted) {
+        if (row < 0) {
+          csv->cols.emplace_back();
+          csv->cols.back().name.assign(p, len);
+          return true;
+        }
+        if (col >= static_cast<int>(csv->cols.size())) {
+          g_err = "more fields than header columns";
+          return false;
+        }
+        Col& c = csv->cols[col];
+        if (col == 0) csv->nrows = row + 1;
+        if (len == 0 && !quoted) return true;  // NULL: type-neutral
+        c.seen_value = true;
+        if (c.type == T_STR) return true;
+        int64_t iv;
+        double dv;
+        if (quoted) {
+          c.type = T_STR;  // quoted fields are text by intent
+        } else if (c.type == T_I64 && parse_i64(p, len, iv)) {
+          // stays int
+        } else if (parse_f64(p, len, dv)) {
+          c.type = T_F64;
+        } else {
+          c.type = T_STR;
+        }
+        return true;
+      });
+  if (!ok) {
+    delete csv;
+    return nullptr;
+  }
+  if (csv->nrows == 0) {
+    // header-only file: zero-row columns (all int64)
+    for (auto& c : csv->cols) c.mask.clear();
+    return csv;
+  }
+  // pass 2: convert under the final types
+  for (auto& c : csv->cols) {
+    c.mask.assign(static_cast<size_t>(csv->nrows), 0);
+    if (c.type == T_I64) c.i64.resize(csv->nrows);
+    else if (c.type == T_F64) c.f64.resize(csv->nrows);
+    else c.codes.resize(csv->nrows);
+  }
+  std::vector<std::unordered_map<std::string, uint32_t>> maps(
+      csv->cols.size());
+  ok = for_each_field(
+      buf, delim,
+      [&](int64_t row, int col, const char* p, size_t len, bool quoted) {
+        if (row < 0) return true;
+        Col& c = csv->cols[col];
+        if (len == 0 && !quoted) {
+          c.mask[row] = 1;
+          c.has_null = true;
+          return true;  // typed slot stays 0 (the engine's invariant)
+        }
+        if (c.type == T_I64) {
+          parse_i64(p, len, c.i64[row]);
+        } else if (c.type == T_F64) {
+          parse_f64(p, len, c.f64[row]);
+        } else {
+          std::string s(p, len);
+          auto it = maps[col].find(s);
+          uint32_t id;
+          if (it == maps[col].end()) {
+            id = static_cast<uint32_t>(c.vocab.size());
+            maps[col].emplace(std::move(s), id);
+            c.vocab.push_back(std::string(p, len));
+          } else {
+            id = it->second;
+          }
+          c.codes[row] = id;
+        }
+        return true;
+      });
+  if (!ok) {
+    delete csv;
+    return nullptr;
+  }
+  return csv;
+}
+
+long long rst_csv_nrows(void* h) { return static_cast<Csv*>(h)->nrows; }
+
+int rst_csv_ncols(void* h) {
+  return static_cast<int>(static_cast<Csv*>(h)->cols.size());
+}
+
+const char* rst_csv_col_name(void* h, int j) {
+  return static_cast<Csv*>(h)->cols[j].name.c_str();
+}
+
+int rst_csv_col_type(void* h, int j) {
+  return static_cast<Csv*>(h)->cols[j].type;
+}
+
+int rst_csv_col_has_null(void* h, int j) {
+  return static_cast<Csv*>(h)->cols[j].has_null ? 1 : 0;
+}
+
+void rst_csv_col_i64(void* h, int j, long long* out) {
+  auto& c = static_cast<Csv*>(h)->cols[j];
+  std::memcpy(out, c.i64.data(), c.i64.size() * sizeof(int64_t));
+}
+
+void rst_csv_col_f64(void* h, int j, double* out) {
+  auto& c = static_cast<Csv*>(h)->cols[j];
+  std::memcpy(out, c.f64.data(), c.f64.size() * sizeof(double));
+}
+
+void rst_csv_col_codes(void* h, int j, unsigned int* out) {
+  auto& c = static_cast<Csv*>(h)->cols[j];
+  std::memcpy(out, c.codes.data(), c.codes.size() * sizeof(uint32_t));
+}
+
+void rst_csv_col_mask(void* h, int j, unsigned char* out) {
+  auto& c = static_cast<Csv*>(h)->cols[j];
+  std::memcpy(out, c.mask.data(), c.mask.size());
+}
+
+long long rst_csv_vocab_count(void* h, int j) {
+  return static_cast<long long>(static_cast<Csv*>(h)->cols[j].vocab.size());
+}
+
+// concatenated utf-8 vocab bytes; offs has vocab_count+1 entries
+long long rst_csv_vocab_bytes(void* h, int j) {
+  auto* csv = static_cast<Csv*>(h);
+  auto& c = csv->cols[j];
+  csv->vocab_blob.clear();
+  csv->vocab_offs.clear();
+  csv->vocab_offs.push_back(0);
+  for (auto& s : c.vocab) {
+    csv->vocab_blob += s;
+    csv->vocab_offs.push_back(
+        static_cast<int64_t>(csv->vocab_blob.size()));
+  }
+  return static_cast<long long>(csv->vocab_blob.size());
+}
+
+void rst_csv_vocab(void* h, int j, char* blob, long long* offs) {
+  auto* csv = static_cast<Csv*>(h);
+  (void)j;  // rst_csv_vocab_bytes(h, j) must have been called for j
+  std::memcpy(blob, csv->vocab_blob.data(), csv->vocab_blob.size());
+  std::memcpy(offs, csv->vocab_offs.data(),
+              csv->vocab_offs.size() * sizeof(int64_t));
+}
+
+void rst_csv_free(void* h) { delete static_cast<Csv*>(h); }
+
+}  // extern "C"

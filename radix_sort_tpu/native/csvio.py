@@ -1,0 +1,166 @@
+"""ctypes bindings for the native CSV loader (csv_loader.cpp).
+
+Compiled on first use with g++ (no pybind11 in this environment; plain C
+ABI + ctypes), mirroring native/host.py. ``parse_csv`` returns the
+engine-native column forms: numeric columns as int64/float64 arrays (with
+an optional null mask for empty fields), string columns ALREADY
+dictionary-encoded — uint32 codes + the order-preserving sorted
+vocabulary (strings.py convention: index 0 is always "") — so Table
+construction does no per-row string work. Callers fall back to the
+numpy path (utils/io.read_csv) when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["parse_csv", "csv_native_available"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "csv_loader.cpp")
+_LIB_DIR = os.path.join(_HERE, "_build")
+_LIB = os.path.join(_LIB_DIR, "librst_csv.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build():
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return _LIB
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        path = _LIB if os.path.exists(_LIB) else _build()
+        if path is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(path)
+        p, i64, i32 = ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int
+        lib.rst_csv_parse.restype = p
+        lib.rst_csv_parse.argtypes = [ctypes.c_char_p, ctypes.c_char]
+        lib.rst_csv_last_error.restype = ctypes.c_char_p
+        lib.rst_csv_nrows.restype = i64
+        lib.rst_csv_nrows.argtypes = [p]
+        lib.rst_csv_ncols.restype = i32
+        lib.rst_csv_ncols.argtypes = [p]
+        lib.rst_csv_col_name.restype = ctypes.c_char_p
+        lib.rst_csv_col_name.argtypes = [p, i32]
+        lib.rst_csv_col_type.restype = i32
+        lib.rst_csv_col_type.argtypes = [p, i32]
+        lib.rst_csv_col_has_null.restype = i32
+        lib.rst_csv_col_has_null.argtypes = [p, i32]
+        for fn, ct in (("rst_csv_col_i64", ctypes.c_longlong),
+                       ("rst_csv_col_f64", ctypes.c_double),
+                       ("rst_csv_col_codes", ctypes.c_uint),
+                       ("rst_csv_col_mask", ctypes.c_ubyte)):
+            getattr(lib, fn).argtypes = [p, i32, ctypes.POINTER(ct)]
+            getattr(lib, fn).restype = None
+        lib.rst_csv_vocab_count.restype = i64
+        lib.rst_csv_vocab_count.argtypes = [p, i32]
+        lib.rst_csv_vocab_bytes.restype = i64
+        lib.rst_csv_vocab_bytes.argtypes = [p, i32]
+        lib.rst_csv_vocab.restype = None
+        lib.rst_csv_vocab.argtypes = [
+            p, i32, ctypes.c_char_p, ctypes.POINTER(i64)
+        ]
+        lib.rst_csv_free.argtypes = [p]
+        lib.rst_csv_free.restype = None
+        _lib = lib
+        return _lib
+
+
+def csv_native_available() -> bool:
+    """True if the C++ loader compiled (or was cached) successfully."""
+    return _load() is not None
+
+
+def _as_ptr(arr, ct):
+    return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def parse_csv(path: str, delimiter: str = ","):
+    """Parse a headered CSV natively.
+
+    Returns ``(columns, dictionaries, null_masks)``:
+      - numeric columns as int64 / float64 numpy arrays;
+      - string columns as uint32 CODE arrays, with their sorted
+        order-preserving vocabulary (index 0 = "") in ``dictionaries``;
+      - ``null_masks``: bool arrays for columns with empty fields.
+    Raises RuntimeError when the native loader is unavailable or the
+    file is malformed (callers fall back to the numpy path).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native CSV loader unavailable (no g++)")
+    h = lib.rst_csv_parse(
+        os.fspath(path).encode(), delimiter.encode()[:1] or b","
+    )
+    if not h:
+        raise RuntimeError(
+            f"CSV parse failed: {lib.rst_csv_last_error().decode()}"
+        )
+    try:
+        n = int(lib.rst_csv_nrows(h))
+        cols, dicts, masks = {}, {}, {}
+        for j in range(int(lib.rst_csv_ncols(h))):
+            name = lib.rst_csv_col_name(h, j).decode()
+            t = int(lib.rst_csv_col_type(h, j))
+            if t == 0:
+                a = np.empty(n, np.int64)
+                lib.rst_csv_col_i64(h, j, _as_ptr(a, ctypes.c_longlong))
+            elif t == 1:
+                a = np.empty(n, np.float64)
+                lib.rst_csv_col_f64(h, j, _as_ptr(a, ctypes.c_double))
+            else:
+                codes = np.empty(n, np.uint32)
+                lib.rst_csv_col_codes(h, j, _as_ptr(codes, ctypes.c_uint))
+                nv = int(lib.rst_csv_vocab_count(h, j))
+                nb = int(lib.rst_csv_vocab_bytes(h, j))
+                blob = ctypes.create_string_buffer(max(nb, 1))
+                offs = np.empty(nv + 1, np.int64)
+                lib.rst_csv_vocab(h, j, blob, _as_ptr(offs, ctypes.c_longlong))
+                raw = blob.raw[:nb]
+                first_seen = np.array(
+                    [raw[offs[i]:offs[i + 1]].decode("utf-8")
+                     for i in range(nv)],
+                    dtype=np.str_,
+                ) if nv else np.array([], dtype="U1")
+                # -> the engine's dictionary convention: sorted vocab with
+                # "" at index 0, codes remapped (one small host gather)
+                vocab = np.unique(np.concatenate(
+                    [np.array([""], first_seen.dtype
+                              if nv else "U1"), first_seen]
+                ))
+                remap = np.searchsorted(vocab, first_seen)
+                a = (remap.astype(np.uint32)[codes] if nv
+                     else np.zeros(n, np.uint32))
+                dicts[name] = vocab
+            if lib.rst_csv_col_has_null(h, j):
+                m = np.empty(n, np.uint8)
+                lib.rst_csv_col_mask(h, j, _as_ptr(m, ctypes.c_ubyte))
+                mb = m.astype(bool)
+                masks[name] = mb
+                if t == 2:
+                    a = np.where(mb, np.uint32(0), a)  # NULL -> code ""
+            cols[name] = a
+        return cols, dicts, masks
+    finally:
+        lib.rst_csv_free(h)

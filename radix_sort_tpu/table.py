@@ -158,10 +158,24 @@ class Table:
     @classmethod
     def from_csv(cls, path: str, *, delimiter: str = ",",
                  dtypes=None) -> "Table":
-        """Read a headered CSV into a Table (text columns are
-        dictionary-encoded automatically; see utils/io.read_csv)."""
-        from radix_sort_tpu.utils.io import read_csv
+        """Read a headered CSV into a Table. With the native C++ loader
+        (native/csv_loader.cpp) string columns arrive ALREADY
+        dictionary-encoded (codes + sorted vocabulary) and empty fields
+        become SQL NULL masks — no per-row Python string work; without a
+        compiler this falls back to the numpy path (utils/io.read_csv),
+        which dictionary-encodes in the constructor."""
+        from radix_sort_tpu.utils.io import read_csv, read_csv_encoded
 
+        if not dtypes:
+            try:
+                cols, dicts, masks = read_csv_encoded(
+                    path, delimiter=delimiter
+                )
+            except RuntimeError:
+                pass
+            else:
+                return cls(cols, dictionaries=dicts,
+                           null_masks=masks or None)
         return cls(read_csv(path, delimiter=delimiter, dtypes=dtypes))
 
     # ---- introspection -------------------------------------------------

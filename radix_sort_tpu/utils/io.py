@@ -74,12 +74,32 @@ def gen_data(path: str, n: int, dtype=np.uint32, dist: str = "uniform",
 def read_csv(path: str, *, delimiter: str = ",", dtypes=None):
     """Parse a headered CSV into a dict of 1-D numpy column arrays.
 
-    Types are inferred per column (numpy ``genfromtxt(dtype=None)``);
-    ``dtypes`` (name -> dtype) overrides inference per column. Text
-    columns come back as unicode arrays — ``Table(read_csv(p))``
-    dictionary-encodes them automatically (strings.py). This is the
+    The native C++ loader (native/csv_loader.cpp: one-pass tokenizer,
+    whole-column type inference, RFC4180 quoting) parses when available;
+    columns with empty fields come back as ``np.ma`` masked arrays (SQL
+    NULLs — the Table constructor keeps the masks). Without a compiler
+    this falls back to numpy ``genfromtxt(dtype=None)``. ``dtypes``
+    (name -> dtype) overrides inference per column. Text columns come
+    back as unicode arrays — ``Table(read_csv(p))`` dictionary-encodes
+    them automatically (strings.py; ``Table.from_csv`` skips the
+    round-trip and takes the loader's codes directly). This is the
     tabular ingestion path beyond the reference's raw-key files
     (src/main.rs:47-99)."""
+    try:
+        cols_d, dicts, masks = read_csv_encoded(path, delimiter=delimiter)
+    except RuntimeError:
+        pass
+    else:
+        cols = {}
+        for name, c in cols_d.items():
+            if name in dicts:
+                c = dicts[name][c]  # codes -> unicode values
+            if dtypes and name in dtypes:
+                c = c.astype(dtypes[name])
+            if name in masks:
+                c = np.ma.masked_array(c, masks[name])
+            cols[name] = c
+        return cols
     raw = np.genfromtxt(path, delimiter=delimiter, names=True, dtype=None,
                         encoding="utf-8", autostrip=True)
     if raw.dtype.names is None:
@@ -92,3 +112,14 @@ def read_csv(path: str, *, delimiter: str = ",", dtypes=None):
             c = c.astype(dtypes[name])
         cols[name] = c
     return cols
+
+
+def read_csv_encoded(path: str, *, delimiter: str = ","):
+    """Native CSV parse into ENGINE-NATIVE column forms: numeric numpy
+    arrays plus string columns as (uint32 codes, sorted vocabulary) —
+    no per-row Python string work. Returns ``(columns, dictionaries,
+    null_masks)``; raises RuntimeError when the native loader is
+    unavailable (callers fall back to :func:`read_csv`'s numpy path)."""
+    from radix_sort_tpu.native.csvio import parse_csv
+
+    return parse_csv(path, delimiter)

@@ -86,3 +86,75 @@ class TestIO:
     def test_bad_dist_raises(self, tmp_path):
         with pytest.raises(ValueError, match="dist must be one of"):
             rio.gen_data(str(tmp_path / "x.bin"), 16, dist="normal")
+
+
+class TestNativeCSV:
+    """csv_loader.cpp: tokenizer (RFC4180 quoting), whole-column type
+    inference, engine-native dictionary encoding, NULL masks."""
+
+    def _write(self, tmp_path, text):
+        import os
+        p = os.path.join(tmp_path, "t.csv")
+        with open(p, "w") as f:
+            f.write(text)
+        return p
+
+    def test_types_quoting_nulls(self, tmp_path):
+        from radix_sort_tpu.native.csvio import (parse_csv,
+                                                 csv_native_available)
+        if not csv_native_available():
+            pytest.skip("no g++")
+        p = self._write(
+            tmp_path,
+            'city,v,w,note\n'
+            'osaka,3,1.5,"hi, there"\n'
+            'lima,,2.5,"say ""ok"""\n'
+            'osaka,9,.5e1,\n'
+            ' lima ,1,-2,plain\n')
+        cols, dicts, masks = parse_csv(p)
+        assert cols["v"].dtype == np.int64
+        assert masks["v"].tolist() == [False, True, False, False]
+        assert cols["w"].dtype == np.float64
+        assert cols["w"].tolist() == [1.5, 2.5, 5.0, -2.0]
+        # sorted order-preserving vocabulary, "" at index 0
+        assert dicts["city"].tolist() == ["", "lima", "osaka"]
+        assert cols["city"].tolist() == [2, 1, 2, 1]  # autostripped
+        assert dicts["note"][cols["note"][0]] == "hi, there"
+        assert dicts["note"][cols["note"][1]] == 'say "ok"'
+        assert masks["note"].tolist() == [False, False, True, False]
+
+    def test_int_promotes_to_float_then_string(self, tmp_path):
+        from radix_sort_tpu.native.csvio import (parse_csv,
+                                                 csv_native_available)
+        if not csv_native_available():
+            pytest.skip("no g++")
+        p = self._write(tmp_path, "a,b\n1,1\n2.5,x\n3,4\n")
+        cols, dicts, _ = parse_csv(p)
+        assert cols["a"].dtype == np.float64
+        assert cols["a"].tolist() == [1.0, 2.5, 3.0]
+        assert "b" in dicts
+        assert dicts["b"][cols["b"]].tolist() == ["1", "x", "4"]
+
+    def test_malformed_raises(self, tmp_path):
+        from radix_sort_tpu.native.csvio import (parse_csv,
+                                                 csv_native_available)
+        if not csv_native_available():
+            pytest.skip("no g++")
+        p = self._write(tmp_path, "a,b\n1,2\n3\n")
+        with pytest.raises(RuntimeError, match="fields"):
+            parse_csv(p)
+        p2 = self._write(tmp_path, 'a\n"unterminated\n')
+        with pytest.raises(RuntimeError, match="unterminated"):
+            parse_csv(p2)
+
+    def test_table_from_csv_nulls_and_quotes(self, tmp_path):
+        from radix_sort_tpu.table import Table
+        p = self._write(
+            tmp_path,
+            "city,v\nosaka,3\nlima,\nosaka,9\n")
+        t = Table.from_csv(p)
+        out = t.aggregate("city", {"n": ("count", "v"),
+                                   "s": ("sum", "v")}).to_numpy()
+        assert out["city"].tolist() == ["lima", "osaka"]
+        assert out["n"].tolist() == [0, 2]  # NULL v does not count
+        assert np.ma.getdata(out["s"]).tolist()[1] == 12
