@@ -412,16 +412,18 @@ def hash_aggregate(keys, values, agg: str = "sum", *, _positions=None):
         span = ends_c - starts_c
         if quantile_is_cont(agg):
             # PERCENTILE_CONT: rank r = q*(len-1) interpolates linearly
-            # between the bracketing order statistics (float32 output)
-            r = span.astype(jnp.float32) * q
+            # between the bracketing order statistics. Interpolate in
+            # float64 wherever the backend allows (CPU/x64) so wide int64
+            # values stay exact; the TPU relay is f32-only (x64 rejected
+            # on device — CLAUDE.md), documented in sql.py
+            ft = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            r = span.astype(ft) * q
             lo = jnp.floor(r + 1e-6).astype(jnp.int32)
             lo = jnp.clip(lo, 0, span)
             hi = jnp.minimum(lo + 1, span)
-            frac = (r - lo.astype(jnp.float32)).clip(0.0, 1.0)
-            vlo = sv[jnp.clip(starts_c + lo, 0, n - 1)].astype(
-                jnp.float32)
-            vhi = sv[jnp.clip(starts_c + hi, 0, n - 1)].astype(
-                jnp.float32)
+            frac = (r - lo.astype(ft)).clip(0.0, 1.0)
+            vlo = sv[jnp.clip(starts_c + lo, 0, n - 1)].astype(ft)
+            vhi = sv[jnp.clip(starts_c + hi, 0, n - 1)].astype(ft)
             return _pack(out_keys), vlo + frac * (vhi - vlo), count
         if agg == "median":
             off = span // 2

@@ -49,7 +49,8 @@ Supported grammar::
              QUANTILE(x, q) / PERCENTILE_DISC(x, q): the group value at
              rank floor(q*(len-1)) — exact order statistic;
              PERCENTILE_CONT(x, q): linear interpolation between the
-             bracketing order statistics (float32)
+             bracketing order statistics (float64 where the backend
+             has x64 — CPU tests; float32 on the relay's TPU device)
     winfn := ROW_NUMBER RANK DENSE_RANK PERCENT_RANK CUME_DIST NTILE(n)
              FIRST_VALUE(x) LAST_VALUE(x) NTH_VALUE(x, k)
              LAG(x[, off[, default]]) LEAD(x[, off[, default]])

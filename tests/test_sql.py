@@ -1033,6 +1033,17 @@ class TestSqlCompleteness:
                            method="linear")
         np.testing.assert_allclose(out["p"][0], want, rtol=2e-5)
 
+    def test_percentile_cont_float64_precision(self):
+        # wide int64 values whose interpolation is exact in float64 and
+        # wrong in float32 (f32 rounds 33554435 -> 33554436 above 2^25):
+        # the x64 backend must interpolate in f64 (ops/query.py)
+        t = {"t": Table({
+            "v": np.array([33554432, 33554435], np.int64)})}
+        out = sql("SELECT PERCENTILE_CONT(v, 0.5) AS p FROM t",
+                  t).collect().to_numpy()
+        assert out["p"].dtype == np.float64
+        assert out["p"][0] == 33554433.5
+
     def test_percentile_cont_string_rejected(self, db):
         with pytest.raises(TypeError, match="string"):
             sql("SELECT PERCENTILE_CONT(item, 0.5) AS p FROM orders",
