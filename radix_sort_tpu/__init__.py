@@ -27,10 +27,12 @@ from radix_sort_tpu.ops.query import (
     hash_aggregate,
     hash_aggregate_levels,
     hash_join,
+    band_join,
     repeat,
     unique,
     searchsorted,
     AGGREGATIONS,
+    BAND_OPS,
     COMBINABLE_AGGREGATIONS,
     JOIN_HOWS,
 )
@@ -82,6 +84,8 @@ __all__ = [
     "hash_aggregate",
     "hash_aggregate_levels",
     "hash_join",
+    "band_join",
+    "BAND_OPS",
     "repeat",
     "unique",
     "searchsorted",

@@ -32,6 +32,8 @@ from radix_sort_tpu import keys as K
 
 __all__ = [
     "append_unmatched_right",
+    "band_join",
+    "BAND_OPS",
     "filter",
     "hash_aggregate",
     "hash_join",
@@ -1520,6 +1522,193 @@ def hash_join(
         count,
         overflow,
     )
+
+
+BAND_OPS = ("lt", "le", "gt", "ge", "between")
+
+
+def _limbs_le(a, b):
+    """Row-wise lexicographic ``a <= b`` over parallel big-endian unsigned
+    limb lists (rank space, so the comparison equals the source dtype's
+    total order)."""
+    le = a[-1] <= b[-1]
+    for x, y in zip(reversed(a[:-1]), reversed(b[:-1])):
+        le = (x < y) | ((x == y) & le)
+    return le
+
+
+def band_join(
+    left_band,
+    left_values,
+    right_band,
+    right_values,
+    *,
+    op: str,
+    capacity: int,
+    left_equi=None,
+    right_equi=None,
+    how: str = "inner",
+):
+    """Non-equi (band / theta / interval) join.
+
+    Emits the (left, right) row pairs where the optional equality
+    conjunct matches AND the band predicate holds::
+
+      op="lt":      l.x <  r.y         op="gt":  l.x >  r.y
+      op="le":      l.x <= r.y         op="ge":  l.x >= r.y
+      op="between": r.lo <= l.x <= r.hi
+
+    ``left_band`` is the left probe column x; ``right_band`` the right
+    column y (for "between": the ``(lo, hi)`` column pair). Band columns
+    must share one dtype; comparisons happen in the column's
+    order-preserving rank space, so signed/float/date orders are exact
+    (floats: total_cmp order, the engine-wide contract). ``left_equi`` /
+    ``right_equi`` (parallel column lists) add an equality conjunct.
+
+    TPU-shaped evaluation — never a per-pair predicate and never a
+    per-row binary search: the right side sorts once by (equi..., band),
+    each left row's matches are then ONE contiguous range of sorted
+    positions computed with merge-rank union sorts at comparator rate,
+    and the expansion is the shared :func:`join_expand` phase (prefix-sum
+    addressing / the Pallas run-append kernel at high fanout). "between"
+    expands the ``lo <= x`` candidate range and post-filters ``x <= hi``
+    with one stable compaction, so its ``capacity`` must cover the
+    CANDIDATES (rows with lo <= x in the equi group), not just the kept
+    result.
+
+    ``how``: "inner" / "left" / "semi" / "anti" for the inequality ops
+    (exact — match counts are exact range widths); "between" supports
+    "inner" only. Returns ``(left_vals, right_vals, count, overflow)``;
+    rows [0, count) order by left row then right sorted position.
+    ``overflow`` True means the true result (for "between": the candidate
+    set) exceeded ``capacity`` and rows were dropped.
+
+    The reference crate has no joins at all (SURVEY §2.2); this is
+    north-star relational surface beyond the equi :func:`hash_join`.
+    """
+    if op not in BAND_OPS:
+        raise ValueError(f"op must be one of {BAND_OPS}, got {op!r}")
+    if op == "between":
+        if how != "inner":
+            raise ValueError(
+                f'op="between" supports how="inner" only, got {how!r} '
+                f"(candidate post-filtering makes match counts inexact "
+                f"before expansion)"
+            )
+        if not (isinstance(right_band, (list, tuple))
+                and len(right_band) == 2):
+            raise ValueError('op="between" needs right_band=(lo, hi)')
+        rlo, rhi = right_band
+        band_cols_r = [rlo, rhi]
+    else:
+        if how not in ("inner", "left", "semi", "anti"):
+            raise ValueError(
+                f'band joins support how="inner"/"left"/"semi"/"anti", '
+                f"got {how!r}"
+            )
+        if isinstance(right_band, (list, tuple)):
+            raise ValueError(
+                f'op={op!r} takes a single right band column '
+                f'(only "between" takes a (lo, hi) pair)'
+            )
+        band_cols_r = [right_band]
+    for c in band_cols_r:
+        if np.dtype(c.dtype) != np.dtype(left_band.dtype):
+            raise TypeError(
+                f"band columns must share one dtype, got "
+                f"{left_band.dtype} vs {c.dtype}"
+            )
+    multi_lv = isinstance(left_values, (list, tuple))
+    lvs = list(left_values) if multi_lv else [left_values]
+    multi_rv = isinstance(right_values, (list, tuple))
+    rvs = list(right_values) if multi_rv else [right_values]
+    le_cols = list(left_equi) if left_equi is not None else []
+    re_cols = list(right_equi) if right_equi is not None else []
+    if len(le_cols) != len(re_cols) or any(
+            np.dtype(a.dtype) != np.dtype(b.dtype)
+            for a, b in zip(le_cols, re_cols)):
+        raise ValueError(
+            "left_equi and right_equi must match in count and dtypes"
+        )
+    n_l = left_band.shape[0]
+    n_r = band_cols_r[0].shape[0]
+    for c in (*le_cols, *lvs):
+        if c.shape[0] != n_l:
+            raise ValueError("left columns must have equal length")
+    for c in (*re_cols, *rvs, *band_cols_r):
+        if c.shape[0] != n_r:
+            raise ValueError("right columns must have equal length")
+
+    def _pack_lv(outs):
+        return outs if multi_lv else outs[0]
+
+    def _pack_rv(outs):
+        return outs if multi_rv else outs[0]
+
+    if n_l == 0:
+        return (
+            _pack_lv([jnp.zeros((capacity,), c.dtype) for c in lvs]),
+            _pack_rv([jnp.zeros((capacity,), c.dtype) for c in rvs]),
+            jnp.int32(0),
+            jnp.bool_(False),
+        )
+
+    lx = K.encode_limbs(left_band)
+    le_limbs, _ = _cols_to_limbs(le_cols) if le_cols else ([], [])
+    if n_r == 0:
+        # no right rows: nothing matches (left/anti still emit left rows)
+        lo = hi = jnp.zeros((n_l,), jnp.int32)
+        rvs_s, rhi_s = [jnp.zeros((1,), c.dtype) for c in rvs], []
+    else:
+        ry = K.encode_limbs(band_cols_r[0])
+        re_limbs, _ = _cols_to_limbs(re_cols) if re_cols else ([], [])
+        nk = len(re_limbs) + len(ry)
+        ride = list(rvs)
+        if op == "between":
+            ride += K.encode_limbs(rhi)
+        srt = _stable_sort([*re_limbs, *ry, *ride], num_keys=nk)
+        rk_s = list(srt[:nk])
+        rvs_s = list(srt[nk:nk + len(rvs)])
+        rhi_s = list(srt[nk + len(rvs):])
+        # each left row's matches are one contiguous sorted-right range:
+        #   lt:      [rank_right(E, x), group_end)
+        #   le:      [rank_left (E, x), group_end)
+        #   gt:      [group_start, rank_left (E, x))
+        #   ge:      [group_start, rank_right(E, x))
+        #   between: [group_start, rank_right(E, x))  candidates lo <= x
+        side = "left" if op in ("le", "gt") else "right"
+        v = merge_rank(rk_s if nk > 1 else rk_s[0],
+                       [*le_limbs, *lx] if nk > 1 else lx[0], side=side)
+        if le_limbs:
+            g_side = "right" if op in ("lt", "le") else "left"
+            g = merge_rank(
+                rk_s[:len(re_limbs)]
+                if len(re_limbs) > 1 else rk_s[0],
+                le_limbs if len(le_limbs) > 1 else le_limbs[0],
+                side=g_side,
+            )
+        else:
+            g = (jnp.full((n_l,), n_r, jnp.int32)
+                 if op in ("lt", "le") else jnp.zeros((n_l,), jnp.int32))
+        lo, hi = (v, g) if op in ("lt", "le") else (g, v)
+
+    kout, lv_out, rv_out, count, overflow = join_expand(
+        lx if len(lx) > 1 else lx[0], lvs, rvs_s + rhi_s, lo, hi,
+        capacity=capacity, how=how,
+    )
+    if op == "between" and rhi_s:
+        # keep pairs with x <= hi: the expansion rode the left band limbs
+        # as its keys and the right hi limbs as extra values
+        ko = _as_limb_list(kout)
+        rhi_out = rv_out[len(rvs):]
+        valid = jnp.arange(capacity, dtype=jnp.int32) < count
+        keep = valid & _limbs_le(ko, rhi_out)
+        *packed, count = filter(keep, *lv_out, *rv_out[:len(rvs)])
+        lv_out = packed[:len(lvs)]
+        rv_out = packed[len(lvs):]
+    else:
+        rv_out = rv_out[:len(rvs)]
+    return _pack_lv(lv_out), _pack_rv(rv_out), count, overflow
 
 
 def searchsorted(sorted_keys: jnp.ndarray, queries: jnp.ndarray,

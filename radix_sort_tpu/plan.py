@@ -218,6 +218,35 @@ class Join(_Node):
 
 
 @dataclass(frozen=True)
+class JoinBand(_Node):
+    """Non-equi join: optional equality keys ``on`` plus one band
+    predicate ``left[left_on] op right[right_on]`` (op in lt/le/gt/ge,
+    or "between" with right_on = (lo, hi)). See ``Table.join_band``."""
+
+    left: _Node
+    right: _Node
+    left_on: str
+    op: str
+    right_on: tuple  # (col,) or (lo, hi) for between
+    on: tuple = ()
+    how: str = "inner"
+    suffix: str = "_r"
+    kwargs: tuple = ()
+
+    label = "join_band"
+
+
+@dataclass(frozen=True)
+class CrossJoin(_Node):
+    left: _Node
+    right: _Node
+    suffix: str = "_r"
+    kwargs: tuple = ()
+
+    label = "cross_join"
+
+
+@dataclass(frozen=True)
 class JoinAsof(_Node):
     left: _Node
     right: _Node
@@ -352,6 +381,23 @@ def _schema_of(node, memo):
             )
             out += list(rmap.values())
         return out
+    if isinstance(node, JoinBand):
+        ls = _schema(node.left, memo)
+        on = set(node.on)
+        out = list(node.on) + [n for n in ls if n not in on]
+        if node.how in ("inner", "left"):
+            rmap = _right_out_names(
+                out, on, _schema(node.right, memo), node.suffix
+            )
+            out += list(rmap.values())
+        return out
+    if isinstance(node, CrossJoin):
+        ls = _schema(node.left, memo)
+        out = list(ls)
+        rmap = _right_out_names(
+            ls, set(), _schema(node.right, memo), node.suffix
+        )
+        return out + list(rmap.values())
     if isinstance(node, JoinAsof):
         ls = _schema(node.left, memo)
         out = list(ls)
@@ -864,6 +910,29 @@ def _prune(node, required, memo):
             right=_prune(node.right, right_req, memo),
         )
 
+    if isinstance(node, (JoinBand, CrossJoin)):
+        # band/cross joins: every band/equi column is load-bearing; the
+        # right side additionally keeps required outputs (no pushdowns)
+        band = isinstance(node, JoinBand)
+        on = set(node.on) if band else set()
+        ls = _schema(node.left, memo)
+        rs = _schema(node.right, memo)
+        left_others = [n for n in ls if n not in on]
+        left_req = on | {n for n in left_others if n in required}
+        if band:
+            left_req.add(node.left_on)
+        right_req = on | (set(node.right_on) if band else set())
+        if (not band) or node.how in ("inner", "left"):
+            lout = list(on) + left_others
+            rmap = _right_out_names(lout, on, rs, node.suffix)
+            kept_right = {rn for rn, out in rmap.items() if out in required}
+            left_req |= {rn for rn in kept_right if rn in left_others}
+            right_req |= kept_right
+        return node.replace(
+            left=_prune(node.left, left_req, memo),
+            right=_prune(node.right, right_req, memo),
+        )
+
     if isinstance(node, JoinAsof):
         ls = _schema(node.left, memo)
         rs = _schema(node.right, memo)
@@ -1066,6 +1135,35 @@ def _exec(node, flags):
                            **_fit_kwargs(lt.join, dict(node.kwargs)))
         flags.append(ovf)
         return out
+    if isinstance(node, JoinBand):
+        lt = _exec(node.left, flags)
+        rt = _exec(node.right, flags)
+        if not hasattr(lt, "join_band"):
+            raise TypeError(
+                "band joins are single-chip in this release — execute on "
+                "Table inputs (DistTable: .to_table() first)"
+            )
+        ro = (tuple(node.right_on) if node.op == "between"
+              else node.right_on[0])
+        out, ovf = lt.join_band(
+            rt, node.left_on, node.op, ro, on=list(node.on),
+            how=node.how, suffix=node.suffix,
+            **_fit_kwargs(lt.join_band, dict(node.kwargs)))
+        flags.append(ovf)
+        return out
+    if isinstance(node, CrossJoin):
+        lt = _exec(node.left, flags)
+        rt = _exec(node.right, flags)
+        if not hasattr(lt, "cross_join"):
+            raise TypeError(
+                "cross joins are single-chip in this release — execute on "
+                "Table inputs (DistTable: .to_table() first)"
+            )
+        out, ovf = lt.cross_join(
+            rt, suffix=node.suffix,
+            **_fit_kwargs(lt.cross_join, dict(node.kwargs)))
+        flags.append(ovf)
+        return out
     if isinstance(node, JoinAsof):
         lt = _exec(node.left, flags)
         rt = _exec(node.right, flags)
@@ -1172,6 +1270,15 @@ def _describe(node):
                 f"order={_fmt_by(node.order_by)}]")
     if isinstance(node, Join):
         return f"join[{node.how} on {', '.join(node.on)}]"
+    if isinstance(node, JoinBand):
+        sym = {"lt": "<", "le": "<=", "gt": ">", "ge": ">="}.get(node.op)
+        pred = (f"{node.left_on} between {node.right_on[0]} and "
+                f"{node.right_on[1]}" if node.op == "between"
+                else f"{node.left_on} {sym} {node.right_on[0]}")
+        eq = f"{', '.join(node.on)}; " if node.on else ""
+        return f"join_band[{node.how} on {eq}{pred}]"
+    if isinstance(node, CrossJoin):
+        return "cross_join"
     if isinstance(node, JoinAsof):
         return f"join_asof[{node.direction} on {node.on}]"
     if isinstance(node, SetOp):
@@ -1317,6 +1424,22 @@ class LazyTable:
         return self._wrap(Join(
             self._plan, self._plan_of(other), tuple(_as_list(on)),
             how, suffix, tuple(kwargs.items()),
+        ))
+
+    def join_band(self, other, left_on, op, right_on, *, on=None,
+                  how="inner", suffix="_r", **kwargs) -> "LazyTable":
+        opn = {"<": "lt", "<=": "le", ">": "gt", ">=": "ge"}.get(op, op)
+        ro = (tuple(right_on) if isinstance(right_on, (list, tuple))
+              else (right_on,))
+        return self._wrap(JoinBand(
+            self._plan, self._plan_of(other), left_on, opn, ro,
+            tuple(_as_list(on)), how, suffix, tuple(kwargs.items()),
+        ))
+
+    def cross_join(self, other, *, suffix="_r", **kwargs) -> "LazyTable":
+        return self._wrap(CrossJoin(
+            self._plan, self._plan_of(other), suffix,
+            tuple(kwargs.items()),
         ))
 
     def join_asof(self, other, on, *, direction="backward",

@@ -24,8 +24,15 @@ Supported grammar::
     select := SELECT [DISTINCT] item [, item ...]
               FROM source
               [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN source
-                    (ON a.k1 = b.k2 [AND ...] | USING (k, ...)) ]*
-                    -- differently-named ON keys rename the right side
+                    (ON conj [AND conj ...] | USING (k, ...))
+                | CROSS JOIN source ]*
+    conj   := a.k1 = b.k2          -- differently-named keys rename the
+                                   -- right side
+            | a.x (< | <= | > | >=) b.y     -- at most ONE band conjunct:
+            | a.x BETWEEN b.lo AND b.hi     -- a non-equi (band) join;
+                                   -- INNER/LEFT/SEMI/ANTI (BETWEEN:
+                                   -- INNER only), needs capacity=;
+                                   -- single-chip Tables only
               [WHERE expr] [GROUP BY factor [, ...]] [HAVING expr]
             | ( query )
 
@@ -143,6 +150,7 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "BY", "HAVING",
     "ORDER", "LIMIT", "AS", "AND", "OR", "NOT", "IN", "BETWEEN", "ASC",
     "DESC", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "SEMI",
+    "CROSS",
     "ANTI", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NULL",
     "LIKE", "UNION", "ALL", "INTERSECT", "EXCEPT", "WITH", "USING",
     "OVER", "PARTITION", "ROWS", "PRECEDING", "FOLLOWING", "CURRENT",
@@ -1773,7 +1781,8 @@ def _select_core(p, tables, kwargs):
             how = "inner"
         for kw, h in (("INNER", "inner"), ("LEFT", "left"),
                       ("RIGHT", "right"), ("FULL", "full"),
-                      ("SEMI", "semi"), ("ANTI", "anti")):
+                      ("SEMI", "semi"), ("ANTI", "anti"),
+                      ("CROSS", "cross")):
             if how is None and p.at_kw(kw):
                 p.next()
                 p.eat_kw("OUTER")
@@ -1782,7 +1791,10 @@ def _select_core(p, tables, kwargs):
             break
         p.expect_kw("JOIN")
         rhs = _from_target(p, tables, kwargs)
-        on, renames = [], {}
+        if how == "cross":  # CROSS JOIN takes no ON/USING clause
+            lt = lt.cross_join(rhs, **_route(kwargs, _JOIN_KNOBS))
+            continue
+        on, renames, band = [], {}, None
         if p.eat_kw("USING"):
             # USING (k [, ...]): shorthand for same-named equi-keys
             p.expect_op("(")
@@ -1793,30 +1805,106 @@ def _select_core(p, tables, kwargs):
             p.expect_op(")")
         else:
             p.expect_kw("ON")
+            _mirror = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
             while True:
                 a = p._qualified_ident("join column")
-                p.expect_op("=")
-                b = p._qualified_ident("join column")
-                if a != b:
-                    # differently-named keys: rename the right side's
-                    # column to the left's name pre-join (the engine
-                    # matches keys by name). Sides may be written in
-                    # either order.
-                    ln, rn = set(lt.column_names), set(rhs.column_names)
-                    if a in rn and b in ln and not (a in ln and b in rn):
-                        a, b = b, a
-                    if a not in ln or b not in rn:
+                if p.eat_kw("BETWEEN"):
+                    # band conjunct: probe BETWEEN lo AND hi (the range
+                    # AND binds before the conjunct AND, as usual)
+                    b = p._qualified_ident("join column")
+                    p.expect_kw("AND")
+                    c = p._qualified_ident("join column")
+                    if band is not None:
                         raise SqlError(
-                            f"join key {a!r} = {b!r}: one side must name "
-                            f"a left column and the other a right column"
+                            "at most one band (non-equality) conjunct "
+                            "per ON clause"
                         )
-                    renames[b] = a
-                on.append(a)
+                    ln = set(lt.column_names)
+                    rn = set(rhs.column_names)
+                    if a in ln and b in rn and c in rn:
+                        band = (a, "between", (b, c))
+                    elif a in rn and b in ln and c in ln:
+                        raise SqlError(
+                            f"ON {a} BETWEEN {b} AND {c}: the probe "
+                            f"column must come from the LEFT table "
+                            f"(swap the join sides)"
+                        )
+                    else:
+                        raise SqlError(
+                            f"ON {a} BETWEEN {b} AND {c}: the probe must "
+                            f"be a left column and both bounds right "
+                            f"columns"
+                        )
+                else:
+                    op_sym = p.eat_op("=", "<", "<=", ">", ">=")
+                    if not op_sym:
+                        raise SqlError(
+                            "join ON conjunct needs =, <, <=, >, >= "
+                            "or BETWEEN"
+                        )
+                    b = p._qualified_ident("join column")
+                    if op_sym == "=":
+                        if a != b:
+                            # differently-named keys: rename the right
+                            # side's column to the left's name pre-join
+                            # (the engine matches keys by name). Sides
+                            # may be written in either order.
+                            ln = set(lt.column_names)
+                            rn = set(rhs.column_names)
+                            if (a in rn and b in ln
+                                    and not (a in ln and b in rn)):
+                                a, b = b, a
+                            if a not in ln or b not in rn:
+                                raise SqlError(
+                                    f"join key {a!r} = {b!r}: one side "
+                                    f"must name a left column and the "
+                                    f"other a right column"
+                                )
+                            renames[b] = a
+                        on.append(a)
+                    else:
+                        if band is not None:
+                            raise SqlError(
+                                "at most one band (non-equality) "
+                                "conjunct per ON clause"
+                            )
+                        ln = set(lt.column_names)
+                        rn = set(rhs.column_names)
+                        if a in ln and b in rn:
+                            band = (a, op_sym, (b,))
+                        elif a in rn and b in ln:
+                            band = (b, _mirror[op_sym], (a,))
+                        else:
+                            raise SqlError(
+                                f"band conjunct {a} {op_sym} {b}: one "
+                                f"side must name a left column and the "
+                                f"other a right column"
+                            )
                 if not p.eat_kw("AND"):
                     break
         if renames:
             rhs = rhs.rename(renames)
-        lt = lt.join(rhs, on, how=how, **_route(kwargs, _JOIN_KNOBS))
+            if band is not None:
+                band = (band[0], band[1],
+                        tuple(renames.get(x, x) for x in band[2]))
+        if band is not None:
+            lo_, opx, ro_ = band
+            if opx == "between" and how != "inner":
+                raise SqlError(
+                    f"{how.upper()} JOIN: BETWEEN join conjuncts are "
+                    f"INNER-only"
+                )
+            if how not in ("inner", "left", "semi", "anti"):
+                raise SqlError(
+                    f"{how.upper()} JOIN does not support a band "
+                    f"(non-equality) conjunct"
+                )
+            lt = lt.join_band(
+                rhs, lo_, opx, ro_ if opx == "between" else ro_[0],
+                on=on, how=how, **_route(kwargs, _JOIN_KNOBS),
+            )
+        else:
+            lt = lt.join(rhs, on, how=how, **_route(kwargs, _JOIN_KNOBS))
 
     if p.eat_kw("WHERE"):
         base = len(p.pending_joins)

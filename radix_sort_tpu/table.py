@@ -795,38 +795,16 @@ class Table:
                 )
         return tables
 
-    def join(self, other: "Table", on, *, capacity: int | None = None,
-             how: str = "inner", suffix: str = "_r"):
-        """Equi-join with ``other`` on the shared ``on`` column(s).
-
-        Returns ``(Table, overflow)``. Result columns: the ``on`` keys,
-        this table's other columns, and (for inner/left/right/full)
-        ``other``'s other columns — renamed with ``suffix`` on collision;
-        semi/anti emit left columns only (SQL semantics). Rows order by left
-        row then right sorted position (right joins: by right row then left
-        sorted position; full joins: the left-join rows then the unmatched
-        right rows); unmatched rows carry zeros in the other side's columns.
-        ``capacity`` bounds the static result size; ``overflow`` is True if
-        the true result was larger (rows [0, count) are exact regardless).
-        Semi/anti joins emit at most one row per left row, so ``capacity``
-        defaults to this table's row count (always exact); the expanding
-        joins require it. ``how="lookup"`` is the inner join of a
-        key-UNIQUE ``other`` at semi-join cost (each left row pairs with
-        its first match; duplicate right keys flag ``overflow`` — the
-        omitted extra pairs mean the true result was larger)."""
-        if capacity is None:
-            if how in ("semi", "anti", "lookup"):
-                capacity = self._n
-            else:
-                raise TypeError(
-                    f"join(how={how!r}) needs an explicit capacity= (the "
-                    f"static result size bound); only semi/anti joins have "
-                    f"a natural default"
-                )
-        on = _as_list(on)
+    def _join_keys(self, other, on, lextra_null=None, rextra_null=None):
+        """Shared join key prep: resolve the ``on`` columns on both sides
+        (unifying string dictionaries), collect key NULL masks, and fold
+        validity/NULL state into per-side leading flag words. Returns
+        ``(lk, rk, key_dicts, lkey_masks, rkey_masks, flagged)``.
+        ``lextra_null``/``rextra_null`` merge additional no-match masks
+        into the flags (e.g. NULL band columns in :meth:`join_band`)."""
         lk, rk, key_dicts = [], [], {}
         lkey_masks, rkey_masks = {}, {}
-        lnull = rnull = None
+        lnull, rnull = lextra_null, rextra_null
         for name in on:
             lc = self._resolve(name)[0]
             rc = other._resolve(name)[0]
@@ -878,6 +856,39 @@ class Table:
             flagged = True
         else:
             flagged = False
+        return lk, rk, key_dicts, lkey_masks, rkey_masks, flagged
+
+    def join(self, other: "Table", on, *, capacity: int | None = None,
+             how: str = "inner", suffix: str = "_r"):
+        """Equi-join with ``other`` on the shared ``on`` column(s).
+
+        Returns ``(Table, overflow)``. Result columns: the ``on`` keys,
+        this table's other columns, and (for inner/left/right/full)
+        ``other``'s other columns — renamed with ``suffix`` on collision;
+        semi/anti emit left columns only (SQL semantics). Rows order by left
+        row then right sorted position (right joins: by right row then left
+        sorted position; full joins: the left-join rows then the unmatched
+        right rows); unmatched rows carry zeros in the other side's columns.
+        ``capacity`` bounds the static result size; ``overflow`` is True if
+        the true result was larger (rows [0, count) are exact regardless).
+        Semi/anti joins emit at most one row per left row, so ``capacity``
+        defaults to this table's row count (always exact); the expanding
+        joins require it. ``how="lookup"`` is the inner join of a
+        key-UNIQUE ``other`` at semi-join cost (each left row pairs with
+        its first match; duplicate right keys flag ``overflow`` — the
+        omitted extra pairs mean the true result was larger)."""
+        if capacity is None:
+            if how in ("semi", "anti", "lookup"):
+                capacity = self._n
+            else:
+                raise TypeError(
+                    f"join(how={how!r}) needs an explicit capacity= (the "
+                    f"static result size bound); only semi/anti joins have "
+                    f"a natural default"
+                )
+        on = _as_list(on)
+        (lk, rk, key_dicts, lkey_masks, rkey_masks,
+         flagged) = self._join_keys(other, on)
         if how == "lookup":
             # direct-ride assembly: the output rows ARE the matched left
             # rows in left order, each with its single right match — so
@@ -1004,6 +1015,157 @@ class Table:
                 if name in other._dicts:
                     dicts[out_name] = other._dicts[name]
         return Table(cols, cnt, dictionaries=dicts), ovf
+
+    def join_band(self, other: "Table", left_on: str, op: str, right_on, *,
+                  on=None, capacity: int | None = None, how: str = "inner",
+                  suffix: str = "_r"):
+        """Non-equi (band / theta / interval) join with ``other``.
+
+        Rows pair where the optional shared equality key(s) ``on`` match
+        AND the band predicate holds: ``self[left_on] op
+        other[right_on]`` for ``op`` in "<", "<=", ">", ">=" (engine
+        names lt/le/gt/ge also accepted), or for ``op="between"``
+        ``other[lo] <= self[left_on] <= other[hi]`` with
+        ``right_on=(lo, hi)``. Band columns must be numeric/date (not
+        strings) and share a dtype per compared pair; NULL band values
+        match nothing (SQL). Returns ``(Table, overflow)``.
+
+        Result columns: the ``on`` keys once, this table's other
+        columns, and (inner/left) ``other``'s other columns renamed with
+        ``suffix`` on collision — both band columns appear. Rows order
+        by left row then right band order. ``capacity`` bounds the
+        static result (for "between" it must cover the CANDIDATE rows
+        with lo <= x per equi group — the hi filter applies after
+        expansion); ``overflow`` reports truncation. ``how``:
+        "inner"/"left"/"semi"/"anti" (inequality ops; semi/anti default
+        ``capacity`` to this table's rows, always exact) — "between" is
+        inner-only. Evaluation is one right-side sort + merge-rank range
+        probes + the shared expansion (ops/query.band_join); the
+        reference crate has no joins (SURVEY §2.2)."""
+        opn = {"<": "lt", "<=": "le", ">": "gt", ">=": "ge"}.get(op, op)
+        if opn not in Q.BAND_OPS:
+            raise ValueError(
+                f"op must be one of <, <=, >, >=, between "
+                f"(or lt/le/gt/ge), got {op!r}"
+            )
+        if capacity is None:
+            if how in ("semi", "anti"):
+                capacity = self._n
+            else:
+                raise TypeError(
+                    f"join_band(how={how!r}) needs an explicit capacity= "
+                    f"(the static result size bound); only semi/anti "
+                    f"joins have a natural default"
+                )
+        on = _as_list(on)
+        rb_names = (list(right_on) if opn == "between"
+                    else [right_on])
+        if opn == "between" and len(rb_names) != 2:
+            raise ValueError(
+                'op="between" needs right_on=(lo_col, hi_col)'
+            )
+        for nm, t in ((left_on, self), *((n, other) for n in rb_names)):
+            if isinstance(nm, str) and nm in t._dicts:
+                raise TypeError(
+                    f"band column {nm!r} is a string column — band "
+                    f"predicates need numeric/date columns"
+                )
+        lb = self._resolve(left_on)[0]
+        rbs = [other._resolve(nm)[0] for nm in rb_names]
+        # NULL band values match nothing: fold into the equi flag words
+        lb_null = (self.null_mask(left_on)
+                   if isinstance(left_on, str) else None)
+        rb_null = None
+        for nm in rb_names:
+            if isinstance(nm, str):
+                rb_null = NL.merge_masks(rb_null, other.null_mask(nm))
+        (lk, rk, key_dicts, lkey_masks, rkey_masks,
+         flagged) = self._join_keys(other, on, lb_null, rb_null)
+        keys_l = lk[1:] if flagged else lk
+
+        lidx1 = jnp.arange(self._n, dtype=jnp.int32) + 1
+        ridx1 = jnp.arange(other._n, dtype=jnp.int32) + 1
+        jl, jr, cnt, ovf = Q.band_join(
+            lb, lidx1, rbs if opn == "between" else rbs[0], ridx1,
+            op=opn, capacity=capacity, how=how,
+            left_equi=lk or None, right_equi=rk or None,
+        )
+        valid = jnp.arange(capacity, dtype=jnp.int32) < cnt
+        if flagged and how in ("left", "anti"):
+            # these variants emit unmatched LEFT rows — drop emitted
+            # padding rows, keep NULL-keyed real rows (SQL outer
+            # semantics); every output row has a left source (jl > 0)
+            fcol = lk[0][jnp.clip(jl - 1, 0, self._n - 1)]
+            keep = valid & ((fcol == 0) | (fcol == 3))
+            jl, jr, cnt = (*rst.filter(keep, jl, jr),)
+            valid = jnp.arange(capacity, dtype=jnp.int32) < cnt
+
+        cols = dict()
+        dicts = dict(key_dicts)
+        matched_l = valid & (jl > 0)
+        lg = jnp.clip(jl - 1, 0, self._n - 1)
+        matched = valid & (jr > 0)
+        rg = jnp.clip(jr - 1, 0, other._n - 1)
+        # the shared equality keys, once, from the left side (equal on
+        # every matched row; how="left" unmatched rows keep left values)
+        for name, kc in zip(on, keys_l):
+            cols[name] = jnp.where(matched_l, kc[lg], 0)
+            lm = lkey_masks.get(name)
+            if lm is not None:
+                cols[NL.mask_name(name)] = jnp.where(
+                    matched_l, lm[lg], False
+                )
+        for name, c in self._cols.items():
+            if name in on or NL.is_mask_name(name):
+                continue
+            cols[name] = jnp.where(matched_l, c[lg], 0)
+            lm = self.null_mask(name)
+            if lm is not None:
+                cols[NL.mask_name(name)] = jnp.where(matched_l, lm[lg],
+                                                     False)
+            if name in self._dicts:
+                dicts[name] = self._dicts[name]
+        if how in ("inner", "left"):
+            for name, c in other._cols.items():
+                if name in on or NL.is_mask_name(name):
+                    continue
+                out_name = name + suffix if name in cols else name
+                cols[out_name] = jnp.where(matched, c[rg], 0)
+                rm = other.null_mask(name)
+                if rm is not None or how == "left":
+                    # unmatched-right cells (left joins) are SQL NULL
+                    src = (rm[rg] if rm is not None
+                           else jnp.zeros_like(matched))
+                    cols[NL.mask_name(out_name)] = jnp.where(
+                        matched, src, True
+                    )
+                if name in other._dicts:
+                    dicts[out_name] = other._dicts[name]
+        return Table(cols, cnt, dictionaries=dicts), ovf
+
+    def cross_join(self, other: "Table", *, capacity: int | None = None,
+                   suffix: str = "_r"):
+        """CROSS JOIN: every (left, right) pair of valid rows, ordered by
+        left row then right row. Returns ``(Table, overflow)``.
+
+        A cross join is the equi join on a synthesized constant key, so
+        validity flags, NULL masks, and capacity semantics all ride the
+        standard :meth:`join` machinery. ``capacity`` defaults to
+        ``num_rows * other.num_rows`` — the exact static size (mind HBM
+        on large inputs; pass a smaller bound + check ``overflow`` to
+        cap it)."""
+        if capacity is None:
+            capacity = self._n * other._n
+        name = "__cross_key__"
+        while name in self._cols or name in other._cols:
+            name += "_"
+        zl = self.with_columns(**{
+            name: jnp.zeros((self._n,), jnp.uint32)})
+        zr = other.with_columns(**{
+            name: jnp.zeros((other._n,), jnp.uint32)})
+        out, ovf = zl.join(zr, name, capacity=capacity, how="inner",
+                           suffix=suffix)
+        return out.drop(name), ovf
 
     def join_asof(self, other: "Table", on, *, direction: str = "backward",
                   tolerance=None, suffix: str = "_r",
