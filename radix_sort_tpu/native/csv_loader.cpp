@@ -8,8 +8,13 @@
 // This loader:
 //   * tokenizes RFC4180-style CSV (quoted fields, "" escapes, embedded
 //     delimiters/newlines, CRLF) in one linear scan per pass;
-//   * infers each column's type over ALL rows (int64 < float64 < string
-//     promotion; empty fields are NULLs and don't affect the type);
+//   * infers each column's type over ALL rows (candidate-set lattice:
+//     int64, float64, date32 (ISO YYYY-MM-DD), timestamp-us (ISO date +
+//     [T or space] + HH:MM:SS[.ffffff]), else string; a column of pure
+//     dates resolves date32, dates mixed with timestamps resolves
+//     timestamp (dates read as midnight), anything mixed with
+//     non-members resolves string; empty fields are NULLs and don't
+//     affect the type);
 //   * dictionary-encodes string columns directly into the engine's
 //     native format — uint32 codes + a distinct-value vocabulary — so
 //     Table construction does no further per-row string work;
@@ -28,14 +33,18 @@
 
 namespace {
 
-enum ColType { T_I64 = 0, T_F64 = 1, T_STR = 2 };
+enum ColType { T_I64 = 0, T_F64 = 1, T_STR = 2, T_DATE = 3, T_TS = 4 };
 
 struct Col {
   std::string name;
   int type = T_I64;
   bool seen_value = false;
   bool has_null = false;
-  std::vector<int64_t> i64;
+  // inference candidate set: a field that fails a candidate's grammar
+  // eliminates it; the final type is the first survivor in
+  // int64 < float64 < date32 < timestamp-us order (string = none left)
+  bool can_i = true, can_f = true, can_d = true, can_t = true;
+  std::vector<int64_t> i64;  // also date32 epoch days / timestamp-us
   std::vector<double> f64;
   std::vector<uint32_t> codes;
   std::vector<uint8_t> mask;
@@ -78,6 +87,79 @@ inline bool parse_f64(const char* p, size_t len, double& out) {
   char* end = nullptr;
   out = std::strtod(tmp, &end);
   return end == tmp + len;
+}
+
+// days since 1970-01-01 for a civil date (Howard Hinnant's public-domain
+// days_from_civil, the same algorithm dates.py uses on device)
+inline int64_t days_from_civil(int64_t y, unsigned m, unsigned d) {
+  y -= m <= 2;
+  const int64_t era = (y >= 0 ? y : y - 399) / 400;
+  const unsigned yoe = static_cast<unsigned>(y - era * 400);
+  const unsigned doy = (153 * (m + (m > 2 ? -3 : 9)) + 2) / 5 + d - 1;
+  const unsigned doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
+  return era * 146097 + static_cast<int64_t>(doe) - 719468;
+}
+
+inline bool is_digit(char c) { return c >= '0' && c <= '9'; }
+
+// strict ISO date prefix YYYY-MM-DD (calendar-validated, incl. leap
+// years); on success sets epoch days
+inline bool parse_date_prefix(const char* p, size_t len, int64_t& days) {
+  if (len < 10 || p[4] != '-' || p[7] != '-') return false;
+  for (int i : {0, 1, 2, 3, 5, 6, 8, 9})
+    if (!is_digit(p[i])) return false;
+  const int y = (p[0] - '0') * 1000 + (p[1] - '0') * 100 +
+                (p[2] - '0') * 10 + (p[3] - '0');
+  const unsigned m = (p[5] - '0') * 10 + (p[6] - '0');
+  const unsigned d = (p[8] - '0') * 10 + (p[9] - '0');
+  if (m < 1 || m > 12 || d < 1) return false;
+  static const unsigned mdays[12] = {31, 28, 31, 30, 31, 30,
+                                     31, 31, 30, 31, 30, 31};
+  unsigned dm = mdays[m - 1];
+  if (m == 2 && y % 4 == 0 && (y % 100 != 0 || y % 400 == 0)) dm = 29;
+  if (d > dm) return false;
+  days = days_from_civil(y, m, d);
+  return true;
+}
+
+inline bool parse_date(const char* p, size_t len, int64_t& days) {
+  return len == 10 && parse_date_prefix(p, len, days);
+}
+
+// ISO timestamp: date + (' '|'T') + HH:MM:SS[.f{1,}] -> epoch
+// microseconds (fraction digits beyond 6 truncate); a bare date also
+// parses (midnight), so date columns promote cleanly to timestamp
+inline bool parse_ts(const char* p, size_t len, int64_t& us) {
+  int64_t days;
+  if (parse_date(p, len, days)) {
+    us = days * 86400000000LL;
+    return true;
+  }
+  if (len < 19 || !parse_date_prefix(p, len, days)) return false;
+  if (p[10] != ' ' && p[10] != 'T') return false;
+  if (p[13] != ':' || p[16] != ':') return false;
+  for (int i : {11, 12, 14, 15, 17, 18})
+    if (!is_digit(p[i])) return false;
+  const int hh = (p[11] - '0') * 10 + (p[12] - '0');
+  const int mm = (p[14] - '0') * 10 + (p[15] - '0');
+  const int ss = (p[17] - '0') * 10 + (p[18] - '0');
+  if (hh > 23 || mm > 59 || ss > 59) return false;
+  size_t pos = 19;
+  int64_t frac = 0;
+  int fd = 0;
+  if (pos < len && p[pos] == '.') {
+    ++pos;
+    if (pos >= len || !is_digit(p[pos])) return false;
+    while (pos < len && is_digit(p[pos])) {
+      if (fd < 6) frac = frac * 10 + (p[pos] - '0');
+      ++fd;
+      ++pos;
+    }
+    for (; fd < 6; ++fd) frac *= 10;
+  }
+  if (pos != len) return false;
+  us = (((days * 24 + hh) * 60 + mm) * 60 + ss) * 1000000LL + frac;
+  return true;
 }
 
 // Walk the buffer field by field. cb(row, col, ptr, len, quoted) is
@@ -195,24 +277,30 @@ void* rst_csv_parse(const char* path, char delim) {
         if (col == 0) csv->nrows = row + 1;
         if (len == 0 && !quoted) return true;  // NULL: type-neutral
         c.seen_value = true;
-        if (c.type == T_STR) return true;
+        if (!(c.can_i || c.can_f || c.can_d || c.can_t)) return true;
         int64_t iv;
         double dv;
         if (quoted) {
-          c.type = T_STR;  // quoted fields are text by intent
-        } else if (c.type == T_I64 && parse_i64(p, len, iv)) {
-          // stays int
-        } else if (parse_f64(p, len, dv)) {
-          c.type = T_F64;
-        } else {
-          c.type = T_STR;
+          // quoted fields are text by intent
+          c.can_i = c.can_f = c.can_d = c.can_t = false;
+          return true;
         }
+        if (c.can_i && !parse_i64(p, len, iv)) c.can_i = false;
+        if (c.can_f && !parse_f64(p, len, dv)) c.can_f = false;
+        if (c.can_d && !parse_date(p, len, iv)) c.can_d = false;
+        if (c.can_t && !parse_ts(p, len, iv)) c.can_t = false;
         return true;
       });
   if (!ok) {
     delete csv;
     return nullptr;
   }
+  for (auto& c : csv->cols)
+    c.type = c.can_i   ? T_I64
+             : c.can_f ? T_F64
+             : c.can_d ? T_DATE
+             : c.can_t ? T_TS
+                       : T_STR;
   if (csv->nrows == 0) {
     // header-only file: zero-row columns (all int64)
     for (auto& c : csv->cols) c.mask.clear();
@@ -221,7 +309,8 @@ void* rst_csv_parse(const char* path, char delim) {
   // pass 2: convert under the final types
   for (auto& c : csv->cols) {
     c.mask.assign(static_cast<size_t>(csv->nrows), 0);
-    if (c.type == T_I64) c.i64.resize(csv->nrows);
+    if (c.type == T_I64 || c.type == T_DATE || c.type == T_TS)
+      c.i64.resize(csv->nrows);
     else if (c.type == T_F64) c.f64.resize(csv->nrows);
     else c.codes.resize(csv->nrows);
   }
@@ -239,6 +328,10 @@ void* rst_csv_parse(const char* path, char delim) {
         }
         if (c.type == T_I64) {
           parse_i64(p, len, c.i64[row]);
+        } else if (c.type == T_DATE) {
+          parse_date(p, len, c.i64[row]);  // epoch days
+        } else if (c.type == T_TS) {
+          parse_ts(p, len, c.i64[row]);  // epoch microseconds
         } else if (c.type == T_F64) {
           parse_f64(p, len, c.f64[row]);
         } else {

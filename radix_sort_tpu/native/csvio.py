@@ -48,7 +48,9 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _LIB if os.path.exists(_LIB) else _build()
+        stale = (not os.path.exists(_LIB)
+                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+        path = _build() if stale else _LIB
         if path is None:
             _build_failed = True
             return None
@@ -101,6 +103,10 @@ def parse_csv(path: str, delimiter: str = ","):
 
     Returns ``(columns, dictionaries, null_masks)``:
       - numeric columns as int64 / float64 numpy arrays;
+      - ISO date / timestamp columns as ``datetime64[D]`` /
+        ``datetime64[us]`` arrays (Table construction stores them in the
+        engine's Arrow forms — no manual CAST needed; mixed date/garbage
+        columns stay strings, per the csv_loader.cpp lattice);
       - string columns as uint32 CODE arrays, with their sorted
         order-preserving vocabulary (index 0 = "") in ``dictionaries``;
       - ``null_masks``: bool arrays for columns with empty fields.
@@ -126,6 +132,14 @@ def parse_csv(path: str, delimiter: str = ","):
             if t == 0:
                 a = np.empty(n, np.int64)
                 lib.rst_csv_col_i64(h, j, _as_ptr(a, ctypes.c_longlong))
+            elif t in (3, 4):
+                # date32 (epoch days) / timestamp (epoch microseconds):
+                # surface as numpy datetime64 so Table construction takes
+                # the dates.py Arrow-storage path with no manual CAST
+                a = np.empty(n, np.int64)
+                lib.rst_csv_col_i64(h, j, _as_ptr(a, ctypes.c_longlong))
+                a = a.astype("datetime64[D]" if t == 3
+                             else "datetime64[us]")
             elif t == 1:
                 a = np.empty(n, np.float64)
                 lib.rst_csv_col_f64(h, j, _as_ptr(a, ctypes.c_double))

@@ -123,6 +123,58 @@ class TestNativeCSV:
         assert dicts["note"][cols["note"][1]] == 'say "ok"'
         assert masks["note"].tolist() == [False, False, True, False]
 
+    def test_date_timestamp_inference(self, tmp_path):
+        from radix_sort_tpu.native.csvio import (parse_csv,
+                                                 csv_native_available)
+        if not csv_native_available():
+            pytest.skip("no g++")
+        p = self._write(
+            tmp_path,
+            "d,ts,promo,bad_day,mixed,quoted\n"
+            "2024-01-05,2024-01-05 10:30:00,2024-01-01,2023-02-29,"
+            "2024-01-01,\"2024-01-01\"\n"
+            "2023-12-31,2023-12-31T23:59:59.123456,"
+            "2024-06-01T01:02:03,2024-13-01,7,\"2024-01-02\"\n"
+            ",2024-02-29 00:00:00.1234567,2020-02-29,2024-01-32,x,"
+            "\"2024-01-03\"\n")
+        cols, dicts, masks = parse_csv(p)
+        # pure ISO dates -> date32, empty = NULL
+        assert cols["d"].dtype == np.dtype("datetime64[D]")
+        assert cols["d"][0] == np.datetime64("2024-01-05")
+        assert masks["d"].tolist() == [False, False, True]
+        # timestamps (space or T separator, fraction truncates past us)
+        assert cols["ts"].dtype == np.dtype("datetime64[us]")
+        assert cols["ts"][1] == np.datetime64("2023-12-31T23:59:59.123456")
+        assert cols["ts"][2] == np.datetime64("2024-02-29T00:00:00.123456")
+        # dates mixed with timestamps promote to timestamp (midnight)
+        assert cols["promo"].dtype == np.dtype("datetime64[us]")
+        assert cols["promo"][0] == np.datetime64("2024-01-01T00:00:00")
+        # calendar-invalid "dates" (non-leap Feb 29, month 13, day 32)
+        # and date/garbage mixes stay strings
+        assert "bad_day" in dicts and "mixed" in dicts
+        # quoted fields are text by intent even if date-shaped
+        assert "quoted" in dicts
+
+    def test_sql_date_query_on_csv_no_casts(self, tmp_path):
+        from radix_sort_tpu.native.csvio import csv_native_available
+        if not csv_native_available():
+            pytest.skip("no g++")
+        import radix_sort_tpu as rst
+        from radix_sort_tpu.table import Table
+        p = self._write(
+            tmp_path,
+            "id,d,amt\n"
+            "1,2024-01-05,10\n"
+            "2,2024-02-10,20\n"
+            "3,2023-11-30,30\n"
+            "4,2024-02-29,40\n")
+        t = Table.from_csv(p)
+        out = rst.sql(
+            "SELECT DATE_TRUNC('month', d) AS m, SUM(amt) AS s FROM t "
+            "WHERE d >= DATE '2024-01-01' GROUP BY m ORDER BY m",
+            {"t": t}).collect().to_numpy()
+        assert out["s"].tolist() == [10, 60]
+
     def test_int_promotes_to_float_then_string(self, tmp_path):
         from radix_sort_tpu.native.csvio import (parse_csv,
                                                  csv_native_available)
