@@ -1537,6 +1537,24 @@ def _limbs_le(a, b):
     return le
 
 
+def _seg_cummax_limbs(limbs, rn0):
+    """Within-segment running lexicographic max over a limb list
+    (Hillis–Steele doubling — log2(n) elementwise sweeps, the engine's
+    segmented-scan form since associative_scan does not compile at scale
+    on this relay). ``rn0`` is each row's 0-based offset in its segment;
+    an element ``s`` back is in-segment iff ``rn0 >= s``."""
+    n = limbs[0].shape[0]
+    ws = list(limbs)
+    s = 1
+    while s < n:
+        prevs = [jnp.concatenate([jnp.zeros((s,), w.dtype), w[:-s]])
+                 for w in ws]
+        take_prev = (rn0 >= s) & _limbs_le(ws, prevs)
+        ws = [jnp.where(take_prev, p, w) for p, w in zip(prevs, ws)]
+        s *= 2
+    return ws
+
+
 def band_join(
     left_band,
     left_values,
@@ -1571,10 +1589,13 @@ def band_join(
     positions computed with merge-rank union sorts at comparator rate,
     and the expansion is the shared :func:`join_expand` phase (prefix-sum
     addressing / the Pallas run-append kernel at high fanout). "between"
-    expands the ``lo <= x`` candidate range and post-filters ``x <= hi``
-    with one stable compaction, so its ``capacity`` must cover the
-    CANDIDATES (rows with lo <= x in the equi group), not just the kept
-    result.
+    expands a candidate range bounded BELOW by a segmented running-max
+    of ``hi`` (rows before the group's first running-max(hi) >= x cannot
+    match) and ABOVE by the last ``lo <= x`` row, then post-filters
+    ``x <= hi`` with one stable compaction; ``capacity`` must cover
+    those CANDIDATES — a tight superset of the matches, equal to them
+    whenever each equi group's intervals don't interleave (tier tables,
+    validity ranges), NOT every ``lo <= x`` row.
 
     ``how``: "inner" / "left" / "semi" / "anti" for the inequality ops
     (exact — match counts are exact range widths); "between" supports
@@ -1675,11 +1696,37 @@ def band_join(
         #   le:      [rank_left (E, x), group_end)
         #   gt:      [group_start, rank_left (E, x))
         #   ge:      [group_start, rank_right(E, x))
-        #   between: [group_start, rank_right(E, x))  candidates lo <= x
+        #   between: [rank_left(E, segcummax(hi)), rank_right(E, lo=x))
         side = "left" if op in ("le", "gt") else "right"
         v = merge_rank(rk_s if nk > 1 else rk_s[0],
                        [*le_limbs, *lx] if nk > 1 else lx[0], side=side)
-        if le_limbs:
+        if op == "between":
+            # candidate lower bound: rows before the group's first
+            # running-max(hi) >= x can't match (their own hi <= the
+            # running max < x). The running max is non-decreasing within
+            # a group, so (E, segcummax(hi)) is globally sorted and one
+            # merge-rank bounds the candidates to [first possibly-
+            # matching interval, last lo <= x] — a tight superset of the
+            # matches (exact for non-overlapping per-group intervals)
+            # instead of every lo <= x row; capacity sizes to THIS.
+            pos = jnp.arange(n_r, dtype=jnp.int32)
+            if le_limbs:
+                re_s = rk_s[:len(re_limbs)]
+                fst = jnp.concatenate([
+                    jnp.ones((1,), jnp.bool_),
+                    _limbs_differ([w[1:] for w in re_s],
+                                  [w[:-1] for w in re_s]),
+                ])
+                rn0 = pos - jax.lax.cummax(jnp.where(fst, pos, 0))
+            else:
+                rn0 = pos
+            cmh = _seg_cummax_limbs(rhi_s, rn0)
+            g = merge_rank(
+                [*rk_s[:len(re_limbs)], *cmh]
+                if len(re_limbs) + len(cmh) > 1 else cmh[0],
+                [*le_limbs, *lx] if nk > 1 else lx[0], side="left",
+            )
+        elif le_limbs:
             g_side = "right" if op in ("lt", "le") else "left"
             g = merge_rank(
                 rk_s[:len(re_limbs)]
@@ -1698,14 +1745,30 @@ def band_join(
     )
     if op == "between" and rhi_s:
         # keep pairs with x <= hi: the expansion rode the left band limbs
-        # as its keys and the right hi limbs as extra values
+        # as its keys and the right hi limbs as extra values. When hi is
+        # itself non-decreasing within every equi group (cmh == hi —
+        # non-interleaving intervals, the common tier/validity-range
+        # shape) every candidate is a match and the compaction is a
+        # runtime no-op: lax.cond skips its stable validity sort.
         ko = _as_limb_list(kout)
         rhi_out = rv_out[len(rvs):]
-        valid = jnp.arange(capacity, dtype=jnp.int32) < count
-        keep = valid & _limbs_le(ko, rhi_out)
-        *packed, count = filter(keep, *lv_out, *rv_out[:len(rvs)])
-        lv_out = packed[:len(lvs)]
-        rv_out = packed[len(lvs):]
+        rv_real = rv_out[:len(rvs)]
+        no_interleave = ~_limbs_differ(cmh, rhi_s)
+        all_match = (jnp.all(no_interleave) if n_r
+                     else jnp.bool_(True))
+
+        def _exact(_):
+            return (*lv_out, *rv_real, count)
+
+        def _filtered(_):
+            valid = jnp.arange(capacity, dtype=jnp.int32) < count
+            keep = valid & _limbs_le(ko, rhi_out)
+            *comp, cnt = filter(keep, *lv_out, *rv_real)
+            return (*comp, cnt.astype(count.dtype))
+
+        *packed, count = jax.lax.cond(all_match, _exact, _filtered, None)
+        lv_out = list(packed[:len(lvs)])
+        rv_out = list(packed[len(lvs):])
     else:
         rv_out = rv_out[:len(rvs)]
     return _pack_lv(lv_out), _pack_rv(rv_out), count, overflow

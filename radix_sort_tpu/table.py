@@ -1034,9 +1034,10 @@ class Table:
         columns, and (inner/left) ``other``'s other columns renamed with
         ``suffix`` on collision — both band columns appear. Rows order
         by left row then right band order. ``capacity`` bounds the
-        static result (for "between" it must cover the CANDIDATE rows
-        with lo <= x per equi group — the hi filter applies after
-        expansion); ``overflow`` reports truncation. ``how``:
+        static result (for "between" it must cover the CANDIDATE rows —
+        a tight superset of the matches, exact when each equi group's
+        intervals don't interleave; see ``ops.query.band_join``);
+        ``overflow`` reports truncation. ``how``:
         "inner"/"left"/"semi"/"anti" (inequality ops; semi/anti default
         ``capacity`` to this table's rows, always exact) — "between" is
         inner-only. Evaluation is one right-side sort + merge-rank range

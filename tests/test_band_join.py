@@ -106,6 +106,22 @@ class TestEngineBandJoin:
                       if rlo[j] <= lx[i] <= rhi[j])
         assert got == want
 
+    def test_between_candidate_bound_tight(self, rng):
+        # non-overlapping intervals: the segmented running-max(hi) lower
+        # bound makes candidates == matches, so capacity = n_l suffices
+        # even though most intervals have lo <= x
+        lx = rng.integers(0, 1000, 500).astype(np.int32)
+        rlo = np.arange(0, 1000, 10).astype(np.int32)     # 100 tiers
+        rhi = rlo + 9
+        rv = np.arange(100, dtype=np.int32)
+        jl, jr, cnt, ovf = Q.band_join(
+            jnp.asarray(lx), jnp.arange(500, dtype=jnp.int32),
+            (jnp.asarray(rlo), jnp.asarray(rhi)), jnp.asarray(rv),
+            op="between", capacity=500)
+        assert not bool(ovf)  # candidates == matches == 500
+        assert int(cnt) == 500
+        np.testing.assert_array_equal(np.asarray(jr)[:500], lx // 10)
+
     def test_equi_conjunct(self, rng):
         lx = rng.integers(0, 50, 90).astype(np.int32)
         ry = rng.integers(0, 50, 80).astype(np.int32)
