@@ -1363,8 +1363,10 @@ def hash_join(
       - ``"lookup"``: each left row with at least one match, once, in
         left order, paired with its FIRST match in right sorted order —
         the inner join of a key-UNIQUE right side at semi-join cost (no
-        expansion machinery). With duplicate right keys the extra pairs
-        are omitted and ``overflow`` is True.
+        expansion machinery). With duplicate right keys the join
+        degrades AT RUNTIME to the exact inner join (all pairs, left-row
+        major) — the result is always exact; ``overflow`` reports only a
+        capacity excess.
 
     Composite keys: pass a list/tuple of equal-length columns for BOTH
     ``left_keys`` and ``right_keys`` (matching dtypes per column, any
@@ -1472,15 +1474,13 @@ def hash_join(
         # cummax + capacity-sized output gathers). Exact inner join when
         # the right side is key-unique (e.g. an aggregate output keyed by
         # the join key — the planner's eager-aggregation rewrite builds
-        # exactly that); with duplicate right keys the pairs beyond the
-        # first per left row are omitted and ``overflow`` reports the
-        # truncation (the true result was larger), mirroring the capacity
-        # contract.
+        # exactly that); with duplicate right keys the join DEGRADES at
+        # runtime (lax.cond) to the exact inner-join expansion over the
+        # same match ranges, so the result is always the true inner join
+        # and ``overflow`` reports only a capacity excess — never a
+        # silent first-match truncation.
         matched = hi > lo
-        safe = jnp.clip(lo, 0, max(n_r, 1) - 1)
-        rv_g = [rv[safe] for rv in rvs]
         dup = jnp.any((hi - lo) > 1)
-        *comp, cnt = filter(matched, *lk_limbs, *lv_cols, *rv_g)
 
         def _fit(a):
             if a.shape[0] >= capacity:
@@ -1489,17 +1489,35 @@ def hash_join(
                 [a, jnp.zeros((capacity - a.shape[0],), a.dtype)]
             )
 
-        comp = [_fit(a) for a in comp]
+        def _lookup(_):
+            safe = jnp.clip(lo, 0, max(n_r, 1) - 1)
+            rv_g = [rv[safe] for rv in rvs]
+            *comp, cnt = filter(matched, *lk_limbs, *lv_cols, *rv_g)
+            comp = [_fit(a) for a in comp]
+            t = jnp.arange(capacity, dtype=jnp.int32)
+            valid = t < jnp.minimum(cnt, capacity)
+            comp = [jnp.where(valid, a, 0) for a in comp]
+            return (*comp, jnp.minimum(cnt, capacity).astype(jnp.int32),
+                    cnt > capacity)
+
+        def _inner(_):
+            kw, olv, orv, cnt, ovf = join_expand(
+                lk_limbs if len(lk_limbs) > 1 else lk_limbs[0],
+                lv_cols, rvs, lo, hi, capacity=capacity, how="inner",
+            )
+            return (*_as_limb_list(kw), *olv, *orv,
+                    cnt.astype(jnp.int32), ovf)
+
+        *comp, cnt, overflow = jax.lax.cond(dup, _inner, _lookup, None)
         ks = comp[:len(lk_limbs)]
         lvo = comp[len(lk_limbs):len(lk_limbs) + len(lv_cols)]
         rvo = comp[len(lk_limbs) + len(lv_cols):]
-        overflow = dup | (cnt > capacity)
         out_cols = _limbs_to_cols(ks, specs)
         return (
             out_cols if multi else out_cols[0],
             _pack_lv(lvo),
             _pack_rv(rvo),
-            jnp.minimum(cnt, capacity),
+            cnt,
             overflow,
         )
 

@@ -414,7 +414,8 @@ class DistTable:
     def join(self, other: "DistTable", on, *,
              capacity_per_shard: int | None = None,
              how: str = "inner", suffix: str = "_r",
-             exchange_capacity_factor: float = 2.0):
+             exchange_capacity_factor: float = 2.0,
+             assume_unique: bool = False):
         """Equi-join with ``other`` on the shared ``on`` column(s) — the
         co-partitioned MPP join: both sides route by one shared splitter
         sketch, each shard joins locally. Returns ``(DistTable, overflow)``
@@ -426,9 +427,15 @@ class DistTable:
         replicated single-chip :class:`Table` with key-unique rows (e.g.
         an aggregate keyed by the join key). Each shard probes the
         replicated side in place — membership + first-match rank gather +
-        one per-shard compaction, NO exchange of this relation at all."""
+        one per-shard compaction, NO exchange of this relation at all.
+        A right side that is NOT key-unique raises TypeError (pairs
+        beyond the first match would silently drop); ``assume_unique``
+        skips that eager check — for callers that construct a key-unique
+        right side by construction (the planner's eager-aggregation
+        rewrite), avoiding its one host sync."""
         if how == "lookup":
-            return self._join_lookup(other, on, suffix=suffix)
+            return self._join_lookup(other, on, suffix=suffix,
+                                     assume_unique=assume_unique)
         if how not in Q.JOIN_HOWS:
             raise ValueError(
                 f"how must be one of {Q.JOIN_HOWS}, got {how!r}"
@@ -500,15 +507,16 @@ class DistTable:
             out = out.filter(lambda t: t["__flag"] == 0).drop("__flag")
         return out, ovf
 
-    def _join_lookup(self, other, on, *, suffix="_r"):
+    def _join_lookup(self, other, on, *, suffix="_r",
+                     assume_unique=False):
         """Broadcast lookup join (see :meth:`join`): the replicated right
         side is sorted once by key (with a validity/NULL-key flag word
         when needed), every sharded left row binary-searches its first
         match (merge-rank at comparator rate over the global array), the
         matched rows compact per shard with one distributed filter.
-        Returns ``(DistTable, overflow)`` — overflow True means the right
-        side was NOT key-unique (pairs beyond the first match were
-        omitted; the true inner-join result is larger)."""
+        Returns ``(DistTable, dup)``. A non-key-unique right side raises
+        TypeError eagerly (unless ``assume_unique``); under a trace,
+        where the host check is impossible, ``dup`` reports it."""
         from radix_sort_tpu.table import Table
 
         if not isinstance(other, Table):
@@ -557,6 +565,19 @@ class DistTable:
         lo, hi = Q.merge_rank_pair(rks, lk_limbs)
         matched = (hi > lo) & self.valid_mask()
         dup = jnp.any((hi - lo) > 1)
+        if not assume_unique:
+            try:
+                dup_now = bool(dup)
+            except jax.errors.TracerBoolConversionError:
+                dup_now = None  # traced: the returned flag reports it
+            if dup_now:
+                raise TypeError(
+                    "lookup join right side is not key-unique — pairs "
+                    "beyond the first match per left row would drop. "
+                    "Aggregate/distinct the right side on the join "
+                    "keys first, or use the co-partitioned "
+                    "how='inner' join."
+                )
         safe = jnp.clip(lo, 0, max(other._n, 1) - 1)
         rv_g = [rv[safe] for rv in rvs_s]
         *outs, counts = dist_query.distributed_filter(

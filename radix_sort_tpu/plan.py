@@ -612,7 +612,11 @@ def _eager_join_aggregate(node):
     )
     new_join = Join(
         j.left, r_agg, j.on, "lookup", j.suffix,
-        tuple((k, v) for k, v in j.kwargs if k != "capacity"),
+        # the pre-aggregated right side is key-unique by construction:
+        # assume_unique lets the DistTable broadcast lookup skip its
+        # eager duplicate-key check (which costs a host sync)
+        tuple((k, v) for k, v in j.kwargs if k != "capacity")
+        + (("assume_unique", True),),
     )
     child = new_join if mid is None else mid.replace(child=new_join)
     agg2 = node.replace(

@@ -875,8 +875,9 @@ class Table:
         defaults to this table's row count (always exact); the expanding
         joins require it. ``how="lookup"`` is the inner join of a
         key-UNIQUE ``other`` at semi-join cost (each left row pairs with
-        its first match; duplicate right keys flag ``overflow`` — the
-        omitted extra pairs mean the true result was larger)."""
+        its first match); duplicate right keys DEGRADE at runtime to the
+        exact inner-join expansion, so the result is always exact and
+        ``overflow`` reports only a capacity excess."""
         if capacity is None:
             if how in ("semi", "anti", "lookup"):
                 capacity = self._n

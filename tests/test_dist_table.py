@@ -355,10 +355,13 @@ class TestBroadcastLookupJoin:
         np.testing.assert_array_equal(
             np.sort(got["w"]), np.sort(tbl["w"][:valid][keep])
         )
-        # non-unique right side flags the truncation
+        # non-unique right side raises eagerly (never silent truncation)
         ct2 = Table({"k": np.array([0, 0, 2], np.uint32),
                      "m": np.zeros(3, np.int32)})
-        _, dup2 = dt.join(ct2, "k", how="lookup")
+        with pytest.raises(TypeError, match="not key-unique"):
+            dt.join(ct2, "k", how="lookup")
+        # assume_unique (the planner's contract) keeps the traced flag
+        _, dup2 = dt.join(ct2, "k", how="lookup", assume_unique=True)
         assert bool(dup2)
 
     def test_sql_eager_aggregation_matches_single_chip(self, tbl):

@@ -175,6 +175,28 @@ class TestJoin:
         np.testing.assert_array_equal(out["name"],
                                       exp[:, 3].astype(np.uint32))
 
+    def test_lookup_duplicate_right_degrades_to_exact_inner(self, rng):
+        # a lookup join against a NON-key-unique right side must return
+        # the exact inner join (runtime lax.cond degrade), never a
+        # flagged first-match truncation
+        lt = Table({"k": rng.integers(0, 5, 32).astype(np.uint32),
+                    "a": np.arange(32, dtype=np.int32)})
+        rt = Table({"k": np.array([0, 0, 1, 3, 3, 3], np.uint32),
+                    "b": np.arange(6, dtype=np.int32)})
+        out, ovf = lt.join(rt, "k", how="lookup", capacity=256)
+        want, _ = lt.join(rt, "k", how="inner", capacity=256)
+        got, exp = out.to_numpy(), want.to_numpy()
+        assert not bool(np.asarray(ovf))
+        for c in ("k", "a", "b"):
+            np.testing.assert_array_equal(got[c], exp[c])
+        # and a key-unique right side still takes the cheap path exactly
+        rtu = Table({"k": np.arange(5, dtype=np.uint32),
+                     "b": np.arange(5, dtype=np.int32) * 7})
+        out_u, ovf_u = lt.join(rtu, "k", how="lookup")
+        assert not bool(np.asarray(ovf_u))
+        o = out_u.to_numpy()
+        np.testing.assert_array_equal(o["b"], o["k"] * 7)
+
     def test_left_join_unmatched_zero(self):
         lt = Table({"k": jnp.asarray([1, 2, 3], jnp.uint32),
                     "v": jnp.asarray([10, 20, 30], jnp.int32)})
