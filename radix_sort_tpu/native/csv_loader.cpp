@@ -3,8 +3,11 @@
 //
 // The framework's tabular data loader. The reference crate's only file
 // I/O is raw-key transmute reads for the bench (src/main.rs:47-99); a
-// query engine also needs structured ingestion, and Python-level CSV
-// parsing (numpy genfromtxt) is orders of magnitude off native speed.
+// query engine also needs structured ingestion. Measured on a ~1 GB
+// mixed int/float/string/date file (this 1-core VM, BASELINE.md):
+// 61-66 MB/s (~1.6 M rows/s) vs numpy genfromtxt's 9.7 MB/s — 6-7x.
+// The two passes are independent per chunk, so a multi-core host could
+// thread the scan; this VM has one core (nproc=1), so it is not.
 // This loader:
 //   * tokenizes RFC4180-style CSV (quoted fields, "" escapes, embedded
 //     delimiters/newlines, CRLF) in one linear scan per pass;
@@ -66,20 +69,69 @@ inline void strip(const char*& p, size_t& len) {
   while (len && (p[len - 1] == ' ' || p[len - 1] == '\t')) --len;
 }
 
+inline bool is_digit(char c) { return c >= '0' && c <= '9'; }
+
 inline bool parse_i64(const char* p, size_t len, int64_t& out) {
+  // hand-rolled signed decimal with overflow check — ~3x strtoll (no
+  // errno, no copy, no locale); the loader's hottest per-field call
   if (len == 0 || len > 20) return false;
-  char tmp[24];
-  std::memcpy(tmp, p, len);
-  tmp[len] = 0;
-  errno = 0;
-  char* end = nullptr;
-  long long v = std::strtoll(tmp, &end, 10);
-  if (errno != 0 || end != tmp + len) return false;
-  out = static_cast<int64_t>(v);
+  const char* e = p + len;
+  bool neg = false;
+  if (*p == '-' || *p == '+') {
+    neg = *p == '-';
+    ++p;
+  }
+  if (p == e) return false;
+  uint64_t v = 0;
+  for (; p < e; ++p) {
+    if (!is_digit(*p)) return false;
+    const unsigned d = static_cast<unsigned>(*p - '0');
+    if (v > (UINT64_MAX - d) / 10) return false;
+    v = v * 10 + d;
+  }
+  const uint64_t lim =
+      neg ? (1ULL << 63) : (1ULL << 63) - 1;  // |INT64_MIN| / INT64_MAX
+  if (v > lim) return false;
+  out = neg ? -static_cast<int64_t>(v - 1) - 1 : static_cast<int64_t>(v);
   return true;
 }
 
-inline bool parse_f64(const char* p, size_t len, double& out) {
+// grammar-only float check for the inference pass: [+-]digits[.digits]
+// [eE[+-]digits] with at least one digit — no strtod (which costs
+// ~150 ns/field and dominated pass 1; the VALUE is only needed in pass 2
+// for columns that actually resolve float)
+inline bool float_shape(const char* p, size_t len) {
+  const char* e = p + len;
+  if (p < e && (*p == '+' || *p == '-')) ++p;
+  bool dig = false;
+  while (p < e && is_digit(*p)) { ++p; dig = true; }
+  if (p < e && *p == '.') {
+    ++p;
+    while (p < e && is_digit(*p)) { ++p; dig = true; }
+  }
+  if (!dig) return false;
+  if (p < e && (*p == 'e' || *p == 'E')) {
+    ++p;
+    if (p < e && (*p == '+' || *p == '-')) ++p;
+    if (p >= e) return false;
+    while (p < e && is_digit(*p)) ++p;
+  }
+  return p == e;
+}
+
+inline bool float_special(const char* p, size_t len) {
+  // strtod also accepts [+-]inf / infinity / nan (case-insensitive)
+  if (len && (*p == '+' || *p == '-')) { ++p; --len; }
+  auto eq = [&](const char* w, size_t wl) {
+    if (len != wl) return false;
+    for (size_t i = 0; i < wl; ++i)
+      if ((p[i] | 0x20) != w[i]) return false;
+    return true;
+  };
+  return eq("inf", 3) || eq("infinity", 8) || eq("nan", 3);
+}
+
+inline bool parse_f64_slow(const char* p, size_t len, double& out) {
   if (len == 0 || len > 63) return false;
   char tmp[64];
   std::memcpy(tmp, p, len);
@@ -88,6 +140,115 @@ inline bool parse_f64(const char* p, size_t len, double& out) {
   out = std::strtod(tmp, &end);
   return end == tmp + len;
 }
+
+inline bool parse_f64(const char* p, size_t len, double& out) {
+  // exact fast path (~5x strtod): value = m * 10^e with m <= 15
+  // significant digits (exact in double) and |e| <= 22 (10^e exact in
+  // double), so the single multiply/divide is correctly rounded — the
+  // classic float-parse fast case. Everything else goes to strtod.
+  static const double P10[23] = {
+      1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,
+      1e8,  1e9,  1e10, 1e11, 1e12, 1e13, 1e14, 1e15,
+      1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+  const char* q = p;
+  const char* e = p + len;
+  bool neg = false;
+  if (q < e && (*q == '+' || *q == '-')) {
+    neg = *q == '-';
+    ++q;
+  }
+  uint64_t m = 0;
+  int digits = 0, frac = 0;
+  bool dig = false;
+  for (; q < e && is_digit(*q); ++q) {
+    dig = true;
+    if (++digits > 15) return parse_f64_slow(p, len, out);
+    m = m * 10 + static_cast<unsigned>(*q - '0');
+  }
+  if (q < e && *q == '.') {
+    ++q;
+    for (; q < e && is_digit(*q); ++q) {
+      dig = true;
+      if (++digits > 15) return parse_f64_slow(p, len, out);
+      m = m * 10 + static_cast<unsigned>(*q - '0');
+      ++frac;
+    }
+  }
+  if (!dig) return parse_f64_slow(p, len, out);  // inf/nan/empty
+  int exp10 = -frac;
+  if (q < e && (*q == 'e' || *q == 'E')) {
+    ++q;
+    bool eneg = false;
+    if (q < e && (*q == '+' || *q == '-')) {
+      eneg = *q == '-';
+      ++q;
+    }
+    if (q >= e) return false;
+    int ev = 0;
+    for (; q < e && is_digit(*q); ++q) {
+      ev = ev * 10 + (*q - '0');
+      if (ev > 400) return parse_f64_slow(p, len, out);
+    }
+    exp10 += eneg ? -ev : ev;
+  }
+  if (q != e) return false;
+  double v;
+  if (exp10 >= 0) {
+    if (exp10 > 22) return parse_f64_slow(p, len, out);
+    v = static_cast<double>(m) * P10[exp10];
+  } else {
+    if (exp10 < -22) return parse_f64_slow(p, len, out);
+    v = static_cast<double>(m) / P10[-exp10];
+  }
+  out = neg ? -v : v;
+  return true;
+}
+
+// string interning without per-row std::string construction: open
+// addressing on an FNV-1a hash of the raw bytes, verifying against the
+// owned vocab entry on hit (C++17 unordered_map can't look up by
+// string_view without an allocation)
+struct Intern {
+  std::vector<uint32_t> slots;  // id + 1; 0 = empty
+  size_t count = 0;
+
+  static uint64_t hash(const char* p, size_t len) {
+    uint64_t h = 1469598103934665603ULL;
+    for (size_t i = 0; i < len; ++i) {
+      h ^= static_cast<unsigned char>(p[i]);
+      h *= 1099511628211ULL;
+    }
+    return h;
+  }
+
+  uint32_t get(const char* p, size_t len, std::vector<std::string>& vocab) {
+    if (slots.empty()) slots.assign(1024, 0);
+    if (count * 2 >= slots.size()) {  // rehash at 50% load
+      std::vector<uint32_t> old;
+      old.swap(slots);
+      slots.assign(old.size() * 2, 0);
+      for (uint32_t s : old) {
+        if (!s) continue;
+        const std::string& v = vocab[s - 1];
+        size_t i = hash(v.data(), v.size()) & (slots.size() - 1);
+        while (slots[i]) i = (i + 1) & (slots.size() - 1);
+        slots[i] = s;
+      }
+    }
+    size_t i = hash(p, len) & (slots.size() - 1);
+    while (slots[i]) {
+      const std::string& v = vocab[slots[i] - 1];
+      if (v.size() == len && std::memcmp(v.data(), p, len) == 0)
+        return slots[i] - 1;
+      i = (i + 1) & (slots.size() - 1);
+    }
+    const uint32_t id = static_cast<uint32_t>(vocab.size());
+    vocab.emplace_back(p, len);
+    slots[i] = id + 1;
+    ++count;
+    return id;
+  }
+};
 
 // days since 1970-01-01 for a civil date (Howard Hinnant's public-domain
 // days_from_civil, the same algorithm dates.py uses on device)
@@ -99,8 +260,6 @@ inline int64_t days_from_civil(int64_t y, unsigned m, unsigned d) {
   const unsigned doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
   return era * 146097 + static_cast<int64_t>(doe) - 719468;
 }
-
-inline bool is_digit(char c) { return c >= '0' && c <= '9'; }
 
 // strict ISO date prefix YYYY-MM-DD (calendar-validated, incl. leap
 // years); on success sets epoch days
@@ -129,12 +288,8 @@ inline bool parse_date(const char* p, size_t len, int64_t& days) {
 // ISO timestamp: date + (' '|'T') + HH:MM:SS[.f{1,}] -> epoch
 // microseconds (fraction digits beyond 6 truncate); a bare date also
 // parses (midnight), so date columns promote cleanly to timestamp
-inline bool parse_ts(const char* p, size_t len, int64_t& us) {
+inline bool parse_ts_full(const char* p, size_t len, int64_t& us) {
   int64_t days;
-  if (parse_date(p, len, days)) {
-    us = days * 86400000000LL;
-    return true;
-  }
   if (len < 19 || !parse_date_prefix(p, len, days)) return false;
   if (p[10] != ' ' && p[10] != 'T') return false;
   if (p[13] != ':' || p[16] != ':') return false;
@@ -160,6 +315,15 @@ inline bool parse_ts(const char* p, size_t len, int64_t& us) {
   if (pos != len) return false;
   us = (((days * 24 + hh) * 60 + mm) * 60 + ss) * 1000000LL + frac;
   return true;
+}
+
+inline bool parse_ts(const char* p, size_t len, int64_t& us) {
+  int64_t days;
+  if (parse_date(p, len, days)) {  // a bare date is a midnight timestamp
+    us = days * 86400000000LL;
+    return true;
+  }
+  return parse_ts_full(p, len, us);
 }
 
 // Walk the buffer field by field. cb(row, col, ptr, len, quoted) is
@@ -285,10 +449,28 @@ void* rst_csv_parse(const char* path, char delim) {
           c.can_i = c.can_f = c.can_d = c.can_t = false;
           return true;
         }
-        if (c.can_i && !parse_i64(p, len, iv)) c.can_i = false;
-        if (c.can_f && !parse_f64(p, len, dv)) c.can_f = false;
-        if (c.can_d && !parse_date(p, len, iv)) c.can_d = false;
-        if (c.can_t && !parse_ts(p, len, iv)) c.can_t = false;
+        (void)dv;
+        // a valid int is a valid float, a valid date is a valid
+        // (midnight) timestamp — each pair costs ONE parse per field;
+        // floats validate by grammar only (no strtod until pass 2)
+        if (c.can_i || c.can_f) {
+          if (c.can_i && parse_i64(p, len, iv)) {
+            // both candidates survive
+          } else {
+            c.can_i = false;
+            if (c.can_f && !(float_shape(p, len) ||
+                             float_special(p, len)))
+              c.can_f = false;
+          }
+        }
+        if (c.can_d || c.can_t) {
+          if (parse_date(p, len, iv)) {
+            // both candidates survive
+          } else {
+            c.can_d = false;
+            if (c.can_t && !parse_ts_full(p, len, iv)) c.can_t = false;
+          }
+        }
         return true;
       });
   if (!ok) {
@@ -314,8 +496,7 @@ void* rst_csv_parse(const char* path, char delim) {
     else if (c.type == T_F64) c.f64.resize(csv->nrows);
     else c.codes.resize(csv->nrows);
   }
-  std::vector<std::unordered_map<std::string, uint32_t>> maps(
-      csv->cols.size());
+  std::vector<Intern> maps(csv->cols.size());
   ok = for_each_field(
       buf, delim,
       [&](int64_t row, int col, const char* p, size_t len, bool quoted) {
@@ -335,17 +516,7 @@ void* rst_csv_parse(const char* path, char delim) {
         } else if (c.type == T_F64) {
           parse_f64(p, len, c.f64[row]);
         } else {
-          std::string s(p, len);
-          auto it = maps[col].find(s);
-          uint32_t id;
-          if (it == maps[col].end()) {
-            id = static_cast<uint32_t>(c.vocab.size());
-            maps[col].emplace(std::move(s), id);
-            c.vocab.push_back(std::string(p, len));
-          } else {
-            id = it->second;
-          }
-          c.codes[row] = id;
+          c.codes[row] = maps[col].get(p, len, c.vocab);
         }
         return true;
       });
@@ -422,5 +593,73 @@ void rst_csv_vocab(void* h, int j, char* blob, long long* offs) {
 }
 
 void rst_csv_free(void* h) { delete static_cast<Csv*>(h); }
+
+// ---------------------------------------------------------------------
+// Raw-row interning for in-memory string columns (strings.encode's
+// native path): rows are FIXED-WIDTH byte records (numpy 'U' dtype =
+// UTF-32 with trailing zero padding; equal strings <=> equal records).
+// One linear scan assigns first-seen-order codes and records each
+// distinct value's first row, so Python can build the sorted vocabulary
+// from a tiny gather + argsort over DISTINCT values only — replacing
+// np.unique's O(n log n) string sort over ALL rows (measured 40-50 s at
+// 16M rows vs ~1-2 s here, BASELINE.md).
+// ---------------------------------------------------------------------
+
+struct InternRaw {
+  std::vector<int64_t> firsts;  // first row index per code
+};
+
+void* rst_intern_rows(const char* data, long long n, long long rowbytes,
+                      unsigned int* codes_out) {
+  auto* st = new InternRaw();
+  std::vector<uint32_t> slots(1024, 0);  // id + 1; 0 = empty
+  size_t count = 0;
+  const size_t rb = static_cast<size_t>(rowbytes);
+  for (long long r = 0; r < n; ++r) {
+    const char* p = data + r * rb;
+    if (count * 2 >= slots.size()) {  // rehash at 50% load
+      std::vector<uint32_t> old;
+      old.swap(slots);
+      slots.assign(old.size() * 2, 0);
+      for (uint32_t s : old) {
+        if (!s) continue;
+        const char* v = data + st->firsts[s - 1] * rb;
+        size_t i = Intern::hash(v, rb) & (slots.size() - 1);
+        while (slots[i]) i = (i + 1) & (slots.size() - 1);
+        slots[i] = s;
+      }
+    }
+    size_t i = Intern::hash(p, rb) & (slots.size() - 1);
+    uint32_t id;
+    for (;;) {
+      if (!slots[i]) {
+        id = static_cast<uint32_t>(count);
+        st->firsts.push_back(r);
+        slots[i] = id + 1;
+        ++count;
+        break;
+      }
+      const char* v = data + st->firsts[slots[i] - 1] * rb;
+      if (std::memcmp(v, p, rb) == 0) {
+        id = slots[i] - 1;
+        break;
+      }
+      i = (i + 1) & (slots.size() - 1);
+    }
+    codes_out[r] = id;
+  }
+  return st;
+}
+
+long long rst_intern_count(void* h) {
+  return static_cast<long long>(static_cast<InternRaw*>(h)->firsts.size());
+}
+
+void rst_intern_firsts(void* h, long long* out) {
+  auto& f = static_cast<InternRaw*>(h)->firsts;
+  std::memcpy(out, f.data(), f.size() * sizeof(int64_t));
+}
+
+void rst_intern_free(void* h) { delete static_cast<InternRaw*>(h); }
 
 }  // extern "C"

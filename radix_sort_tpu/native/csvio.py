@@ -85,6 +85,16 @@ def _load():
         ]
         lib.rst_csv_free.argtypes = [p]
         lib.rst_csv_free.restype = None
+        lib.rst_intern_rows.restype = p
+        lib.rst_intern_rows.argtypes = [
+            ctypes.c_char_p, i64, i64, ctypes.POINTER(ctypes.c_uint)
+        ]
+        lib.rst_intern_count.restype = i64
+        lib.rst_intern_count.argtypes = [p]
+        lib.rst_intern_firsts.restype = None
+        lib.rst_intern_firsts.argtypes = [p, ctypes.POINTER(i64)]
+        lib.rst_intern_free.argtypes = [p]
+        lib.rst_intern_free.restype = None
         _lib = lib
         return _lib
 
@@ -92,6 +102,32 @@ def _load():
 def csv_native_available() -> bool:
     """True if the C++ loader compiled (or was cached) successfully."""
     return _load() is not None
+
+
+def intern_rows(arr: np.ndarray):
+    """Native first-seen interning of a numpy unicode array: returns
+    ``(codes_first_seen, first_row_indices)`` (uint32 / int64) in ONE
+    linear C++ scan over the fixed-width UTF-32 records, or None when
+    the native library is unavailable. ``strings.encode`` builds its
+    sorted order-preserving vocabulary from the firsts — an argsort over
+    DISTINCT values instead of np.unique's full-row string sort."""
+    lib = _load()
+    if lib is None or arr.size == 0 or arr.dtype.kind != "U":
+        return None
+    arr = np.ascontiguousarray(arr)
+    codes = np.empty(arr.shape[0], np.uint32)
+    h = lib.rst_intern_rows(
+        arr.ctypes.data_as(ctypes.c_char_p),
+        arr.shape[0], arr.dtype.itemsize,
+        _as_ptr(codes, ctypes.c_uint),
+    )
+    try:
+        nv = int(lib.rst_intern_count(h))
+        firsts = np.empty(nv, np.int64)
+        lib.rst_intern_firsts(h, _as_ptr(firsts, ctypes.c_longlong))
+    finally:
+        lib.rst_intern_free(h)
+    return codes, firsts
 
 
 def _as_ptr(arr, ct):

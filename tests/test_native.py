@@ -175,6 +175,22 @@ class TestNativeCSV:
             {"t": t}).collect().to_numpy()
         assert out["s"].tolist() == [10, 60]
 
+    def test_native_intern_encode_matches_np_unique(self, rng):
+        # strings.encode's native intern path must be bit-identical to
+        # the np.unique fallback (sorted vocab, "" at 0, same codes)
+        from radix_sort_tpu.native.csvio import csv_native_available
+        from radix_sort_tpu import strings as S
+        if not csv_native_available():
+            pytest.skip("no g++")
+        raw = np.char.add(
+            "w", rng.integers(0, 500, 20000).astype(np.str_))
+        raw[3] = ""
+        codes, vocab = S.encode(raw)  # native path (lib available)
+        v2, inv = np.unique(raw, return_inverse=True)
+        assert vocab.tolist() == v2.tolist() and vocab[0] == ""
+        np.testing.assert_array_equal(codes, inv)
+        np.testing.assert_array_equal(vocab[codes], raw)
+
     def test_int_promotes_to_float_then_string(self, tmp_path):
         from radix_sort_tpu.native.csvio import (parse_csv,
                                                  csv_native_available)
