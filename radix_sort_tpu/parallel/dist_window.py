@@ -48,6 +48,10 @@ __all__ = ["distributed_window"]
 
 _BIG = np.int32(2**31 - 1)
 
+# set by distributed_window: whether the last call took the replicated
+# overflow fallback (eager mode: a concrete bool array) — test/debug only
+_last_fallback = None
+
 
 def _stack_gather(vals, axis_name, dtype):
     """Stack per-shard scalars and all_gather -> (P, len(vals))."""
@@ -108,6 +112,7 @@ def distributed_window(
     mesh: Mesh,
     axis_name: str = "x",
     capacity: int | None = None,
+    range_halo: int | None = None,
 ):
     """Evaluate window functions over row-sharded columns.
 
@@ -126,7 +131,14 @@ def distributed_window(
     (resp. offset) rows from the previous shard and ``following`` rows
     from the next (one ``ppermute`` each way); a frame bound or offset
     exceeding a neighbor shard's row count trips the exact replicated
-    fallback — results are always exact. ``nth_value`` broadcasts the
+    fallback — results are always exact. BOUNDED value (RANGE) frames
+    shard the same way with a FIXED halo of ``range_halo`` sorted
+    neighbor rows each way (default: n_local // 4, min 64): bounds come
+    from merge-rank searchsorted over the halo-extended view, and any
+    frame that touches a visible edge its partition may extend past
+    trips the same replicated fallback (UNBOUNDED sides always
+    replicate). Wire traffic is proportional to the halo, not the
+    table. ``nth_value`` broadcasts the
     partition's k-th row by a marked-word partition max (one extra
     O(P)-scalar carry replay per nth spec; no extra data exchange).
 
@@ -140,12 +152,16 @@ def distributed_window(
     if not specs:
         raise ValueError("ops must contain at least one window op")
     single_out = single
-    if any(sp[0] in W._RANGE_OPS for sp in specs):
-        # RANGE frames are value-based and may span arbitrarily many
-        # shards (a frame can cover a whole partition), so the halo
-        # exchange cannot bound them; take the exact replicated path —
-        # the same evaluation the overflow fallback runs. XLA inserts
-        # the collectives for the sharded operands.
+    range_specs = [sp for sp in specs if sp[0] in W._RANGE_OPS]
+    if range_specs and any(sp[2] is None or sp[3] is None
+                           for sp in range_specs):
+        # UNBOUNDED RANGE sides span whole partitions by definition — no
+        # halo can bound them; take the exact replicated path (the same
+        # evaluation the overflow fallback runs). BOUNDED range frames
+        # shard below: a fixed value-halo of ``range_halo`` sorted rows
+        # from each neighbor covers them, with a halo-edge overflow check
+        # tripping this same replicated fallback when a frame cannot be
+        # proven complete.
         fres = W.window(
             [_respec(sp) for sp in specs],
             partition_by=partition_by, order_by=order_by,
@@ -195,13 +211,31 @@ def distributed_window(
     )
     npl, nol = len(p_limbs), len(o_limbs)
 
+    if range_specs:
+        # mirror the single-chip contract (ops/window.py)
+        if len(o_cols) != 1:
+            raise ValueError(
+                "RANGE frames need exactly one order_by column"
+            )
+        if W._norm_descending(descending, 1)[0]:
+            raise ValueError(
+                "RANGE frames need an ascending order_by column"
+            )
+
     # distinct value columns ride the exchange once
     val_ids, val_arrays = {}, []
     for _, v, _, _, _ in specs:
         if v is not None and id(v) not in val_ids:
             val_ids[id(v)] = len(val_arrays)
             val_arrays.append(v)
+    if range_specs and id(o_cols[0]) not in val_ids:
+        # RANGE bounds are value deltas against the raw order column
+        val_ids[id(o_cols[0])] = len(val_arrays)
+        val_arrays.append(o_cols[0])
     nv = len(val_arrays)
+    if range_halo is None:
+        range_halo = min(n_local, max(64, n_local // 4))
+    range_halo = min(range_halo, n_local)
 
     cap1 = capacity if capacity is not None else dist_sort.exchange_capacity(
         n_local, num_devices
@@ -226,6 +260,8 @@ def distributed_window(
         cap2=cap2,
         sentinel=sentinel,
         splitters_back=splitters_back,
+        range_halo=range_halo,
+        order_cid=(val_ids[id(o_cols[0])] if range_specs else -1),
     )
 
     fn = shard_map(
@@ -238,6 +274,9 @@ def distributed_window(
     out = fn(*p_limbs, *o_limbs, *val_arrays)
     results, ovf = list(out[:-1]), out[-1]
     overflow = jnp.any(ovf)
+    global _last_fallback
+    _last_fallback = overflow  # test/debug introspection: True means the
+    #                            replicated fallback produced this result
 
     # The provisioned bounds make overflow impossible; a capacity override
     # can force it, in which case the exact replicated single-chip path runs
@@ -274,7 +313,8 @@ def _respec(spec):
 
 
 def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
-                  num_devices, n_local, cap1, cap2, sentinel, splitters_back):
+                  num_devices, n_local, cap1, cap2, sentinel,
+                  splitters_back, range_halo=0, order_cid=-1):
     """Per-device body: exchange by (partition, order), local window math +
     carry chains, route results home by original position."""
     p_in = list(operands[:npl])
@@ -574,19 +614,29 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
     roll_specs = [s for s in specs if s[0] in W._ROLLING_OPS]
     lag_specs = [s for s in specs if s[0] == "lag"]
     lead_specs = [s for s in specs if s[0] == "lead"]
-    halo_specs = roll_specs + lag_specs + lead_specs
+    range_specs = [s for s in specs if s[0] in W._RANGE_OPS]
+    halo_specs = roll_specs + lag_specs + lead_specs + range_specs
     roll_insufficient = jnp.bool_(False)
+    rb_state = {"ins": jnp.bool_(False), "cache": {}}
     if halo_specs:
-        ph = max([s[2] for s in roll_specs]
-                 + [s[2] for s in lag_specs] + [0])
-        fh = max([s[3] for s in roll_specs]
-                 + [s[2] for s in lead_specs] + [0])
+        # row-count needs of the row-offset ops; RANGE adds a FIXED halo
+        # of range_halo sorted rows each way (value spans are data-
+        # dependent — the halo-edge check below catches insufficiency)
+        ph_roll = max([s[2] for s in roll_specs]
+                      + [s[2] for s in lag_specs] + [0])
+        fh_roll = max([s[3] for s in roll_specs]
+                      + [s[2] for s in lead_specs] + [0])
+        rh = range_halo if range_specs else 0
+        ph, fh = max(ph_roll, rh), max(fh_roll, rh)
         ph_eff, fh_eff = min(ph, cap), min(fh, cap)
-        roll_cids = sorted({
-            val_ids[id(s[1])] for s in halo_specs if s[1] is not None
-        })
+        roll_cids = sorted(
+            {val_ids[id(s[1])] for s in halo_specs if s[1] is not None}
+            | ({order_cid} if range_specs else set())
+        )
         vflag = v.astype(jnp.uint32)
-        halo_cols = [vflag, *sp] + [vals_s[c] for c in roll_cids]
+        halo_so = list(so) if range_specs else []
+        halo_cols = ([vflag, *sp, *halo_so]
+                     + [vals_s[c] for c in roll_cids])
         hl = hr = None
         if ph_eff:
             # my LAST ph_eff valid rows -> next shard (left halo there)
@@ -621,7 +671,9 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
         exts = [_ext(k) for k in range(len(halo_cols))]
         inv_ext = (exts[0] == 0).astype(jnp.uint32)
         sp_ext = exts[1:1 + npl]
-        vals_ext = dict(zip(roll_cids, exts[1 + npl:]))
+        nso = len(halo_so)
+        so_ext = exts[1 + npl:1 + npl + nso]
+        vals_ext = dict(zip(roll_cids, exts[1 + npl + nso:]))
         Lx = cap + ph_eff + fh_eff
         ix = jnp.arange(Lx, dtype=jnp.int32)
         pfx = W._boundary([inv_ext, *sp_ext], Lx)
@@ -630,10 +682,65 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
         pend_x = jax.lax.cummin(jnp.where(plx, ix, _BIG), reverse=True)
         prev_cnt = g_cnt[jnp.maximum(r - 1, 0)]
         next_cnt = g_cnt[jnp.minimum(r + 1, num_devices - 1)]
-        ins_l = ((r > 0) & (prev_cnt < ph)) if ph > 0 else jnp.bool_(False)
-        ins_r = (((r < num_devices - 1) & (next_cnt < fh))
-                 if fh > 0 else jnp.bool_(False))
+        ins_l = ((r > 0) & (prev_cnt < ph_roll)) if ph_roll > 0 \
+            else jnp.bool_(False)
+        ins_r = (((r < num_devices - 1) & (next_cnt < fh_roll))
+                 if fh_roll > 0 else jnp.bool_(False))
         roll_insufficient = ins_l | ins_r
+
+    if range_specs:
+        # merge-rank data keys over the extended view: junk slots get
+        # position-consistent sentinels (left junk is already all-zero
+        # from the no-source ppermute fill; right junk forces to MAX) so
+        # the extended key array stays globally sorted
+        maxu = jnp.asarray(np.iinfo(np.uint32).max, jnp.uint32)
+        right_junk = (inv_ext == 1) & (ix >= ph_eff)
+        rb_data = [jnp.where(right_junk, maxu, w)
+                   for w in [*sp_ext, *so_ext]]
+        ov_x = vals_ext[order_cid]
+        fv = jnp.min(jnp.where(inv_ext == 0, ix, _BIG))
+        lvx = jnp.max(jnp.where(inv_ext == 0, ix, -1))
+        unsigned_ov = jnp.issubdtype(ov_x.dtype, jnp.unsignedinteger)
+        local_valid = v
+
+        def _range_bounds_ext(p1, p2):
+            """Frame row bounds on the halo-extended view (the
+            single-chip _range_bounds over [halo | local | halo]), plus
+            the halo-edge insufficiency check: a VALID LOCAL row whose
+            partition run starts (ends) at the first (last) visible
+            valid slot AND whose frame bound sits on that edge cannot be
+            proven complete — its partition may continue in unseen
+            shards — and trips the replicated fallback."""
+            key = (p1, p2)
+            if key in rb_state["cache"]:
+                return rb_state["cache"][key]
+            d1 = W._range_delta(ov_x, p1)
+            lo_v = ov_x - (jnp.minimum(ov_x, d1) if unsigned_ov else d1)
+            ws_x = jnp.clip(
+                query.merge_rank(rb_data,
+                                 [*sp_ext, *K.encode_limbs(lo_v)],
+                                 side="left"),
+                start_x, pend_x,
+            )
+            d2 = W._range_delta(ov_x, p2)
+            if unsigned_ov:
+                room = jnp.array(jnp.iinfo(ov_x.dtype).max,
+                                 ov_x.dtype) - ov_x
+                d2 = jnp.minimum(room, d2)
+            we_x = jnp.clip(
+                query.merge_rank(rb_data,
+                                 [*sp_ext, *K.encode_limbs(ov_x + d2)],
+                                 side="right") - 1,
+                start_x, pend_x,
+            )
+            ins_rows = (((r > 0) & (start_x == fv) & (ws_x == fv))
+                        | ((r < num_devices - 1) & (pend_x == lvx)
+                           & (we_x == lvx)))
+            rb_state["ins"] = rb_state["ins"] | jnp.any(
+                ins_rows[ph_eff:ph_eff + cap] & local_valid
+            )
+            rb_state["cache"][key] = (ws_x, we_x)
+            return ws_x, we_x
 
     # ---- per-spec results on the sorted-local view ----
     headm_i = headm.astype(jnp.int32)
@@ -696,6 +803,43 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
                 extra + (rn_g - thr) // jnp.maximum(base, 1),
             )
             res = tile.astype(jnp.int32) + 1
+        elif name in W._RANGE_OPS:
+            ws_x, we_x = _range_bounds_ext(p1, p2)
+            if name == "range_count":
+                res_x = (we_x - ws_x + 1).astype(jnp.int32)
+            elif name in ("range_min", "range_max"):
+                svx = vals_ext[c]
+                wcx = K.encode(svx)
+                if name == "range_min":
+                    identr = jnp.array(jnp.iinfo(wcx.dtype).max,
+                                       wcx.dtype)
+                    combr = jnp.minimum
+                else:
+                    identr = jnp.array(0, wcx.dtype)
+                    combr = jnp.maximum
+                # frame lengths are data-dependent: full sparse table
+                tables = W._pow2_tables(wcx, Lx, combr, identr)
+                a, b = W._rolling_two_windows(tables, ws_x, we_x)
+                res_x = K.decode(combr(a, b), svx.dtype)
+            else:  # range_sum / range_mean
+                svx = vals_ext[c]
+                if jnp.issubdtype(svx.dtype, jnp.floating):
+                    tables = W._pow2_tables(svx, Lx, jnp.add,
+                                            svx.dtype.type(0))
+                    s_x = W._binary_decomp_sum(tables, ws_x, we_x,
+                                               svx.dtype.type(0))
+                else:
+                    csum = jnp.cumsum(svx)
+                    prev = jnp.where(
+                        ws_x > 0, csum[jnp.maximum(ws_x - 1, 0)], 0
+                    )
+                    s_x = csum[we_x] - prev
+                if name == "range_mean":
+                    mdt = W._mean_dt(svx.dtype)
+                    s_x = (s_x.astype(mdt)
+                           / (we_x - ws_x + 1).astype(mdt))
+                res_x = s_x
+            res = res_x[ph_eff:ph_eff + cap]
         elif name in W._ROLLING_OPS:
             ws = jnp.maximum(start_x, ix - p1)
             we = jnp.minimum(pend_x, ix + p2)
@@ -843,5 +987,6 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
         np.uint32(np.iinfo(np.uint32).max), splitters=splitters_back,
     )
     outs = [x[:n_local] for x in (ov2 if isinstance(ov2, list) else [ov2])]
-    ovf = (ovf1[0] | ovf2[0] | roll_insufficient).reshape(1)
+    ovf = (ovf1[0] | ovf2[0] | roll_insufficient
+           | rb_state["ins"]).reshape(1)
     return (*outs, ovf)

@@ -202,3 +202,85 @@ def test_nth_value_spans_shards(rng):
     want = rst.window(specs, partition_by=p, order_by=o)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+class TestShardedRangeFrames:
+    """Bounded RANGE (value) frames take the sharded halo path (round 5):
+    a fixed range_halo of sorted neighbor rows each way + merge-rank
+    bounds on the extended view, with the halo-edge check tripping the
+    exact replicated fallback. `dist_window._last_fallback` says which
+    path produced the result."""
+
+    def _run(self, part, order, vals, specs, halo=None):
+        from radix_sort_tpu.parallel import dist_window as DW
+        mesh = _mesh()
+        got = distributed_window(
+            specs, partition_by=jnp.asarray(part),
+            order_by=jnp.asarray(order), mesh=mesh, range_halo=halo)
+        want = rst.window(specs, partition_by=jnp.asarray(part),
+                          order_by=jnp.asarray(order))
+        for spec, g, w in zip(specs, got, want):
+            nm = spec if isinstance(spec, str) else spec[0]
+            if np.issubdtype(np.asarray(w).dtype, np.floating):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=2e-5, err_msg=nm)
+            else:
+                np.testing.assert_array_equal(np.asarray(g),
+                                              np.asarray(w), err_msg=nm)
+        return bool(np.asarray(DW._last_fallback))
+
+    def test_sharded_path_many_partitions(self, rng):
+        # narrow frames over many partitions: must stay on the sharded
+        # path (no fallback) and match the single-chip oracle exactly
+        part = rng.integers(0, 64, N).astype(np.uint32)
+        order = rng.integers(0, 500, N).astype(np.int32)
+        vals = rng.integers(-40, 40, N).astype(np.int32)
+        v = jnp.asarray(vals)
+        fell_back = self._run(
+            part, order, vals,
+            [("range_sum", v, 10, 10), ("range_count", 5, 0),
+             ("range_min", v, 25, 0), ("range_max", v, 0, 25),
+             ("range_mean", v, 8, 8)])
+        assert not fell_back, "expected the sharded halo path"
+
+    def test_partition_spanning_shards_exact(self, rng):
+        # a handful of giant partitions whose rows cross every shard
+        # boundary; frames near boundaries must be exact whichever path
+        # runs, and a too-small halo must trip the fallback, not corrupt
+        part = rng.integers(0, 3, N).astype(np.uint32)
+        order = rng.integers(0, 10_000, N).astype(np.int32)
+        vals = rng.integers(0, 100, N).astype(np.uint32)
+        v = jnp.asarray(vals)
+        self._run(part, order, vals,
+                  [("range_sum", v, 300, 300)], halo=8)
+
+    def test_wide_frame_falls_back(self, rng):
+        # one global partition + frame wider than any halo: the edge
+        # check must trip the replicated fallback and stay exact
+        part = np.zeros(N, np.uint32)
+        order = np.arange(N, dtype=np.int32)
+        vals = rng.integers(0, 9, N).astype(np.int32)
+        v = jnp.asarray(vals)
+        fell_back = self._run(part, order, vals,
+                              [("range_sum", v, N, N)], halo=16)
+        assert fell_back, "expected the replicated fallback"
+
+    def test_unbounded_side_replicates(self, rng):
+        part = rng.integers(0, 16, N).astype(np.uint32)
+        order = rng.integers(0, 100, N).astype(np.int32)
+        vals = rng.integers(0, 50, N).astype(np.int32)
+        v = jnp.asarray(vals)
+        self._run(part, order, vals, [("range_max", v, None, 3)])
+
+    def test_mixed_with_rolling_and_ranks(self, rng):
+        # RANGE specs share the plan with rolling/rank specs: the halo
+        # merges both needs and every result stays exact
+        part = rng.integers(0, 40, N).astype(np.uint32)
+        order = rng.integers(0, 300, N).astype(np.int32)
+        vals = rng.integers(-20, 20, N).astype(np.int32)
+        v = jnp.asarray(vals)
+        fell_back = self._run(
+            part, order, vals,
+            ["row_number", ("rolling_sum", v, 4, 2),
+             ("range_sum", v, 12, 0), ("lag", v, 1)])
+        assert not fell_back
