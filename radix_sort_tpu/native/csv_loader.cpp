@@ -662,4 +662,65 @@ void rst_intern_firsts(void* h, long long* out) {
 
 void rst_intern_free(void* h) { delete static_cast<InternRaw*>(h); }
 
+// ---------------------------------------------------------------------
+// Sorted-vocabulary merge (strings.unify's native path): one linear
+// two-pointer merge over two SORTED fixed-width UTF-32 arrays replaces
+// np.union1d's combined re-sort (measured ~39 s for 10.6M + 10.6M
+// vocabularies vs linear time here, BASELINE.md). Comparison is
+// code-point lexicographic with zero-padding semantics — exactly
+// numpy's unicode order.
+// ---------------------------------------------------------------------
+
+inline int cmp_u32_rows(const uint32_t* a, int64_t wa, const uint32_t* b,
+                        int64_t wb) {
+  const int64_t w = wa < wb ? wa : wb;
+  for (int64_t i = 0; i < w; ++i)
+    if (a[i] != b[i]) return a[i] < b[i] ? -1 : 1;
+  for (int64_t i = w; i < wa; ++i)
+    if (a[i]) return 1;
+  for (int64_t i = w; i < wb; ++i)
+    if (b[i]) return -1;
+  return 0;
+}
+
+// Returns the union size. remap_a/remap_b map old codes -> union codes;
+// (out_src, out_idx) describe union entry k as source array (0=a, 1=b)
+// and index within it, so the caller stitches the union with two numpy
+// gathers. Output buffers must hold na + nb entries.
+long long rst_merge_sorted_u32(
+    const uint32_t* a, long long na, long long wa,
+    const uint32_t* b, long long nb, long long wb,
+    unsigned int* remap_a, unsigned int* remap_b,
+    unsigned char* out_src, unsigned int* out_idx) {
+  int64_t i = 0, j = 0, k = 0;
+  while (i < na && j < nb) {
+    const int c = cmp_u32_rows(a + i * wa, wa, b + j * wb, wb);
+    if (c < 0) {
+      out_src[k] = 0;
+      out_idx[k] = static_cast<unsigned int>(i);
+      remap_a[i++] = static_cast<unsigned int>(k++);
+    } else if (c > 0) {
+      out_src[k] = 1;
+      out_idx[k] = static_cast<unsigned int>(j);
+      remap_b[j++] = static_cast<unsigned int>(k++);
+    } else {
+      out_src[k] = 0;
+      out_idx[k] = static_cast<unsigned int>(i);
+      remap_a[i++] = static_cast<unsigned int>(k);
+      remap_b[j++] = static_cast<unsigned int>(k++);
+    }
+  }
+  for (; i < na; ++i, ++k) {
+    out_src[k] = 0;
+    out_idx[k] = static_cast<unsigned int>(i);
+    remap_a[i] = static_cast<unsigned int>(k);
+  }
+  for (; j < nb; ++j, ++k) {
+    out_src[k] = 1;
+    out_idx[k] = static_cast<unsigned int>(j);
+    remap_b[j] = static_cast<unsigned int>(k);
+  }
+  return static_cast<long long>(k);
+}
+
 }  // extern "C"

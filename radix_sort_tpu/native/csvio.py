@@ -95,6 +95,12 @@ def _load():
         lib.rst_intern_firsts.argtypes = [p, ctypes.POINTER(i64)]
         lib.rst_intern_free.argtypes = [p]
         lib.rst_intern_free.restype = None
+        lib.rst_merge_sorted_u32.restype = i64
+        lib.rst_merge_sorted_u32.argtypes = [
+            ctypes.c_char_p, i64, i64, ctypes.c_char_p, i64, i64,
+            ctypes.POINTER(ctypes.c_uint), ctypes.POINTER(ctypes.c_uint),
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_uint),
+        ]
         _lib = lib
         return _lib
 
@@ -132,6 +138,31 @@ def intern_rows(arr: np.ndarray):
 
 def _as_ptr(arr, ct):
     return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def merge_sorted(vocab_a: np.ndarray, vocab_b: np.ndarray):
+    """Native two-pointer merge of two SORTED numpy unicode arrays:
+    returns ``(remap_a, remap_b, src, idx, n_union)`` — remaps map old
+    codes to union codes, ``(src, idx)`` say union entry k comes from
+    array ``src[k]`` (0/1) at position ``idx[k]``. None when the native
+    library is unavailable (callers fall back to np.union1d)."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(vocab_a, dtype=np.str_)
+    b = np.ascontiguousarray(vocab_b, dtype=np.str_)
+    na, nb = a.shape[0], b.shape[0]
+    remap_a = np.empty(na, np.uint32)
+    remap_b = np.empty(nb, np.uint32)
+    src = np.empty(na + nb, np.uint8)
+    idx = np.empty(na + nb, np.uint32)
+    n_u = int(lib.rst_merge_sorted_u32(
+        a.ctypes.data_as(ctypes.c_char_p), na, a.dtype.itemsize // 4,
+        b.ctypes.data_as(ctypes.c_char_p), nb, b.dtype.itemsize // 4,
+        _as_ptr(remap_a, ctypes.c_uint), _as_ptr(remap_b, ctypes.c_uint),
+        _as_ptr(src, ctypes.c_ubyte), _as_ptr(idx, ctypes.c_uint),
+    ))
+    return remap_a, remap_b, src[:n_u], idx[:n_u], n_u
 
 
 def parse_csv(path: str, delimiter: str = ","):

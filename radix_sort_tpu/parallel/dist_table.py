@@ -597,6 +597,187 @@ class DistTable:
             dup,
         )
 
+    def join_band(self, other, left_on: str, op: str, right_on, *,
+                  on=None, capacity_per_shard: int | None = None,
+                  how: str = "inner", suffix: str = "_r"):
+        """Broadcast non-equi (band) join: ``other`` must be a replicated
+        single-chip :class:`Table` (interval/threshold dimensions — the
+        same shape as the broadcast lookup join's right side). Every
+        shard probes and expands against the replicated side IN PLACE
+        (``ops.query.band_join`` per shard: merge-rank range probes +
+        the shared expansion), so this relation is never exchanged.
+
+        Same predicate surface as :meth:`Table.join_band` — ``op`` in
+        "<", "<=", ">", ">=" (or lt/le/gt/ge) with a right column, or
+        "between" with ``right_on=(lo, hi)``; ``on`` adds shared
+        equality keys. ``how``: inner/left/semi/anti (between:
+        inner-only). Returns ``(DistTable, overflow)``: each shard's
+        result rows form its valid prefix (left-row-major within the
+        shard), bounded by ``capacity_per_shard``; unmatched sides are
+        zero-filled (the facade's join convention). ``overflow`` is True
+        if ANY shard exceeded its capacity."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        from radix_sort_tpu.table import Table
+
+        opn = {"<": "lt", "<=": "le", ">": "gt", ">=": "ge"}.get(op, op)
+        if opn not in Q.BAND_OPS:
+            raise ValueError(
+                f"op must be one of <, <=, >, >=, between "
+                f"(or lt/le/gt/ge), got {op!r}"
+            )
+        if not isinstance(other, Table):
+            raise TypeError(
+                "the broadcast band join needs a replicated single-chip "
+                "Table right side (interval/threshold dimensions); for "
+                "two sharded relations collect one side first"
+            )
+        if capacity_per_shard is None:
+            if how in ("semi", "anti"):
+                capacity_per_shard = self._nl
+            else:
+                raise TypeError(
+                    f"join_band(how={how!r}) needs an explicit "
+                    f"capacity_per_shard= (the static per-shard result "
+                    f"bound); only semi/anti have a natural default"
+                )
+        on = _as_list(on)
+        rb_names = (list(right_on) if opn == "between" else [right_on])
+        if opn == "between" and len(rb_names) != 2:
+            raise ValueError('op="between" needs right_on=(lo_col, hi_col)')
+        for nm, t in ((left_on, self), *((n, other) for n in rb_names)):
+            if isinstance(nm, str) and nm in t._dicts:
+                raise TypeError(
+                    f"band column {nm!r} is a string column — band "
+                    f"predicates need numeric/date columns"
+                )
+        lb = self._resolve([left_on])[0]
+        rbs = [other._resolve(nm)[0] for nm in rb_names]
+        key_dicts = {}
+        lk, rk = [], []
+        rnull = None
+        for name in on:
+            (lc,) = self._resolve([name])
+            (rc,) = other._resolve([name])
+            lc, rc = self._unify_key(other, name, lc, rc, key_dicts)
+            m = other.null_mask(name)
+            if m is not None:
+                rnull = NL.merge_masks(rnull, m)
+            lk.append(lc)
+            rk.append(rc)
+        for nm in rb_names:
+            if isinstance(nm, str):
+                m = other.null_mask(nm)
+                if m is not None:
+                    rnull = NL.merge_masks(rnull, m)
+        rnames = [n for n in other._cols
+                  if n not in on and not NL.is_mask_name(n)]
+        for n in rnames:
+            if other.null_mask(n) is not None:
+                raise TypeError(
+                    f"band join right column {n!r} carries a null mask "
+                    f"— DistTable rows cannot hold NULLs; "
+                    f"fill_null(...) the replicated side first"
+                )
+        lflag = self._flag()
+        rflag = None
+        if other._count is not None:
+            rflag = (~other.valid_mask()).astype(jnp.uint32)
+        if rnull is not None:
+            rf = jnp.where(rnull, jnp.uint32(4), jnp.uint32(0))
+            rflag = rf if rflag is None else jnp.where(
+                rflag != 0, jnp.uint32(2), rf)
+        flagged = lflag is not None or rflag is not None
+        if flagged:
+            lf = (jnp.zeros((self._n,), jnp.uint32) if lflag is None
+                  else jnp.where(lflag != 0, jnp.uint32(1), jnp.uint32(0)))
+            rf = (jnp.zeros((other._n,), jnp.uint32) if rflag is None
+                  else rflag)
+            lk, rk = [lf, *lk], [rf, *rk]
+
+        l_payload_names = [n for n in self._cols]
+        l_payloads = [self._cols[n] for n in l_payload_names]
+        r_payloads = [other._cols[n] for n in rnames]
+        nk = len(lk)
+        nrb = len(rbs)
+        n_r = other._n
+        cap = capacity_per_shard
+        include_right = how in ("inner", "left")
+        flagged_keep = flagged and how in ("left", "anti")
+
+        def body(lb_s, *rest):
+            lks = list(rest[:nk])
+            lps = list(rest[nk:nk + len(l_payloads)])
+            off = nk + len(l_payloads)
+            rbs_r = list(rest[off:off + nrb])
+            rks = list(rest[off + nrb:off + nrb + len(rk)])
+            rps = list(rest[off + nrb + len(rk):])
+            n_loc = lb_s.shape[0]
+            lidx1 = jnp.arange(n_loc, dtype=jnp.int32) + 1
+            ridx1 = jnp.arange(n_r, dtype=jnp.int32) + 1
+            jl, jr, cnt, ovf = Q.band_join(
+                lb_s, lidx1,
+                tuple(rbs_r) if opn == "between" else rbs_r[0], ridx1,
+                op=opn, capacity=cap, how=how,
+                left_equi=lks or None, right_equi=rks or None,
+            )
+            valid = jnp.arange(cap, dtype=jnp.int32) < cnt
+            if flagged_keep:
+                # left/anti emit unmatched LEFT rows: drop padding rows,
+                # keep real rows (every output row has a left source)
+                fcol = lks[0][jnp.clip(jl - 1, 0, n_loc - 1)]
+                keep = valid & (fcol == 0)
+                jl, jr, cnt = (*Q.filter(keep, jl, jr),)
+                cnt = cnt.astype(jnp.int32)
+                valid = jnp.arange(cap, dtype=jnp.int32) < cnt
+            matched_l = valid & (jl > 0)
+            lg = jnp.clip(jl - 1, 0, n_loc - 1)
+            matched = valid & (jr > 0)
+            rg = jnp.clip(jr - 1, 0, max(n_r, 1) - 1)
+            outs = [jnp.where(matched_l, c[lg], 0) for c in lps]
+            if include_right:
+                outs += [jnp.where(matched, c[rg], 0) for c in rps]
+            gcnt = jax.lax.all_gather(cnt.reshape(1), self._axis,
+                                      tiled=True)
+            govf = jax.lax.all_gather(
+                ovf.reshape(1), self._axis, tiled=True)
+            return (*outs, gcnt, govf)
+
+        nout = len(l_payloads) + (len(r_payloads) if include_right else 0)
+        fn = shard_map(
+            body,
+            mesh=self._mesh,
+            in_specs=(
+                (PS(self._axis),) * (1 + len(lk) + len(l_payloads))
+                + (PS(),) * (nrb + len(rk) + len(r_payloads))
+            ),
+            out_specs=(PS(self._axis),) * nout + (PS(), PS()),
+            check_vma=False,
+        )
+        out = fn(lb, *lk, *l_payloads, *rbs, *rk, *r_payloads)
+        cols_out = list(out[:nout])
+        counts = out[nout][: self._P]
+        overflow = jnp.any(out[nout + 1][: self._P])
+
+        cols = {}
+        dicts = dict(key_dicts)
+        for n, c in zip(l_payload_names, cols_out[:len(l_payloads)]):
+            cols[n] = c
+            if n in self._dicts:
+                dicts[n] = self._dicts[n]
+        if include_right:
+            for n, c in zip(rnames, cols_out[len(l_payloads):]):
+                out_name = n + suffix if n in cols else n
+                cols[out_name] = c
+                if n in other._dicts:
+                    dicts[out_name] = other._dicts[n]
+        return (
+            DistTable(cols, self._mesh, counts, self._axis,
+                      dictionaries=dicts),
+            overflow,
+        )
+
     def join_asof(self, other: "DistTable", on, *,
                   direction: str = "backward", tolerance=None,
                   suffix: str = "_r",

@@ -932,6 +932,12 @@ def _prune(node, required, memo):
             kept_right = {rn for rn, out in rmap.items() if out in required}
             left_req |= {rn for rn in kept_right if rn in left_others}
             right_req |= kept_right
+        # a cross join with one-sided projections can prune a side to
+        # nothing — keep one column (a relation needs at least one)
+        if not left_req:
+            left_req = {ls[0]}
+        if not right_req:
+            right_req = {rs[0]}
         return node.replace(
             left=_prune(node.left, left_req, memo),
             right=_prune(node.right, right_req, memo),

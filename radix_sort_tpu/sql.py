@@ -31,8 +31,10 @@ Supported grammar::
             | a.x (< | <= | > | >=) b.y     -- at most ONE band conjunct:
             | a.x BETWEEN b.lo AND b.hi     -- a non-equi (band) join;
                                    -- INNER/LEFT/SEMI/ANTI (BETWEEN:
-                                   -- INNER only), needs capacity=;
-                                   -- single-chip Tables only
+                                   -- INNER only), needs capacity=
+                                   -- (DistTable left: a broadcast band
+                                   -- join against a replicated Table
+                                   -- right side, capacity_per_shard=)
               [WHERE expr] [GROUP BY factor [, ...]] [HAVING expr]
             | ( query )
 

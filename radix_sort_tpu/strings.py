@@ -115,7 +115,24 @@ def decode(codes, vocab) -> np.ndarray:
 def unify(vocab_a: np.ndarray, vocab_b: np.ndarray):
     """Merge two vocabularies into one sorted union and return
     ``(union, remap_a, remap_b)`` where ``remap_x[old_code] = new_code``
-    (uint32 numpy arrays, applied on device as one small gather)."""
+    (uint32 numpy arrays, applied on device as one small gather).
+
+    Vocabularies are sorted by invariant, so the union is a native
+    linear two-pointer merge (csv_loader.cpp) — np.union1d's combined
+    re-sort (~39 s at 10.6M + 10.6M entries, BASELINE.md) only runs as
+    the no-compiler fallback."""
+    from radix_sort_tpu.native import csvio
+
+    native = csvio.merge_sorted(vocab_a, vocab_b)
+    if native is not None:
+        remap_a, remap_b, src, idx, n_u = native
+        dt = (vocab_a.dtype if vocab_a.dtype.itemsize
+              >= vocab_b.dtype.itemsize else vocab_b.dtype)
+        union = np.empty(n_u, dt)
+        ma = src == 0
+        union[ma] = vocab_a[idx[ma]]
+        union[~ma] = vocab_b[idx[~ma]]
+        return union, remap_a, remap_b
     union = np.union1d(vocab_a, vocab_b)  # sorted; "" stays at index 0
     remap_a = np.searchsorted(union, vocab_a).astype(np.uint32)
     remap_b = np.searchsorted(union, vocab_b).astype(np.uint32)

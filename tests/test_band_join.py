@@ -354,14 +354,33 @@ class TestSqlBandJoin:
             rst.sql("SELECT x FROM a JOIN b ON b.y BETWEEN a.x AND a.x",
                     db, capacity=8).collect()
 
-    def test_dist_band_rejected(self, rng):
+    def test_dist_band_broadcast(self, rng):
+        # a DistTable left side broadcast-band-joins a replicated Table
+        # right side through SQL (capacity_per_shard routes per backend)
+        import jax
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+        lx = rng.integers(0, 40, 32).astype(np.int32)
+        dt = rst.DistTable(
+            {"x": lx, "ia": np.arange(32, dtype=np.int32)}, mesh)
+        b = Table({"y": np.array([10, 25], np.int32),
+                   "ib": np.array([1, 2], np.int32)})
+        out = rst.sql("SELECT ia, ib FROM d JOIN b ON d.x < b.y",
+                      {"d": dt, "b": b},
+                      capacity_per_shard=64).collect()
+        got = sorted(zip(*(out.to_table().to_numpy()[c]
+                           for c in ("ia", "ib"))))
+        want = sorted((i, int(ib)) for i in range(32)
+                      for y, ib in ((10, 1), (25, 2)) if lx[i] < y)
+        assert [tuple(map(int, g)) for g in got] == want
+
+    def test_dist_cross_rejected(self, rng):
         import jax
         from jax.sharding import Mesh
         mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
         dt = rst.DistTable(
-            {"x": np.arange(8, dtype=np.int32),
-             "ia": np.arange(8, dtype=np.int32)}, mesh)
+            {"x": np.arange(8, dtype=np.int32)}, mesh)
         b = Table({"y": np.arange(4, dtype=np.int32)})
         with pytest.raises(TypeError, match="single-chip"):
-            rst.sql("SELECT ia FROM d JOIN b ON d.x < b.y",
-                    {"d": dt, "b": b}, capacity=64).collect()
+            rst.sql("SELECT x FROM d CROSS JOIN b",
+                    {"d": dt, "b": b}).collect()
