@@ -101,6 +101,10 @@ inline bool parse_i64(const char* p, size_t len, int64_t& out) {
 // ~150 ns/field and dominated pass 1; the VALUE is only needed in pass 2
 // for columns that actually resolve float)
 inline bool float_shape(const char* p, size_t len) {
+  // same 63-char cap as parse_f64_slow: a longer numeric field must
+  // degrade the column to STRING in pass 1, never resolve float and
+  // then fail to parse in pass 2 (silent 0.0; caught in round-5 review)
+  if (len > 63) return false;
   const char* e = p + len;
   if (p < e && (*p == '+' || *p == '-')) ++p;
   bool dig = false;

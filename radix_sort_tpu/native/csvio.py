@@ -51,6 +51,10 @@ def _load():
         stale = (not os.path.exists(_LIB)
                  or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
         path = _build() if stale else _LIB
+        if path is None and os.path.exists(_LIB):
+            # rebuild failed (no compiler): a stale-but-working library
+            # beats losing the native paths entirely
+            path = _LIB
         if path is None:
             _build_failed = True
             return None

@@ -680,14 +680,20 @@ class DistTable:
                     f"— DistTable rows cannot hold NULLs; "
                     f"fill_null(...) the replicated side first"
                 )
+        # per-side flag words, same values as Table._join_keys: valid 0,
+        # left padding 1, RIGHT padding 2, right NULL keys 4 — distinct
+        # per side so padding/NULL rows never equi-match anything
+        # (a shared value here silently paired filtered-out rows;
+        # caught in round-5 review)
         lflag = self._flag()
         rflag = None
-        if other._count is not None:
-            rflag = (~other.valid_mask()).astype(jnp.uint32)
-        if rnull is not None:
-            rf = jnp.where(rnull, jnp.uint32(4), jnp.uint32(0))
-            rflag = rf if rflag is None else jnp.where(
-                rflag != 0, jnp.uint32(2), rf)
+        if rnull is not None or other._count is not None:
+            rflag = jnp.zeros((other._n,), jnp.uint32)
+            if rnull is not None:
+                rflag = jnp.where(rnull, jnp.uint32(4), rflag)
+            if other._count is not None:
+                rflag = jnp.where(other.valid_mask(), rflag,
+                                  jnp.uint32(2))
         flagged = lflag is not None or rflag is not None
         if flagged:
             lf = (jnp.zeros((self._n,), jnp.uint32) if lflag is None

@@ -145,6 +145,7 @@ def distributed_window(
     ``capacity`` overrides the provisioned per-shard exchange bound
     (test/tuning knob, as in :func:`distributed_sort`).
     """
+    global _last_fallback
     single = isinstance(ops, (str, tuple))
     specs = [W._normalize_spec(ops)] if single else [
         W._normalize_spec(s) for s in ops
@@ -162,6 +163,7 @@ def distributed_window(
         # from each neighbor covers them, with a halo-edge overflow check
         # tripping this same replicated fallback when a frame cannot be
         # proven complete.
+        _last_fallback = jnp.bool_(True)  # replicated path by definition
         fres = W.window(
             [_respec(sp) for sp in specs],
             partition_by=partition_by, order_by=order_by,
@@ -188,6 +190,7 @@ def distributed_window(
 
     num_devices = mesh.shape[axis_name]
     if num_devices == 1:
+        _last_fallback = jnp.bool_(True)  # single-chip path
         out = W.window(ops, partition_by=partition_by, order_by=order_by,
                        descending=descending)
         return out
@@ -274,7 +277,6 @@ def distributed_window(
     out = fn(*p_limbs, *o_limbs, *val_arrays)
     results, ovf = list(out[:-1]), out[-1]
     overflow = jnp.any(ovf)
-    global _last_fallback
     _last_fallback = overflow  # test/debug introspection: True means the
     #                            replicated fallback produced this result
 
@@ -639,12 +641,22 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
                      + [vals_s[c] for c in roll_cids])
         hl = hr = None
         if ph_eff:
-            # my LAST ph_eff valid rows -> next shard (left halo there)
+            # my LAST ph_eff valid rows -> next shard (left halo there).
+            # When cnt < ph_eff the window starts at 0 and carries my
+            # exchange-padding junk AFTER the valid rows; roll it so the
+            # junk lands at the FAR edge of the receiver's view and my
+            # valid rows sit adjacent to its local rows — otherwise the
+            # junk would sever every partition run crossing the boundary
+            # (silently wrong frames; caught in round-5 review)
             lo_i = jnp.clip(cnt - ph_eff, 0, cap - ph_eff)
+            shift = jnp.maximum(ph_eff - cnt, 0)
             perm = [(s, s + 1) for s in range(num_devices - 1)]
             hl = [
                 jax.lax.ppermute(
-                    jax.lax.dynamic_slice(x, (lo_i,), (ph_eff,)),
+                    jnp.roll(
+                        jax.lax.dynamic_slice(x, (lo_i,), (ph_eff,)),
+                        shift, axis=0,
+                    ),
                     axis_name, perm,
                 )
                 for x in halo_cols
@@ -695,7 +707,9 @@ def _window_shard(*operands, specs, npl, nol, nv, val_ids, axis_name,
         # the extended key array stays globally sorted
         maxu = jnp.asarray(np.iinfo(np.uint32).max, jnp.uint32)
         right_junk = (inv_ext == 1) & (ix >= ph_eff)
-        rb_data = [jnp.where(right_junk, maxu, w)
+        left_junk = (inv_ext == 1) & (ix < ph_eff)
+        rb_data = [jnp.where(right_junk, maxu,
+                             jnp.where(left_junk, jnp.uint32(0), w))
                    for w in [*sp_ext, *so_ext]]
         ov_x = vals_ext[order_cid]
         fv = jnp.min(jnp.where(inv_ext == 0, ix, _BIG))

@@ -374,6 +374,26 @@ class TestSqlBandJoin:
                       for y, ib in ((10, 1), (25, 2)) if lx[i] < y)
         assert [tuple(map(int, g)) for g in got] == want
 
+    def test_dist_band_both_sides_filtered(self, rng):
+        # round-5 review repro: left padding (flag 1) must never
+        # equi-match right padding — the right side flags padding 2
+        import jax
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+        dt = rst.DistTable(
+            {"x": np.array([5, 6, 7, 8, 100, 100, 100, 100], np.int32),
+             "ia": np.arange(8, dtype=np.int32)}, mesh)
+        dt = dt.filter(lambda t: t["x"] < 10)
+        rt = Table({"y": np.array([10, 10, 200, 200], np.int32),
+                    "pay": np.array([111, 222, 333, 444], np.int32)})
+        rt = rt.filter(lambda t: t["pay"] < 300)
+        out, ovf = dt.join_band(rt, "x", "<", "y",
+                                capacity_per_shard=32)
+        got = out.to_table().to_numpy()
+        assert len(got["ia"]) == 8  # 4 kept left rows x 2 kept right
+        assert set(got["pay"].tolist()) == {111, 222}
+        assert (got["x"] < 10).all()
+
     def test_dist_cross_rejected(self, rng):
         import jax
         from jax.sharding import Mesh

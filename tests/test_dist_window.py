@@ -265,6 +265,40 @@ class TestShardedRangeFrames:
                               [("range_sum", v, N, N)], halo=16)
         assert fell_back, "expected the replicated fallback"
 
+    def test_partial_left_halo_exact(self, rng):
+        # round-5 review repro: a neighbor whose post-exchange count is
+        # BELOW the halo ships exchange-padding junk inside its block;
+        # the sender-side roll must keep valid rows adjacent to the
+        # receiver's local rows (junk at the far edge) or frames
+        # crossing the boundary silently lose rows
+        mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+        n = 32
+        order = rng.integers(0, 12, n).astype(np.int32)  # heavy dups
+        part = np.zeros(n, np.uint32)
+        vals = rng.integers(0, 20, n).astype(np.int32)
+        v = jnp.asarray(vals)
+        specs = [("range_sum", v, 2, 0)]
+        got = distributed_window(
+            specs, partition_by=jnp.asarray(part),
+            order_by=jnp.asarray(order), mesh=mesh, range_halo=16)
+        want = rst.window(specs, partition_by=jnp.asarray(part),
+                          order_by=jnp.asarray(order))
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(want[0]))
+
+    def test_last_fallback_not_stale(self, rng):
+        from radix_sort_tpu.parallel import dist_window as DW
+        part = rng.integers(0, 64, N).astype(np.uint32)
+        order = rng.integers(0, 500, N).astype(np.int32)
+        vals = rng.integers(0, 9, N).astype(np.int32)
+        v = jnp.asarray(vals)
+        self._run(part, order, vals, [("range_sum", v, 5, 5)])
+        assert not bool(np.asarray(DW._last_fallback))
+        # an unbounded-RANGE call takes the replicated path and must
+        # say so, not leave the previous call's flag behind
+        self._run(part, order, vals, [("range_sum", v, None, 5)])
+        assert bool(np.asarray(DW._last_fallback))
+
     def test_unbounded_side_replicates(self, rng):
         part = rng.integers(0, 16, N).astype(np.uint32)
         order = rng.integers(0, 100, N).astype(np.int32)

@@ -175,6 +175,20 @@ class TestNativeCSV:
             {"t": t}).collect().to_numpy()
         assert out["s"].tolist() == [10, 60]
 
+    def test_overlong_numeric_field_degrades_to_string(self, tmp_path):
+        # round-5 review repro: a numeric field past the 63-char parser
+        # cap must type the column STRING (data preserved), never
+        # resolve float and silently load 0.0
+        from radix_sort_tpu.native.csvio import (parse_csv,
+                                                 csv_native_available)
+        if not csv_native_available():
+            pytest.skip("no g++")
+        tiny = "0." + "0" * 70 + "1"  # 73 chars = 1e-71
+        p = self._write(tmp_path, f"f\n{tiny}\n2.5\n")
+        cols, dicts, masks = parse_csv(p)
+        assert "f" in dicts  # string column, not float
+        assert dicts["f"][cols["f"][0]] == tiny
+
     def test_native_intern_encode_matches_np_unique(self, rng):
         # strings.encode's native intern path must be bit-identical to
         # the np.unique fallback (sorted vocab, "" at 0, same codes)
