@@ -1757,38 +1757,73 @@ def band_join(
                  if op in ("lt", "le") else jnp.zeros((n_l,), jnp.int32))
         lo, hi = (v, g) if op in ("lt", "le") else (g, v)
 
+    if op == "between" and rhi_s:
+        # Two runtime regimes (lax.cond): when every left row has at
+        # most ONE candidate — exactly the non-interleaving tier /
+        # validity-range shape under the running-max lower bound — the
+        # single candidate gathers directly (no expansion machinery, no
+        # capacity-sized arrays in flight: one n_left compaction).
+        # Otherwise the shared expansion runs, post-filtering x <= hi;
+        # an inner cond skips even that compaction when per-group hi is
+        # monotone (cmh == hi) and every candidate provably matches.
+        single_ok = jnp.all(hi - lo <= 1)
+
+        def _fit(a):
+            if a.shape[0] >= capacity:
+                return a[:capacity]
+            return jnp.concatenate(
+                [a, jnp.zeros((capacity - a.shape[0],), a.dtype)]
+            )
+
+        def _single(_):
+            cand = hi > lo
+            safe = jnp.clip(lo, 0, n_r - 1)
+            rv_g = [rv[safe] for rv in rvs_s]
+            rhi_g = [w[safe] for w in rhi_s]
+            keep = cand & _limbs_le(lx, rhi_g)
+            *comp, cnt = filter(keep, *lvs, *rv_g)
+            comp = [_fit(a) for a in comp]
+            t = jnp.arange(capacity, dtype=jnp.int32)
+            validm = t < jnp.minimum(cnt, capacity)
+            comp = [jnp.where(validm, a, 0) for a in comp]
+            return (*comp, jnp.minimum(cnt, capacity).astype(jnp.int32),
+                    cnt > capacity)
+
+        def _multi(_):
+            kout, lv_out, rv_out, count, overflow = join_expand(
+                lx if len(lx) > 1 else lx[0], lvs, rvs_s + rhi_s,
+                lo, hi, capacity=capacity, how=how,
+            )
+            ko = _as_limb_list(kout)
+            rhi_out = rv_out[len(rvs):]
+            rv_real = rv_out[:len(rvs)]
+            all_match = ~jnp.any(_limbs_differ(cmh, rhi_s))
+
+            def _exact(_):
+                return (*lv_out, *rv_real, count)
+
+            def _filtered(_):
+                valid = jnp.arange(capacity, dtype=jnp.int32) < count
+                keep = valid & _limbs_le(ko, rhi_out)
+                *comp, cnt = filter(keep, *lv_out, *rv_real)
+                return (*comp, cnt.astype(count.dtype))
+
+            *packed, cnt2 = jax.lax.cond(all_match, _exact, _filtered,
+                                         None)
+            return (*packed, cnt2.astype(jnp.int32), overflow)
+
+        *packed, count, overflow = jax.lax.cond(
+            single_ok, _single, _multi, None
+        )
+        lv_out = list(packed[:len(lvs)])
+        rv_out = list(packed[len(lvs):])
+        return _pack_lv(lv_out), _pack_rv(rv_out), count, overflow
+
     kout, lv_out, rv_out, count, overflow = join_expand(
         lx if len(lx) > 1 else lx[0], lvs, rvs_s + rhi_s, lo, hi,
         capacity=capacity, how=how,
     )
-    if op == "between" and rhi_s:
-        # keep pairs with x <= hi: the expansion rode the left band limbs
-        # as its keys and the right hi limbs as extra values. When hi is
-        # itself non-decreasing within every equi group (cmh == hi —
-        # non-interleaving intervals, the common tier/validity-range
-        # shape) every candidate is a match and the compaction is a
-        # runtime no-op: lax.cond skips its stable validity sort.
-        ko = _as_limb_list(kout)
-        rhi_out = rv_out[len(rvs):]
-        rv_real = rv_out[:len(rvs)]
-        no_interleave = ~_limbs_differ(cmh, rhi_s)
-        all_match = (jnp.all(no_interleave) if n_r
-                     else jnp.bool_(True))
-
-        def _exact(_):
-            return (*lv_out, *rv_real, count)
-
-        def _filtered(_):
-            valid = jnp.arange(capacity, dtype=jnp.int32) < count
-            keep = valid & _limbs_le(ko, rhi_out)
-            *comp, cnt = filter(keep, *lv_out, *rv_real)
-            return (*comp, cnt.astype(count.dtype))
-
-        *packed, count = jax.lax.cond(all_match, _exact, _filtered, None)
-        lv_out = list(packed[:len(lvs)])
-        rv_out = list(packed[len(lvs):])
-    else:
-        rv_out = rv_out[:len(rvs)]
+    rv_out = rv_out[:len(rvs)]
     return _pack_lv(lv_out), _pack_rv(rv_out), count, overflow
 
 
