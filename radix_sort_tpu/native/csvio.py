@@ -58,53 +58,60 @@ def _load():
         if path is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(path)
-        p, i64, i32 = ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int
-        lib.rst_csv_parse.restype = p
-        lib.rst_csv_parse.argtypes = [ctypes.c_char_p, ctypes.c_char]
-        lib.rst_csv_last_error.restype = ctypes.c_char_p
-        lib.rst_csv_nrows.restype = i64
-        lib.rst_csv_nrows.argtypes = [p]
-        lib.rst_csv_ncols.restype = i32
-        lib.rst_csv_ncols.argtypes = [p]
-        lib.rst_csv_col_name.restype = ctypes.c_char_p
-        lib.rst_csv_col_name.argtypes = [p, i32]
-        lib.rst_csv_col_type.restype = i32
-        lib.rst_csv_col_type.argtypes = [p, i32]
-        lib.rst_csv_col_has_null.restype = i32
-        lib.rst_csv_col_has_null.argtypes = [p, i32]
-        for fn, ct in (("rst_csv_col_i64", ctypes.c_longlong),
-                       ("rst_csv_col_f64", ctypes.c_double),
-                       ("rst_csv_col_codes", ctypes.c_uint),
-                       ("rst_csv_col_mask", ctypes.c_ubyte)):
-            getattr(lib, fn).argtypes = [p, i32, ctypes.POINTER(ct)]
-            getattr(lib, fn).restype = None
-        lib.rst_csv_vocab_count.restype = i64
-        lib.rst_csv_vocab_count.argtypes = [p, i32]
-        lib.rst_csv_vocab_bytes.restype = i64
-        lib.rst_csv_vocab_bytes.argtypes = [p, i32]
-        lib.rst_csv_vocab.restype = None
-        lib.rst_csv_vocab.argtypes = [
-            p, i32, ctypes.c_char_p, ctypes.POINTER(i64)
-        ]
-        lib.rst_csv_free.argtypes = [p]
-        lib.rst_csv_free.restype = None
-        lib.rst_intern_rows.restype = p
-        lib.rst_intern_rows.argtypes = [
-            ctypes.c_char_p, i64, i64, ctypes.POINTER(ctypes.c_uint)
-        ]
-        lib.rst_intern_count.restype = i64
-        lib.rst_intern_count.argtypes = [p]
-        lib.rst_intern_firsts.restype = None
-        lib.rst_intern_firsts.argtypes = [p, ctypes.POINTER(i64)]
-        lib.rst_intern_free.argtypes = [p]
-        lib.rst_intern_free.restype = None
-        lib.rst_merge_sorted_u32.restype = i64
-        lib.rst_merge_sorted_u32.argtypes = [
-            ctypes.c_char_p, i64, i64, ctypes.c_char_p, i64, i64,
-            ctypes.POINTER(ctypes.c_uint), ctypes.POINTER(ctypes.c_uint),
-            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_uint),
-        ]
+        try:
+            lib = ctypes.CDLL(path)
+            p, i64, i32 = ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int
+            lib.rst_csv_parse.restype = p
+            lib.rst_csv_parse.argtypes = [ctypes.c_char_p, ctypes.c_char]
+            lib.rst_csv_last_error.restype = ctypes.c_char_p
+            lib.rst_csv_nrows.restype = i64
+            lib.rst_csv_nrows.argtypes = [p]
+            lib.rst_csv_ncols.restype = i32
+            lib.rst_csv_ncols.argtypes = [p]
+            lib.rst_csv_col_name.restype = ctypes.c_char_p
+            lib.rst_csv_col_name.argtypes = [p, i32]
+            lib.rst_csv_col_type.restype = i32
+            lib.rst_csv_col_type.argtypes = [p, i32]
+            lib.rst_csv_col_has_null.restype = i32
+            lib.rst_csv_col_has_null.argtypes = [p, i32]
+            for fn, ct in (("rst_csv_col_i64", ctypes.c_longlong),
+                           ("rst_csv_col_f64", ctypes.c_double),
+                           ("rst_csv_col_codes", ctypes.c_uint),
+                           ("rst_csv_col_mask", ctypes.c_ubyte)):
+                getattr(lib, fn).argtypes = [p, i32, ctypes.POINTER(ct)]
+                getattr(lib, fn).restype = None
+            lib.rst_csv_vocab_count.restype = i64
+            lib.rst_csv_vocab_count.argtypes = [p, i32]
+            lib.rst_csv_vocab_bytes.restype = i64
+            lib.rst_csv_vocab_bytes.argtypes = [p, i32]
+            lib.rst_csv_vocab.restype = None
+            lib.rst_csv_vocab.argtypes = [
+                p, i32, ctypes.c_char_p, ctypes.POINTER(i64)
+            ]
+            lib.rst_csv_free.argtypes = [p]
+            lib.rst_csv_free.restype = None
+            lib.rst_intern_rows.restype = p
+            lib.rst_intern_rows.argtypes = [
+                ctypes.c_char_p, i64, i64, ctypes.POINTER(ctypes.c_uint)
+            ]
+            lib.rst_intern_count.restype = i64
+            lib.rst_intern_count.argtypes = [p]
+            lib.rst_intern_firsts.restype = None
+            lib.rst_intern_firsts.argtypes = [p, ctypes.POINTER(i64)]
+            lib.rst_intern_free.argtypes = [p]
+            lib.rst_intern_free.restype = None
+            lib.rst_merge_sorted_u32.restype = i64
+            lib.rst_merge_sorted_u32.argtypes = [
+                ctypes.c_char_p, i64, i64, ctypes.c_char_p, i64, i64,
+                ctypes.POINTER(ctypes.c_uint), ctypes.POINTER(ctypes.c_uint),
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_uint),
+            ]
+        except (OSError, AttributeError):
+            # unloadable library, or a stale cached .so predating newer
+            # symbols (no compiler to rebuild): numpy fallback, never an
+            # escaping AttributeError from the binding block
+            _build_failed = True
+            return None
         _lib = lib
         return _lib
 

@@ -1756,6 +1756,15 @@ def band_join(
             g = (jnp.full((n_l,), n_r, jnp.int32)
                  if op in ("lt", "le") else jnp.zeros((n_l,), jnp.int32))
         lo, hi = (v, g) if op in ("lt", "le") else (g, v)
+        if op == "between":
+            # INVERTED intervals (hi < lo rows, which match nothing in
+            # SQL) can push the running-max lower bound PAST the
+            # lo <= x upper bound: such rows keep cmh < x while their
+            # own lo > x. Matches are still a subset of [lo, hi); a
+            # crossed range just means none — clamp so widths never go
+            # negative (negative emit counts corrupt the expansion's
+            # prefix sums; caught in round-5 review)
+            hi = jnp.maximum(hi, lo)
 
     if op == "between" and rhi_s:
         # Two runtime regimes (lax.cond): when every left row has at

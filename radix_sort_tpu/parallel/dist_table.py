@@ -674,6 +674,11 @@ class DistTable:
         rnames = [n for n in other._cols
                   if n not in on and not NL.is_mask_name(n)]
         for n in rnames:
+            if n in rb_names:
+                # a nullable BAND column is fine: its NULL rows fold
+                # into the right flag word (they match nothing, so no
+                # masked cell can ever emit)
+                continue
             if other.null_mask(n) is not None:
                 raise TypeError(
                     f"band join right column {n!r} carries a null mask "
@@ -710,7 +715,9 @@ class DistTable:
         n_r = other._n
         cap = capacity_per_shard
         include_right = how in ("inner", "left")
-        flagged_keep = flagged and how in ("left", "anti")
+        # only LEFT padding rows can emit under these variants; a
+        # right-side-only flag never needs the post-filter compaction
+        flagged_keep = lflag is not None and how in ("left", "anti")
 
         def body(lb_s, *rest):
             lks = list(rest[:nk])
@@ -737,6 +744,11 @@ class DistTable:
                 jl, jr, cnt = (*Q.filter(keep, jl, jr),)
                 cnt = cnt.astype(jnp.int32)
                 valid = jnp.arange(cap, dtype=jnp.int32) < cnt
+                # real rows are a valid PREFIX of the shard, so their
+                # emissions precede every padding emission: a capacity
+                # truncation lost real rows only if real rows alone
+                # still fill the capacity — otherwise clear the flag
+                ovf = ovf & (cnt >= cap)
             matched_l = valid & (jl > 0)
             lg = jnp.clip(jl - 1, 0, n_loc - 1)
             matched = valid & (jr > 0)

@@ -122,6 +122,30 @@ class TestEngineBandJoin:
         assert int(cnt) == 500
         np.testing.assert_array_equal(np.asarray(jr)[:500], lx // 10)
 
+    def test_between_inverted_intervals_adversarial(self, rng):
+        # round-5 review repro: inverted intervals (hi < lo, which match
+        # nothing) can push the running-max lower bound PAST the upper
+        # bound; crossed ranges must clamp to empty, never emit negative
+        # widths (duplicate-flooded / missing rows). Many trials — the
+        # corruption was probabilistic (4/60 seeds).
+        for trial in range(25):
+            r2 = np.random.default_rng(1000 + trial)
+            n_l, n_r = 40, 25
+            lx = r2.integers(0, 60, n_l).astype(np.int32)
+            rlo = r2.integers(0, 60, n_r).astype(np.int32)
+            rhi = r2.integers(0, 60, n_r).astype(np.int32)  # ~half inverted
+            jl, jr, cnt, ovf = Q.band_join(
+                jnp.asarray(lx), jnp.arange(n_l, dtype=jnp.int32),
+                (jnp.asarray(rlo), jnp.asarray(rhi)),
+                jnp.arange(n_r, dtype=jnp.int32),
+                op="between", capacity=2048)
+            got = sorted(zip(np.asarray(jl)[:int(cnt)].tolist(),
+                             np.asarray(jr)[:int(cnt)].tolist()))
+            want = sorted((i, j) for i in range(n_l) for j in range(n_r)
+                          if rlo[j] <= lx[i] <= rhi[j])
+            assert got == want, (trial, len(got), len(want))
+            assert not bool(ovf), trial
+
     def test_equi_conjunct(self, rng):
         lx = rng.integers(0, 50, 90).astype(np.int32)
         ry = rng.integers(0, 50, 80).astype(np.int32)
@@ -393,6 +417,38 @@ class TestSqlBandJoin:
         assert len(got["ia"]) == 8  # 4 kept left rows x 2 kept right
         assert set(got["pay"].tolist()) == {111, 222}
         assert (got["x"] < 10).all()
+
+    def test_dist_band_nullable_band_col_and_no_false_overflow(self, rng):
+        import jax
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+        # nullable right BAND column: NULL thresholds match nothing (not
+        # a TypeError — only nullable PAYLOADS are rejected)
+        dt = rst.DistTable(
+            {"x": np.arange(8, dtype=np.int32),
+             "ia": np.arange(8, dtype=np.int32)}, mesh)
+        rt = Table({"y": np.ma.MaskedArray(
+            np.array([4, 99], np.int32), [False, True]),
+            "ib": np.array([1, 2], np.int32)})
+        out, ovf = dt.join_band(rt, "x", "<", "y",
+                                capacity_per_shard=32)
+        got = out.to_table().to_numpy()
+        assert got["ia"].tolist() == [0, 1, 2, 3]  # x < 4 only
+        assert set(got["ib"].tolist()) == {1}
+        # left join on a filtered left side: padding rows may transit
+        # the engine but must not raise a spurious overflow when every
+        # REAL result row fits the capacity
+        dtf = rst.DistTable(
+            {"x": np.arange(8, dtype=np.int32),
+             "ia": np.arange(8, dtype=np.int32)}, mesh)
+        dtf = dtf.filter(lambda t: t["x"] < 2)  # 2 real rows
+        rt2 = Table({"y": np.array([10], np.int32),
+                     "ib": np.array([5], np.int32)})
+        out2, ovf2 = dtf.join_band(rt2, "x", "<", "y",
+                                   capacity_per_shard=4, how="left")
+        assert not bool(np.asarray(ovf2))
+        got2 = out2.to_table().to_numpy()
+        assert sorted(got2["ia"].tolist()) == [0, 1]
 
     def test_dist_cross_rejected(self, rng):
         import jax
