@@ -25,7 +25,8 @@ Supported grammar::
               FROM source
               [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN source
                     (ON conj [AND conj ...] | USING (k, ...))
-                | CROSS JOIN source ]*
+                | CROSS JOIN source
+                | ASOF [LEFT] JOIN source ON a.t >= b.t ]*
     conj   := a.k1 = b.k2          -- differently-named keys rename the
                                    -- right side
             | a.x (< | <= | > | >=) b.y     -- at most ONE band conjunct:
@@ -35,6 +36,16 @@ Supported grammar::
                                    -- (DistTable left: a broadcast band
                                    -- join against a replicated Table
                                    -- right side, capacity_per_shard=)
+             ASOF JOIN (timeseries nearest-key join, DuckDB syntax):
+             exactly ONE inequality conjunct — ``l.t >= r.t`` matches
+             each left row with the nearest right row at-or-before it
+             (backward), ``l.t <= r.t`` the nearest at-or-after
+             (forward); differently-named keys rename like equi joins.
+             Plain ASOF JOIN drops unmatched left rows (inner); ASOF
+             LEFT JOIN keeps them with the right side's columns
+             zero-filled (``Table.join_asof`` contract). No equality
+             (by-key) conjuncts — partition first, or use
+             ``Table.join_asof`` directly.
               [WHERE expr] [GROUP BY factor [, ...]] [HAVING expr]
             | ( query )
 
@@ -156,7 +167,7 @@ _KEYWORDS = {
     "ANTI", "ON", "CASE", "WHEN", "THEN", "ELSE", "END", "IS", "NULL",
     "LIKE", "UNION", "ALL", "INTERSECT", "EXCEPT", "WITH", "USING",
     "OVER", "PARTITION", "ROWS", "PRECEDING", "FOLLOWING", "CURRENT",
-    "ROW", "UNBOUNDED", "OFFSET", "EXISTS",
+    "ROW", "UNBOUNDED", "OFFSET", "EXISTS", "ASOF",
 }
 
 _AGG_FNS = {
@@ -1750,6 +1761,55 @@ def _from_target(p, tables, kwargs):
     return t if hasattr(t, "collect") else t.lazy()
 
 
+def _asof_join(p, lt, tables, kwargs):
+    """``ASOF [LEFT] JOIN source ON l.t >= r.t`` (DuckDB syntax; the ASOF
+    keyword is already consumed) -> the planner's ``join_asof`` node.
+    ``>=`` matches the nearest right row at-or-before each left row
+    (direction="backward"), ``<=`` the nearest at-or-after ("forward");
+    the sides may be written in either order (mirrored). Plain ASOF JOIN
+    keeps only matched left rows; ASOF LEFT JOIN keeps all left rows with
+    unmatched right cells zero-filled (``Table.join_asof`` contract,
+    table.py:1172)."""
+    asof_left = bool(p.eat_kw("LEFT"))
+    p.expect_kw("JOIN")
+    rhs = _from_target(p, tables, kwargs)
+    p.expect_kw("ON")
+    _mirror = {">=": "<=", "<=": ">="}
+    a = p._qualified_ident("asof join column")
+    op_sym = p.eat_op(">=", "<=")
+    if not op_sym:
+        raise SqlError(
+            "ASOF JOIN ON needs exactly one >= or <= conjunct "
+            "(strict </> and equality by-keys are not supported)"
+        )
+    b = p._qualified_ident("asof join column")
+    if p.eat_kw("AND"):
+        raise SqlError(
+            "ASOF JOIN supports exactly one inequality conjunct — no "
+            "equality (by-key) conjuncts; use Table.join_asof after a "
+            "per-key partition instead"
+        )
+    ln, rn = set(lt.column_names), set(rhs.column_names)
+    if a in ln and b in rn:
+        pass
+    elif a in rn and b in ln:
+        a, b = b, a
+        op_sym = _mirror[op_sym]
+    else:
+        raise SqlError(
+            f"ASOF JOIN ON {a} {op_sym} {b}: one side must name a left "
+            f"column and the other a right column"
+        )
+    direction = "backward" if op_sym == ">=" else "forward"
+    if a != b:
+        rhs = rhs.rename({b: a})
+    if asof_left:
+        return lt.join_asof(rhs, a, direction=direction)
+    m = "__asof_matched__"
+    lt = lt.join_asof(rhs, a, direction=direction, matched_col=m)
+    return lt.filter(col(m)).drop(m)
+
+
 def _select_core(p, tables, kwargs):
     """One ``SELECT ... [GROUP BY ... HAVING ...]`` core (no ORDER BY /
     LIMIT — those belong to the enclosing compound), compiled onto the
@@ -1778,6 +1838,10 @@ def _select_core(p, tables, kwargs):
 
     # JOIN clauses
     while True:
+        if p.at_kw("ASOF"):
+            p.next()
+            lt = _asof_join(p, lt, tables, kwargs)
+            continue
         how = None
         if p.at_kw("JOIN"):
             how = "inner"

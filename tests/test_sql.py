@@ -587,6 +587,100 @@ class TestJoins:
             assert got[int(o)] == want
 
 
+class TestAsofJoin:
+    """ASOF [LEFT] JOIN (DuckDB syntax) vs a Python nearest-key oracle."""
+
+    @staticmethod
+    def _oracle(lts, rts, rvals, direction):
+        """For each left t: value of the nearest right row (backward:
+        at-or-before; forward: at-or-after), or None."""
+        out = []
+        for t in lts:
+            if direction == "backward":
+                cands = [(rt, v) for rt, v in zip(rts, rvals) if rt <= t]
+                pick = max(cands, key=lambda p: p[0]) if cands else None
+            else:
+                cands = [(rt, v) for rt, v in zip(rts, rvals) if rt >= t]
+                pick = min(cands, key=lambda p: p[0]) if cands else None
+            out.append(None if pick is None else pick[1])
+        return out
+
+    @pytest.fixture
+    def ts(self, rng):
+        lt = rng.integers(0, 1000, N).astype(np.int32)
+        rt = np.unique(rng.integers(0, 1000, 40).astype(np.int32))
+        px = (np.arange(rt.size, dtype=np.int32) + 1) * 10
+        return ({"t": lt, "qty": np.arange(N, dtype=np.int32)},
+                {"qt": rt, "px": px})
+
+    def test_inner_backward(self, ts):
+        trades, quotes = ts
+        out = sql(
+            "SELECT t, qty, px FROM trades ASOF JOIN quotes ON t >= qt",
+            {"trades": Table(trades), "quotes": Table(quotes)},
+        ).collect().to_numpy()
+        ref = self._oracle(trades["t"], quotes["qt"], quotes["px"],
+                           "backward")
+        keep = [i for i, v in enumerate(ref) if v is not None]
+        np.testing.assert_array_equal(out["t"], trades["t"][keep])
+        np.testing.assert_array_equal(out["qty"], trades["qty"][keep])
+        np.testing.assert_array_equal(out["px"],
+                                      [ref[i] for i in keep])
+
+    def test_left_forward_mirrored(self, ts):
+        trades, quotes = ts
+        # operand order mirrored: qt <= t is the same backward join;
+        # LEFT keeps unmatched rows zero-filled
+        out = sql(
+            "SELECT t, px FROM trades ASOF LEFT JOIN quotes ON qt <= t",
+            {"trades": Table(trades), "quotes": Table(quotes)},
+        ).collect().to_numpy()
+        ref = self._oracle(trades["t"], quotes["qt"], quotes["px"],
+                           "backward")
+        np.testing.assert_array_equal(out["t"], trades["t"])
+        np.testing.assert_array_equal(
+            out["px"], [0 if v is None else v for v in ref])
+
+    def test_inner_forward_then_group(self, ts):
+        trades, quotes = ts
+        out = sql(
+            "SELECT px, COUNT(*) AS n FROM trades "
+            "ASOF JOIN quotes ON t <= qt GROUP BY px ORDER BY px",
+            {"trades": Table(trades), "quotes": Table(quotes)},
+            max_groups=64,
+        ).collect().to_numpy()
+        ref = self._oracle(trades["t"], quotes["qt"], quotes["px"],
+                           "forward")
+        want = {}
+        for v in ref:
+            if v is not None:
+                want[v] = want.get(v, 0) + 1
+        np.testing.assert_array_equal(out["px"], sorted(want))
+        np.testing.assert_array_equal(out["n"],
+                                      [want[k] for k in sorted(want)])
+
+    def test_same_named_key(self):
+        a = Table({"t": np.array([5, 1], np.int32),
+                   "x": np.array([1, 2], np.int32)})
+        b = Table({"t": np.array([2, 4], np.int32),
+                   "y": np.array([7, 8], np.int32)})
+        out = sql("SELECT x, y FROM a ASOF JOIN b ON a.t >= b.t",
+                  {"a": a, "b": b}).collect().to_numpy()
+        np.testing.assert_array_equal(out["x"], [1])
+        np.testing.assert_array_equal(out["y"], [8])
+
+    def test_errors(self, ts):
+        trades, quotes = ts
+        t = {"trades": Table(trades), "quotes": Table(quotes)}
+        with pytest.raises(SqlError, match=">= or <="):
+            sql("SELECT * FROM trades ASOF JOIN quotes ON t > qt", t)
+        with pytest.raises(SqlError, match="one inequality conjunct"):
+            sql("SELECT * FROM trades ASOF JOIN quotes "
+                "ON t >= qt AND qty = px", t)
+        with pytest.raises(SqlError, match="left column"):
+            sql("SELECT * FROM trades ASOF JOIN quotes ON qt >= px", t)
+
+
 class TestWindows:
     """fn(...) OVER (...) vs numpy oracles (ROWS semantics; ties in
     ORDER BY break by input order)."""
