@@ -12,7 +12,8 @@ Supported grammar::
 
     query := [WITH name AS ( query ) [, ...]]
              select [ (UNION [ALL] | INTERSECT | EXCEPT) select ]*
-             [ORDER BY key [ASC|DESC] [NULLS FIRST|LAST], ...]
+             [ORDER BY key [ASC|DESC] [NULLS FIRST|LAST], ...
+              | ORDER BY ALL [ASC|DESC]]  -- every output column, L-to-R
              [LIMIT n [OFFSET m]]
              (INTERSECT binds tighter; engine set-op semantics: distinct
              rows matched by column NAME — both sides must expose the
@@ -46,7 +47,10 @@ Supported grammar::
              zero-filled (``Table.join_asof`` contract). No equality
              (by-key) conjuncts — partition first, or use
              ``Table.join_asof`` directly.
-              [WHERE expr] [GROUP BY factor [, ...]] [HAVING expr]
+              [WHERE expr]
+              [GROUP BY (factor [, ...] | ALL)] [HAVING expr]
+                 -- GROUP BY ALL: every plain (non-aggregate) SELECT
+                 -- item becomes a grouping key (DuckDB convenience)
             | ( query )
 
     factor := key | ROLLUP (key, ...) | CUBE (key, ...)
@@ -1626,33 +1630,44 @@ def _query(p, tables, kwargs):
     if p.eat_kw("ORDER"):
         p.expect_kw("BY")
         order_by, order_desc, order_nulls, hoisted = [], [], [], {}
-        while True:
-            # expression keys (ORDER BY UPPER(w), v % 10, ...) hoist into
-            # synthetic columns dropped after the (sort, limit) tail
-            e = p.parse_expr()
-            if e.kind == "col":
-                order_by.append(e.args[0])
-            else:
-                name = f"__ord_{len(hoisted)}"
-                hoisted[name] = e
-                order_by.append(name)
+        if p.at_kw("ALL"):
+            # DuckDB convenience: ORDER BY ALL [ASC|DESC] sorts by every
+            # output column left-to-right
+            p.next()
             d = p.eat_kw("ASC", "DESC")
-            order_desc.append(d == "DESC")
-            nl_ = None
-            t = p.peek()
-            if t[0] == "id" and str(t[1]).upper() == "NULLS":
-                p.next()
-                w = p.next()
-                word = str(w[1]).upper() if w[0] in ("id", "kw") else ""
-                if word not in ("FIRST", "LAST"):
-                    raise SqlError(
-                        f"expected FIRST or LAST after NULLS, got "
-                        f"{w[1]!r}"
-                    )
-                nl_ = word == "LAST"
-            order_nulls.append(nl_)
-            if not p.eat_op(","):
-                break
+            order_by = list(lt.column_names)
+            order_desc = [d == "DESC"] * len(order_by)
+            order_nulls = [None] * len(order_by)
+        else:
+            while True:
+                # expression keys (ORDER BY UPPER(w), v % 10, ...) hoist
+                # into synthetic columns dropped after the (sort, limit)
+                # tail
+                e = p.parse_expr()
+                if e.kind == "col":
+                    order_by.append(e.args[0])
+                else:
+                    name = f"__ord_{len(hoisted)}"
+                    hoisted[name] = e
+                    order_by.append(name)
+                d = p.eat_kw("ASC", "DESC")
+                order_desc.append(d == "DESC")
+                nl_ = None
+                t = p.peek()
+                if t[0] == "id" and str(t[1]).upper() == "NULLS":
+                    p.next()
+                    w = p.next()
+                    word = (str(w[1]).upper()
+                            if w[0] in ("id", "kw") else "")
+                    if word not in ("FIRST", "LAST"):
+                        raise SqlError(
+                            f"expected FIRST or LAST after NULLS, got "
+                            f"{w[1]!r}"
+                        )
+                    nl_ = word == "LAST"
+                order_nulls.append(nl_)
+                if not p.eat_op(","):
+                    break
         # keys (and hoisted expressions) may reference columns the SELECT
         # projection drops — base columns / group keys (standard SQL):
         # sort the stashed pre-projection relation and re-project after
@@ -1988,37 +2003,57 @@ def _select_core(p, tables, kwargs):
     group_by, group_sets = [], None
     if p.eat_kw("GROUP"):
         p.expect_kw("BY")
-        # each comma item is a FACTOR: a plain key contributes one
-        # single-key set; ROLLUP/CUBE/GROUPING SETS contribute several.
-        # The grouping sets are the cross product of the factors
-        # (standard SQL). A key is a full expression: a plain (qualified)
-        # column stays a name; anything else resolves against a
-        # structurally equal SELECT item (GROUP BY LOWER(w) with SELECT
-        # LOWER(w) AS k) or hoists into a synthetic key column
-        factors = []
-        while True:
-            factors.append(_group_factor(p))
-            if not p.eat_op(","):
-                break
-        if any(len(f) > 1 for f in factors):
-            from itertools import product
-
-            seen, group_sets = set(), []
-            for parts in product(*factors):
-                s = [k for part in parts for k in part]
-                sig = tuple(k if isinstance(k, str) else repr(k)
-                            for k in s)
-                if sig not in seen:
-                    seen.add(sig)
-                    group_sets.append(s)
-            for s in group_sets:  # flat unique key list, order of use
-                for k in s:
-                    sig = k if isinstance(k, str) else repr(k)
-                    if sig not in {g if isinstance(g, str) else repr(g)
-                                   for g in group_by}:
-                        group_by.append(k)
+        if p.at_kw("ALL") and p.peek(1) != ("op", "("):
+            # DuckDB convenience: GROUP BY ALL groups by every plain
+            # (non-aggregate, non-window) SELECT item
+            p.next()
+            for it in items:
+                if it[0] == "star":
+                    raise SqlError(
+                        "GROUP BY ALL cannot be combined with SELECT *"
+                    )
+                if it[0] == "expr":
+                    e = it[1]
+                    group_by.append(
+                        e.args[0] if e.kind == "col" else e)
+            if not group_by:
+                raise SqlError(
+                    "GROUP BY ALL: the SELECT list has no plain "
+                    "(non-aggregate) items to group by"
+                )
         else:
-            group_by = [k for f in factors for k in f[0]]
+            # each comma item is a FACTOR: a plain key contributes one
+            # single-key set; ROLLUP/CUBE/GROUPING SETS contribute
+            # several. The grouping sets are the cross product of the
+            # factors (standard SQL). A key is a full expression: a
+            # plain (qualified) column stays a name; anything else
+            # resolves against a structurally equal SELECT item
+            # (GROUP BY LOWER(w) with SELECT LOWER(w) AS k) or hoists
+            # into a synthetic key column
+            factors = []
+            while True:
+                factors.append(_group_factor(p))
+                if not p.eat_op(","):
+                    break
+            if any(len(f) > 1 for f in factors):
+                from itertools import product
+
+                seen, group_sets = set(), []
+                for parts in product(*factors):
+                    s = [k for part in parts for k in part]
+                    sig = tuple(k if isinstance(k, str) else repr(k)
+                                for k in s)
+                    if sig not in seen:
+                        seen.add(sig)
+                        group_sets.append(s)
+                for s in group_sets:  # flat unique key list, order of use
+                    for k in s:
+                        sig = k if isinstance(k, str) else repr(k)
+                        if sig not in {g if isinstance(g, str)
+                                       else repr(g) for g in group_by}:
+                            group_by.append(k)
+            else:
+                group_by = [k for f in factors for k in f[0]]
 
     having = None
     having_joins = []

@@ -587,6 +587,71 @@ class TestJoins:
             assert got[int(o)] == want
 
 
+class TestGroupOrderByAll:
+    """DuckDB conveniences: GROUP BY ALL / ORDER BY ALL."""
+
+    def test_group_by_all(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT item, cust, SUM(qty) AS total FROM orders "
+            "GROUP BY ALL ORDER BY item, cust",
+            _tables(db), max_groups=64,
+        ).collect().to_numpy()
+        ref = {}
+        for i, c, q in zip(orders["item"], orders["cust"], orders["qty"]):
+            ref[(i, int(c))] = ref.get((i, int(c)), 0) + int(q)
+        keys = sorted(ref)
+        np.testing.assert_array_equal(out["item"], [k[0] for k in keys])
+        np.testing.assert_array_equal(out["cust"], [k[1] for k in keys])
+        np.testing.assert_array_equal(out["total"],
+                                      [ref[k] for k in keys])
+
+    def test_group_by_all_expr_key(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT qty % 3 AS r, COUNT(*) AS n FROM orders "
+            "GROUP BY ALL ORDER BY r",
+            _tables(db), max_groups=8,
+        ).collect().to_numpy()
+        ref = {}
+        for q in orders["qty"]:
+            ref[int(q) % 3] = ref.get(int(q) % 3, 0) + 1
+        np.testing.assert_array_equal(out["r"], sorted(ref))
+        np.testing.assert_array_equal(out["n"],
+                                      [ref[k] for k in sorted(ref)])
+
+    def test_order_by_all(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT cust, qty FROM orders ORDER BY ALL",
+            _tables(db),
+        ).collect().to_numpy()
+        ref = sorted(zip(orders["cust"].tolist(), orders["qty"].tolist()))
+        np.testing.assert_array_equal(out["cust"], [r[0] for r in ref])
+        np.testing.assert_array_equal(out["qty"], [r[1] for r in ref])
+
+    def test_order_by_all_desc_limit(self, db):
+        orders, _ = db
+        out = sql(
+            "SELECT cust, qty FROM orders ORDER BY ALL DESC LIMIT 5",
+            _tables(db),
+        ).collect().to_numpy()
+        ref = sorted(zip(orders["cust"].tolist(), orders["qty"].tolist()),
+                     reverse=True)[:5]
+        np.testing.assert_array_equal(out["cust"], [r[0] for r in ref])
+        np.testing.assert_array_equal(out["qty"], [r[1] for r in ref])
+
+    def test_group_by_all_star_rejected(self, db):
+        with pytest.raises(SqlError, match="SELECT [*]"):
+            sql("SELECT *, COUNT(*) AS n FROM orders GROUP BY ALL",
+                _tables(db))
+
+    def test_group_by_all_no_keys_rejected(self, db):
+        with pytest.raises(SqlError, match="no plain"):
+            sql("SELECT COUNT(*) AS n FROM orders GROUP BY ALL",
+                _tables(db))
+
+
 class TestAsofJoin:
     """ASOF [LEFT] JOIN (DuckDB syntax) vs a Python nearest-key oracle."""
 
