@@ -1599,12 +1599,20 @@ def sql(query: str, tables, **kwargs):
     ``.explain()`` to inspect the optimized plan). Capacity knobs for the
     static-shape verbs pass through ``kwargs`` (``capacity``/
     ``capacity_per_shard`` for joins, ``max_groups`` for GROUP BY,
-    ``max_unique`` for DISTINCT / set operations)."""
+    ``max_unique`` for DISTINCT / set operations).
+
+    ``EXPLAIN <query>`` returns the optimized plan rendering (a string)
+    instead of a LazyTable — the same text as ``.explain()``."""
     p = _Parser(query)
+    explain = False
+    t = p.peek()
+    if t[0] == "id" and str(t[1]).upper() == "EXPLAIN":
+        p.next()
+        explain = True
     lt = _query(p, tables, kwargs)
     if p.peek()[0] != "end":
         raise SqlError(f"unexpected trailing input near {p.peek()[1]!r}")
-    return lt
+    return lt.explain() if explain else lt
 
 
 def _query(p, tables, kwargs):

@@ -587,6 +587,17 @@ class TestJoins:
             assert got[int(o)] == want
 
 
+class TestExplain:
+    def test_explain_returns_plan_text(self, db):
+        out = sql(
+            "EXPLAIN SELECT cust, SUM(qty) AS total FROM orders "
+            "WHERE qty > 5 GROUP BY cust",
+            _tables(db), max_groups=16,
+        )
+        assert isinstance(out, str)
+        assert "aggregate" in out
+
+
 class TestGroupOrderByAll:
     """DuckDB conveniences: GROUP BY ALL / ORDER BY ALL."""
 
